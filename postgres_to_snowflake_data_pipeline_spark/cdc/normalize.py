@@ -1,0 +1,77 @@
+"""Arrow-vectorized normalization of heterogeneous change-event payloads.
+
+The reference tolerates schema drift between hops with Snowflake's
+``MATCH_BY_COLUMN_NAME = CASE_INSENSITIVE`` + ``ON_ERROR='CONTINUE'`` COPY
+(/root/reference/dags/s3_to_snowflake_dag.py:144-145): columns match by name
+case-insensitively, missing columns become NULL, convertible types are
+coerced. This module is the engine's equivalent, as mandated by the north
+rule: an **Arrow-vectorized** (``mapInArrow``) normalizer — whole record
+batches are aligned to the target schema with pyarrow kernels; no per-row
+Python.
+
+Fast path: when the incoming DataFrame already matches the target schema
+exactly, return it untouched (zero overhead, stays fully JVM-side).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.pandas.types import to_arrow_schema
+
+
+def schema_diff(incoming: T.StructType, target: T.StructType) -> dict[str, list[str]]:
+    """Case-insensitive field diff: names in incoming but not target ('added'),
+    in target but not incoming ('missing')."""
+    inc = {f.name.lower(): f for f in incoming.fields}
+    tgt = {f.name.lower(): f for f in target.fields}
+    return {
+        "added": [f.name for f in incoming.fields if f.name.lower() not in tgt],
+        "missing": [f.name for f in target.fields if f.name.lower() not in inc],
+    }
+
+
+def evolve_schema(target: T.StructType, incoming: T.StructType) -> T.StructType:
+    """Additive evolution: target schema plus any new incoming fields
+    (appended, forced nullable). Never drops or retypes existing fields."""
+    known = {f.name.lower() for f in target.fields}
+    extra = [
+        T.StructField(f.name, f.dataType, True)
+        for f in incoming.fields
+        if f.name.lower() not in known
+    ]
+    return T.StructType(list(target.fields) + extra)
+
+
+def normalize_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Align ``df`` to ``target``: name-matched (case-insensitive) column
+    selection, NULL-fill for missing fields, Arrow-kernel casts for
+    convertible type drift, target column order.
+    """
+    if df.schema == target:
+        return df  # fast path — stays JVM-side
+
+    arrow_target = to_arrow_schema(target)
+    # case-insensitive source-name lookup, resolved on the driver
+    src_names = {n.lower(): n for n in df.columns}
+    col_map = {f.name: src_names.get(f.name.lower()) for f in target.fields}
+
+    def _normalize(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            arrays = []
+            for field in arrow_target:
+                src = col_map.get(field.name)
+                if src is not None and src in batch.schema.names:
+                    col = batch.column(batch.schema.names.index(src))
+                    if col.type != field.type:
+                        col = col.cast(field.type, safe=False)
+                else:
+                    col = pa.nulls(n, type=field.type)
+                arrays.append(col)
+            yield pa.RecordBatch.from_arrays(arrays, schema=arrow_target)
+
+    return df.mapInArrow(_normalize, schema=target)

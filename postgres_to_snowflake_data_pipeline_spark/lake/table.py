@@ -1,0 +1,295 @@
+"""LakeTable — snapshot-committed, bucket-partitioned upsert table.
+
+The MERGE target for the CDC pipeline. Implements, with public concepts
+only, the slice of Iceberg the north rule relies on:
+
+- **Hidden bucket partitioning** on the leading key column (``conv_id``):
+  every data file lives under one of ``n_buckets`` hash buckets, so a merge
+  touches only the buckets its batch keys hash into (partition pruning) and
+  a 1000-executor cluster spreads buckets across executors.
+- **Atomic snapshot commits** (see ``metadata.MetadataLog``): readers see
+  either the old or the new table, never a mix; time travel by snapshot id.
+- **Idempotent commit keys**: a commit tagged ``epoch:{id}`` is a no-op if
+  that key is already in the current snapshot's cumulative key set — the
+  exactly-once guarantee for ``foreachBatch`` replays after a crash.
+- **Additive schema evolution**: a commit may carry a widened schema; files
+  written earlier read back with NULLs in the new columns (name-based
+  resolution, like the reference's MATCH_BY_COLUMN_NAME load,
+  /root/reference/dags/s3_to_snowflake_dag.py:144).
+- **Merge-on-read + compaction** (Hudi/Paimon-style): ``merge`` appends the
+  batch's deduped winners as *delta* files (write cost ∝ batch size, the
+  right trade for a high-throughput CDC stream); ``read`` resolves
+  last-writer-wins across base+delta by max ``(_lsn, _deleted)`` per key;
+  ``compact`` folds deltas into sorted base files (copy-on-write) so read
+  cost stays bounded. Streaming apply compacts every K epochs.
+- **Tombstones**: deletes persist as ``_deleted=true`` rows carrying their
+  LSN, so a late, lower-LSN update can never resurrect a deleted key
+  (SURVEY.md §7.4 hard-part #3). Compaction keeps tombstones.
+
+Internal columns stored in every data file: ``_lsn`` (winning LSN for the
+row), ``_deleted`` (tombstone flag), ``_bucket`` (the bucket number, stored
+both as a data column and as the ``_bdir=N`` partition directory).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from postgres_to_snowflake_data_pipeline_spark.lake.metadata import MetadataLog, Snapshot
+
+INTERNAL_FIELDS = [
+    T.StructField("_lsn", T.LongType(), False),
+    T.StructField("_deleted", T.BooleanType(), False),
+    T.StructField("_bucket", T.IntegerType(), False),
+]
+INTERNAL_COLS = [f.name for f in INTERNAL_FIELDS]
+
+
+def bucket_expr(col: str, n_buckets: int) -> F.Column:
+    """Deterministic bucket assignment — pure function of the key value, so
+    the same key always lands in the same bucket at any cluster size."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.log = MetadataLog(root)
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        schema: T.StructType,
+        key_cols: tuple[str, ...],
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        t = cls(spark, root)
+        if t.log.exists():
+            raise ValueError(f"table already exists at {root}")
+        os.makedirs(root, exist_ok=True)
+        snap = Snapshot(
+            snapshot_id=0,
+            parent_id=None,
+            schema_json=schema.jsonValue(),
+            n_buckets=n_buckets,
+            key_cols=list(key_cols),
+            files={},
+            summary={"operation": "create"},
+            commit_keys=[],
+        )
+        t.log.commit(snap)
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeTable":
+        t = cls(spark, root)
+        if not t.log.exists():
+            raise FileNotFoundError(f"no lake table at {root}")
+        return t
+
+    # ------------------------------------------------------------------
+    # properties
+    # ------------------------------------------------------------------
+    def current(self) -> Snapshot:
+        snap = self.log.current()
+        assert snap is not None
+        return snap
+
+    def schema(self) -> T.StructType:
+        return self.current().schema
+
+    def has_commit_key(self, key: str) -> bool:
+        return key in set(self.current().commit_keys)
+
+    def snapshots(self) -> list[Snapshot]:
+        return self.log.history()
+
+    # ------------------------------------------------------------------
+    # read path
+    # ------------------------------------------------------------------
+    def _read_files(self, snap: Snapshot, entries: list[dict[str, Any]]) -> DataFrame | None:
+        paths = [os.path.join(self.root, e["path"]) for e in entries]
+        if not paths:
+            return None
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        # name-based resolution: fields absent from every read file (written
+        # pre-evolution) come back as NULL columns of the declared type
+        want = list(snap.schema.fields) + INTERNAL_FIELDS
+        cols = []
+        have = {c.lower() for c in df.columns}
+        for fld in want:
+            if fld.name.lower() in have:
+                cols.append(F.col(fld.name))
+            else:
+                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+        return df.select(*cols)
+
+    def _resolve_lww(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
+        other = [c for c in df.columns if c not in key_cols]
+        order = F.struct(F.col("_lsn"), F.col("_deleted").cast("int").alias("_dr"))
+        w = F.max_by(F.struct(*[F.col(c) for c in other]), order).alias("_w")
+        return df.groupBy(*key_cols).agg(w).select(*key_cols, "_w.*").select(*df.columns)
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        include_internal: bool = False,
+        include_tombstones: bool = False,
+        buckets: list[int] | None = None,
+    ) -> DataFrame:
+        """Current (or time-travel) state of the table as a DataFrame."""
+        snap = self.current() if snapshot_id is None else self.log.load(snapshot_id)
+        entries: list[dict[str, Any]] = []
+        has_delta = False
+        for b, fs in snap.files.items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            for e in fs:
+                entries.append(e)
+                has_delta = has_delta or e.get("kind") == "delta"
+        df = self._read_files(snap, entries)
+        if df is None:
+            fields = list(snap.schema.fields) + (INTERNAL_FIELDS if include_internal else [])
+            return self.spark.createDataFrame([], T.StructType(fields))
+        if has_delta:
+            df = self._resolve_lww(df, snap.key_cols)
+        if not include_tombstones:
+            df = df.filter(~F.col("_deleted"))
+        if not include_internal:
+            df = df.select(*[f.name for f in snap.schema.fields])
+        return df
+
+    # ------------------------------------------------------------------
+    # write path
+    # ------------------------------------------------------------------
+    def _write_data(self, df: DataFrame, commit_dir: str) -> dict[str, list[str]]:
+        """Write rows partitioned by bucket; return bucket -> relative paths."""
+        out = os.path.join(self.root, commit_dir)
+        (
+            df.withColumn("_bdir", F.col("_bucket"))
+            .write.partitionBy("_bdir")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        files: dict[str, list[str]] = {}
+        for d in os.listdir(out):
+            if not d.startswith("_bdir="):
+                continue
+            b = d.split("=", 1)[1]
+            files[b] = [
+                os.path.join(commit_dir, d, f)
+                for f in os.listdir(os.path.join(out, d))
+                if f.endswith(".parquet")
+            ]
+        return files
+
+    def _next_commit(
+        self,
+        new_files: dict[str, list[dict[str, Any]]],
+        schema: T.StructType,
+        summary: dict[str, Any],
+        commit_key: str | None,
+        replace_buckets: bool,
+    ) -> Snapshot:
+        parent = self.current()
+        files = {b: list(fs) for b, fs in parent.files.items()}
+        for b, fs in new_files.items():
+            if replace_buckets:
+                files[b] = fs
+            else:
+                files.setdefault(b, []).extend(fs)
+        keys = list(parent.commit_keys)
+        if commit_key is not None:
+            keys.append(commit_key)
+        snap = Snapshot(
+            snapshot_id=parent.snapshot_id + 1,
+            parent_id=parent.snapshot_id,
+            schema_json=schema.jsonValue(),
+            n_buckets=parent.n_buckets,
+            key_cols=parent.key_cols,
+            files=files,
+            summary=dict(summary, committed_at_unix=time.time()),
+            commit_keys=keys,
+        )
+        self.log.commit(snap)
+        return snap
+
+    def merge(
+        self,
+        winners: DataFrame,
+        commit_key: str | None = None,
+        schema: T.StructType | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot | None:
+        """Apply one batch of per-key winning events (merge-on-read append).
+
+        ``winners`` must be LWW-deduped already (one row per key) and carry
+        the internal columns ``_lsn``/``_deleted`` plus the payload columns
+        of ``schema`` (defaults to the table schema; pass a widened schema
+        to evolve). Returns the committed snapshot, or None if ``commit_key``
+        was already applied (idempotent replay).
+        """
+        if commit_key is not None and self.has_commit_key(commit_key):
+            return None
+        snap = self.current()
+        target_schema = schema or snap.schema
+        kcol = snap.key_cols[0]
+        df = winners.withColumn("_bucket", bucket_expr(kcol, snap.n_buckets))
+        ordered = [f.name for f in target_schema.fields] + INTERNAL_COLS
+        # co-locate each bucket in one task -> exactly one delta file per
+        # affected bucket per commit (no small-file explosion across epochs)
+        df = df.select(*ordered).repartition(F.col("_bucket"))
+        commit_dir = os.path.join("data", f"commit-{snap.snapshot_id + 1}")
+        raw = self._write_data(df, commit_dir)
+        new_files = {b: [{"path": p, "kind": "delta"} for p in ps] for b, ps in raw.items()}
+        return self._next_commit(
+            new_files,
+            target_schema,
+            dict(summary or {}, operation="merge"),
+            commit_key,
+            replace_buckets=False,
+        )
+
+    def compact(self, buckets: list[int] | None = None) -> Snapshot:
+        """Fold delta files into per-bucket base files (copy-on-write).
+
+        Resolves LWW per key across base+delta, keeps tombstones (they guard
+        against late lower-LSN arrivals), sorts within buckets by key for
+        locality, and replaces the affected buckets' file lists."""
+        snap = self.current()
+        todo = []
+        for b, fs in snap.files.items():
+            if buckets is not None and int(b) not in buckets:
+                continue
+            if any(e.get("kind") == "delta" for e in fs) or len(fs) > 1:
+                todo.append(int(b))
+        if not todo:
+            return snap
+        df = self.read(include_internal=True, include_tombstones=True, buckets=todo)
+        df = df.repartition(max(len(todo) // 4, 1), "_bucket").sortWithinPartitions(
+            "_bucket", *snap.key_cols
+        )
+        commit_dir = os.path.join("data", f"compact-{snap.snapshot_id + 1}")
+        raw = self._write_data(df, commit_dir)
+        new_files = {b: [{"path": p, "kind": "base"} for p in ps] for b, ps in raw.items()}
+        for b in todo:  # buckets whose rows were all... always rewritten
+            new_files.setdefault(str(b), [])
+        return self._next_commit(
+            new_files,
+            snap.schema,
+            {"operation": "compact", "buckets": todo},
+            commit_key=None,
+            replace_buckets=True,
+        )
