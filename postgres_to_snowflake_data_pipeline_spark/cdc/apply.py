@@ -129,39 +129,76 @@ def apply_batch(
         (F.col("op") == "delete").alias("_deleted"),
     )
 
-    # ---- 4. merge (delta append + atomic snapshot commit)
+    # ---- 4. merge (delta append + atomic snapshot commit). The lineage
+    # rows ride INSIDE the snapshot summary so they commit atomically with
+    # the data: a crash between data write and commit replays the epoch
+    # (commit key absent), a crash after the commit skips it — in both cases
+    # lineage and table state stay consistent (no separate-write race).
+    lineage_rows = [
+        {
+            "epoch": epoch,
+            "partition_id": int(r["partition_id"]),
+            "lsn_min": int(r["lsn_min"]),
+            "lsn_max": int(r["lsn_max"]),
+            "rows_in": int(r["rows_in"]),
+        }
+        for r in part_stats
+    ]
     snap = table.merge(
         storage,
         commit_key=commit_key,
         schema=table_schema,
-        summary={"epoch": epoch, "rows_in": rows_in},
+        summary={"epoch": epoch, "rows_in": rows_in, "lineage": lineage_rows},
     )
     events.unpersist()
     assert snap is not None  # key was checked above; single writer
     rows_deduped = -1  # not recounted on the hot path (would force a 2nd agg)
 
-    # ---- 5. lineage rows
+    # ---- 5. optional materialized lineage mirror (derived, best-effort —
+    # the authoritative record is the snapshot log; see lineage_df())
     if lineage_path is not None:
-        now = F.current_timestamp()
-        rows = [
-            (
-                epoch,
-                int(r["partition_id"]),
-                int(r["lsn_min"]),
-                int(r["lsn_max"]),
-                int(r["rows_in"]),
-                None,
-                None,
-                int(snap.snapshot_id),
-            )
-            for r in part_stats
-        ] or [(epoch, -1, None, None, 0, None, None, int(snap.snapshot_id))]
-        ldf = spark.createDataFrame(
-            rows, schema=T.StructType(LINEAGE_SCHEMA.fields[:-1])
-        ).withColumn("committed_at", now)
-        ldf.coalesce(1).write.mode("append").parquet(lineage_path)
+        export_lineage(spark, table, lineage_path)
 
     return ApplyResult(epoch, False, rows_in, rows_deduped, snap.snapshot_id)
+
+
+def lineage_df(spark: SparkSession, table: LakeTable) -> DataFrame:
+    """Authoritative lineage/metrics table, rebuilt from the snapshot log —
+    the engine's analog of the reference's ``data_summary`` + verification
+    outputs (/root/reference/dags/s3_to_snowflake_dag.py:159-255), but
+    exactly-once by construction (lineage commits atomically with data)."""
+    rows = []
+    for snap in table.snapshots():
+        committed = snap.summary.get("committed_at_unix")
+        for lr in snap.summary.get("lineage", []):
+            rows.append(
+                (
+                    int(lr["epoch"]),
+                    int(lr["partition_id"]),
+                    lr.get("lsn_min"),
+                    lr.get("lsn_max"),
+                    int(lr["rows_in"]),
+                    None,
+                    None,
+                    int(snap.snapshot_id),
+                    committed,
+                )
+            )
+    df = spark.createDataFrame(
+        rows,
+        schema=T.StructType(
+            LINEAGE_SCHEMA.fields[:-1]
+            + [T.StructField("committed_at_unix", T.DoubleType(), True)]
+        ),
+    )
+    return df.withColumn(
+        "committed_at", F.timestamp_seconds(F.col("committed_at_unix"))
+    ).drop("committed_at_unix").select([f.name for f in LINEAGE_SCHEMA.fields])
+
+
+def export_lineage(spark: SparkSession, table: LakeTable, path: str) -> None:
+    """Materialize the lineage table to parquet (full rebuild: idempotent)."""
+    lineage_df(spark, table).coalesce(1).write.mode("overwrite").parquet(path)
 
 
 def replay_feed(

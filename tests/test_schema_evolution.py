@@ -1,0 +1,122 @@
+"""Additive schema evolution mid-stream (SURVEY.md §7.2 step 7) and the
+Arrow normalizer's name-matching/coercion contract (the engine's analog of
+the reference's MATCH_BY_COLUMN_NAME=CASE_INSENSITIVE + ON_ERROR=CONTINUE
+load, /root/reference/dags/s3_to_snowflake_dag.py:144-145)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import types as T
+
+from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events, write_feed
+from postgres_to_snowflake_data_pipeline_spark.cdc.normalize import (
+    evolve_schema,
+    normalize_to_schema,
+    schema_diff,
+)
+from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import (
+    CHANGE_EVENT_SCHEMA,
+    CHANGE_EVENT_V2_SCHEMA,
+    TRANSCRIPT_SCHEMA,
+)
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+from postgres_to_snowflake_data_pipeline_spark.streaming.pipeline import run_stream
+
+
+def test_normalizer_fills_missing_and_reorders(spark):
+    df = spark.createDataFrame(
+        [("c1", 0, 7)],
+        T.StructType(
+            [
+                T.StructField("CONV_ID", T.StringType()),  # case drift
+                T.StructField("turn_idx", T.IntegerType()),
+                T.StructField("latency_ms", T.IntegerType()),
+            ]
+        ),
+    )
+    target = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.LongType()),  # type widening int->long
+            T.StructField("role", T.StringType()),     # missing -> NULL
+            T.StructField("latency_ms", T.IntegerType()),
+        ]
+    )
+    out = normalize_to_schema(df, target)
+    assert [f.name for f in out.schema.fields] == ["conv_id", "turn_idx", "role", "latency_ms"]
+    row = out.first()
+    assert row["conv_id"] == "c1" and row["turn_idx"] == 0
+    assert row["role"] is None and row["latency_ms"] == 7
+    assert out.schema["turn_idx"].dataType == T.LongType()
+
+
+def test_normalizer_fast_path_is_identity(spark):
+    df = spark.createDataFrame([("a", 1)], "conv_id string, turn_idx int")
+    assert normalize_to_schema(df, df.schema) is df
+
+
+def test_schema_diff_and_evolve():
+    d = schema_diff(CHANGE_EVENT_V2_SCHEMA, CHANGE_EVENT_SCHEMA)
+    assert d["added"] == ["tool_meta", "latency_ms"] and d["missing"] == []
+    evolved = evolve_schema(TRANSCRIPT_SCHEMA, CHANGE_EVENT_V2_SCHEMA)
+    names = [f.name for f in evolved.fields]
+    # only genuinely-new fields are appended; keys/op/lsn collide by name or
+    # are already present and must not duplicate
+    assert names.count("tool_meta") == 1 and names.count("latency_ms") == 1
+    assert evolve_schema(evolved, CHANGE_EVENT_V2_SCHEMA) == evolved  # idempotent
+
+
+def test_mid_stream_evolution_matches_oracle(spark, tmp_path):
+    """Feed v1 events, then v2 events with new columns, through the
+    *streaming* path; old rows read back with NULLs, new rows carry values."""
+    v1 = change_events(spark, 3000, n_convs=200, seed=42)
+    v2 = change_events(spark, 1000, n_convs=200, seed=42, evolved_from=0)
+    # shift v2 lsns above v1's so the oracle ordering is unambiguous
+    from pyspark.sql import functions as F
+    v2 = v2.withColumn("lsn", F.col("lsn") + 1_000_000) \
+           .withColumn("text", F.format_string("turn text %s/%s @lsn=%s",
+                                               "conv_id", F.col("turn_idx").cast("string"),
+                                               F.col("lsn").cast("string")))
+    feed = str(tmp_path / "feed")
+    write_feed(v1, feed, n_files=3)
+
+    table = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                             ("conv_id", "turn_idx"), n_buckets=8)
+    # phase 1: drain v1 with the v1 schema
+    q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, str(tmp_path / "ck1"))
+    q.awaitTermination(300)
+    # producer upgrades: v2 files (new columns) land in the feed
+    (v2.repartitionByRange(2, "lsn").write.mode("append").parquet(feed))
+    # phase 2: restart stream with the v2 schema (same checkpoint continues;
+    # files already processed are not re-read)
+    q2 = run_stream(spark, table, feed, CHANGE_EVENT_V2_SCHEMA, str(tmp_path / "ck1"))
+    q2.awaitTermination(300)
+
+    assert [f.name for f in table.schema().fields][-2:] == ["tool_meta", "latency_ms"]
+    state = table.read()
+    # rows last written by a v2 event carry tool_meta; v1-only rows are NULL
+    assert state.filter("tool_meta is not null").count() > 0
+    assert state.filter("tool_meta is null").count() > 0
+    # full-state correctness vs oracle over the union feed
+    from postgres_to_snowflake_data_pipeline_spark.cdc.oracle import assert_matches_oracle
+    union = v1.withColumn("tool_meta", F.lit(None).cast("string")) \
+              .withColumn("latency_ms", F.lit(None).cast("int")).unionByName(v2)
+    assert_matches_oracle(state, union,
+                          ["conv_id", "turn_idx", "role", "text", "tool", "ts",
+                           "tool_meta", "latency_ms"])
+
+
+def test_pre_evolution_feed_into_evolved_table(spark, tmp_path):
+    """Old-schema events arriving *after* evolution: missing columns NULL."""
+    table = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                             ("conv_id", "turn_idx"), n_buckets=4)
+    v2 = [(1, "insert", "c1", 0, "user", "hi", None, dt.datetime(2026, 1, 1), '{"x":1}', 5)]
+    apply_batch(spark, table, spark.createDataFrame(v2, CHANGE_EVENT_V2_SCHEMA), epoch=0)
+    v1 = [(2, "insert", "c2", 0, "user", "yo", None, dt.datetime(2026, 1, 1))]
+    apply_batch(spark, table, spark.createDataFrame(v1, CHANGE_EVENT_SCHEMA), epoch=1)
+    rows = {r["conv_id"]: r for r in table.read().collect()}
+    assert rows["c1"]["tool_meta"] == '{"x":1}' and rows["c1"]["latency_ms"] == 5
+    assert rows["c2"]["tool_meta"] is None and rows["c2"]["latency_ms"] is None

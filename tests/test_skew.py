@@ -1,0 +1,64 @@
+"""Hot-key skew handling (SURVEY.md §7.2 step 9): correctness under a feed
+where ONE conversation holds ~50% of all events, with and without salting,
+plus the plan-shape guarantee that makes unsalted dedup safe (map-side
+partial aggregation collapses the hot key per input partition)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+from postgres_to_snowflake_data_pipeline_spark.cdc.dedup import lww_dedup
+from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events
+from postgres_to_snowflake_data_pipeline_spark.cdc.oracle import assert_matches_oracle
+from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+from postgres_to_snowflake_data_pipeline_spark.plans.inspect import explain_str
+
+PAYLOAD = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def hot_key_feed(spark, n: int):
+    """~50% of events on conv-hot (across its turn space), rest spread."""
+    base = change_events(spark, n // 2, n_convs=max(n // 200, 10))
+    hot = change_events(spark, n // 2, n_convs=1, seed=7)
+    hot = hot.withColumn("conv_id", F.lit("conv-hot")).withColumn(
+        "lsn", F.col("lsn") + 10_000_000
+    ).withColumn(
+        "text",
+        F.format_string("turn text %s/%s @lsn=%s", F.col("conv_id"),
+                        F.col("turn_idx").cast("string"), F.col("lsn").cast("string")),
+    )
+    return base.unionByName(hot)
+
+
+def test_extreme_skew_correctness(spark, tmp_path):
+    events = hot_key_feed(spark, 8000)
+    t1 = LakeTable.create(spark, str(tmp_path / "a"), TRANSCRIPT_SCHEMA,
+                          ("conv_id", "turn_idx"), n_buckets=8)
+    t2 = LakeTable.create(spark, str(tmp_path / "b"), TRANSCRIPT_SCHEMA,
+                          ("conv_id", "turn_idx"), n_buckets=8)
+    apply_batch(spark, t1, events, epoch=0)
+    apply_batch(spark, t2, events, epoch=0, salt_buckets=32)
+    assert_matches_oracle(t1.read(), events, PAYLOAD)
+    a, b = t1.read(), t2.read()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_dedup_plan_has_map_side_partial_aggregation(spark):
+    """The unsalted path is skew-safe because Catalyst plans
+    partial max_by before the exchange — assert that stays true."""
+    events = change_events(spark, 1000, n_convs=10)
+    plan = explain_str(lww_dedup(events))
+    exchange_pos = plan.find("Exchange")
+    assert exchange_pos != -1, "expected a shuffle in the dedup plan"
+    pre_shuffle = plan[exchange_pos:]
+    assert "partial_max_by" in pre_shuffle.lower() or "partial" in pre_shuffle.lower(), (
+        "no map-side partial aggregate below the dedup shuffle:\n" + plan
+    )
+
+
+def test_salted_dedup_plan_has_two_aggregations(spark):
+    events = change_events(spark, 1000, n_convs=10)
+    plan = explain_str(lww_dedup(events, salt_buckets=8))
+    assert plan.count("Exchange") >= 2, "salted dedup should have two shuffles"
