@@ -1,0 +1,111 @@
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Times the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``, plus the core CDC
+replay throughput on a deterministically generated change feed
+(``$SPARK_GRAFT_BENCH_EVENTS`` events, default 2M). Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "cdc_events_per_sec": ...}
+
+For N-vs-4N scaling evidence (north rule) see tools/bench_scaling.py,
+whose results are recorded in BENCH.md / BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+
+# representative slice of the catalog: relational agg/join, LWW, exact +
+# near dedup, ANN, Arrow-batched decode
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_silver_report",
+    "q08_lww_current_state",
+    "t05_dedup_exact",
+    "t07_minhash_bands",
+    "t09_simhash",
+    "v01_ann_cosine_topk",
+    "m01_multimodal_decode",
+]
+
+
+def _materialize(df) -> None:
+    """Force full computation without driver materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_cdc_replay(spark) -> tuple[float, float]:
+    """Generate a deterministic feed, replay it through the engine; return
+    (replay seconds, events/sec). Generation is excluded from the timing."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import replay_feed
+    from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events, write_feed
+    from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+    work = os.path.join(tempfile.gettempdir(), "bench-cdc")
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    write_feed(change_events(spark, N_EVENTS, n_convs=50_000), feed_path, n_files=16)
+
+    table = LakeTable.create(
+        spark, os.path.join(work, "table"), TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"), n_buckets=32,
+    )
+    t0 = time.perf_counter()
+    replay_feed(spark, table, feed_path, epochs=8, compact_every=0)
+    _materialize(table.read())
+    dt = time.perf_counter() - t0
+    shutil.rmtree(work, ignore_errors=True)
+    return dt, N_EVENTS / dt
+
+
+def main() -> None:
+    from postgres_to_snowflake_data_pipeline_spark.queries import CATALOG
+    from postgres_to_snowflake_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen paths once so timings measure the engine, not init
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    for name in HEADLINE:
+        fn, _ = CATALOG[name]
+        t0 = time.perf_counter()
+        _materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    cdc_sec, eps = bench_cdc_replay(spark)
+    timings["cdc_replay"] = round(cdc_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (8 analytics queries + "
+                f"{N_EVENTS} change-event CDC replay)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cdc_events_per_sec": round(eps, 1),
+                "cdc_n_events": N_EVENTS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

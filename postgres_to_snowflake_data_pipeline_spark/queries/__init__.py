@@ -1,0 +1,77 @@
+"""Query catalog: name -> (spark_fn, oracle_sql).
+
+The single registry consumed by ``__spark_entry__.py`` (driver correctness
+gate), ``bench.py`` (headline timings) and the parity tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from postgres_to_snowflake_data_pipeline_spark.queries import (
+    cdcq,
+    multimodal,
+    reference,
+    simops,
+    textops,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark callable, DuckDB oracle SQL or None for rows-only checks)
+CATALOG: dict[str, tuple[QueryFn, str | None]] = {
+    # CDC engine end-to-end (flagship)
+    "c01_cdc_replay_state": (cdcq.c01_cdc_replay_state, cdcq.C01_SQL),
+    # reference-parity relational operators (SURVEY.md §2)
+    "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
+    "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
+    "q03_verification_counts": (
+        reference.q03_verification_counts,
+        reference.Q03_SQL,
+    ),
+    "q04_data_summary": (reference.q04_data_summary, reference.Q04_SQL),
+    "q05_cleanse_projection": (
+        reference.q05_cleanse_projection,
+        reference.Q05_SQL,
+    ),
+    "q06_left_join_counts": (reference.q06_left_join_counts, reference.Q06_SQL),
+    "q07_timestamp_normalize": (
+        reference.q07_timestamp_normalize,
+        reference.Q07_SQL,
+    ),
+    "q08_lww_current_state": (reference.q08_lww_current_state, reference.Q08_SQL),
+    "q09_cdc_final_state": (reference.q09_cdc_final_state, reference.Q09_SQL),
+    "q10_topk_per_user": (reference.q10_topk_per_user, reference.Q10_SQL),
+    # text analysis / dedup (training-data ops)
+    "t01_token_count": (textops.t01_token_count, textops.T01_SQL),
+    "t02_quality_score": (textops.t02_quality_score, textops.T02_SQL),
+    "t03_lang_id": (textops.t03_lang_id, textops.T03_SQL),
+    "t04_fingerprint": (textops.t04_fingerprint, textops.T04_SQL),
+    "t05_dedup_exact": (textops.t05_dedup_exact, textops.T05_SQL),
+    "t06_ngram_jaccard_pairs": (
+        textops.t06_ngram_jaccard_pairs,
+        textops.T06_SQL,
+    ),
+    "t07_minhash_bands": (textops.t07_minhash_bands, textops.T07_SQL),
+    "t08_minhash_candidates": (
+        textops.t08_minhash_candidates,
+        textops.T08_SQL,
+    ),
+    "t09_simhash": (textops.t09_simhash, textops.T09_SQL),
+    # similarity search (embeddings)
+    "v01_ann_cosine_topk": (simops.v01_ann_cosine_topk, simops.V01_SQL),
+    "v02_ann_ivf_cell": (simops.v02_ann_ivf_cell, simops.V02_SQL),
+    "v03_embedding_near_dup": (simops.v03_embedding_near_dup, simops.V03_SQL),
+    # multimodal binary plumbing (Arrow-batched decode stub)
+    "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
+}
+
+
+def spark_queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in CATALOG.items()}
+
+
+def oracle_queries() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in CATALOG.items() if sql is not None}

@@ -1,0 +1,99 @@
+"""End-to-end CDC engine run as a catalog query (the flagship).
+
+Reinterprets the driver's `events` table as a WAL-style change feed
+(event_id = LSN, low-value events = deletes, everything else = upserts on
+key (conv_id, turn_idx)), replays it through the REAL engine — epoch
+slicing → Arrow normalization → LWW dedup → bucketed merge into a
+snapshot-committed lake table with tombstones — then reads back the final
+table state.
+
+The DuckDB oracle expresses the same semantics declaratively (arg_max per
+key, drop keys whose winning op is a delete), so the driver's value-hash
+check verifies the engine's *entire* merge/tombstone/LWW path, not just a
+query plan. This is the reference's observable contract: after a full
+replay the target equals the last-writer-wins state
+(/root/reference/scripts/load_data.py:119-131 clear-and-reload +
+:160-164 PK dedup, restated in SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_to_snowflake_data_pipeline_spark.cdc.apply import replay_feed
+from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+from postgres_to_snowflake_data_pipeline_spark.queries.base import load
+
+# event_type → turn_idx (stable ordinal)
+_TURN_CASE = (
+    "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
+    "WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 ELSE 4 END"
+)
+DELETE_BELOW = 2.0  # events with value < this are delete ops (~mixed per key)
+
+
+def events_as_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    op = F.when(F.col("value") < DELETE_BELOW, "delete").otherwise(
+        F.when(F.col("event_id") % 2 == 0, "insert").otherwise("update")
+    )
+    is_del = op == "delete"
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        op.alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.expr(_TURN_CASE).cast("int").alias("turn_idx"),
+        F.when(~is_del, F.col("event_type")).alias("role"),
+        F.when(~is_del, F.col("props")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+
+
+def c01_cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the feed through the engine in 4 epochs; return final state.
+
+    Uses a deterministic scratch dir (rebuilt per invocation) so the
+    returned DataFrame stays lazy/distributed — no driver collect."""
+    work = os.path.join(
+        tempfile.gettempdir(), "cdcq-" + sf_dir.strip("/").replace("/", "-")
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    replay_feed(spark, table, feed_path, epochs=4, compact_every=2)
+    return table.read().select("conv_id", "turn_idx", "role", "text", "ts")
+
+
+C01_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text, ts
+  FROM events
+),
+w AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text,
+         arg_max(ts, lsn) AS ts
+  FROM feed GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, role, text, ts FROM w WHERE op <> 'delete'
+"""

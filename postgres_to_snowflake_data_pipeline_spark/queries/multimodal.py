@@ -1,0 +1,86 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Real pipelines carry image/audio/video as `binary` columns with a typed
+metadata struct and decode/feature-extract in Arrow-batched Python
+(`mapInPandas`). The image/audio codecs aren't available in this
+container, so the decode is a clearly-marked deterministic fake — a pure
+function of the payload bytes — while everything Spark-side (schema,
+Arrow batch shape, partition-parallel execution) is real and tested.
+
+At 100 TB the decode stage is the pattern that matters: mapInPandas
+streams Arrow record batches through the Python worker — constant memory
+per batch, parallel per partition, no driver involvement, no per-row
+Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from postgres_to_snowflake_data_pipeline_spark.queries.base import load
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), True),
+        T.StructField("n_bytes", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decoder (deterministic fake): derives 'image dimensions' purely
+    from the payload byte length, vectorized over each Arrow batch. A real
+    deployment swaps the body for PIL/ffmpeg calls with identical schema.
+    """
+    for pdf in batches:
+        n = pdf["payload"].map(len).astype("int32")  # vectorized over the batch
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": n,
+                "width": (n % 640 + 1).astype("int32"),
+                "height": (n * 7 % 480 + 1).astype("int32"),
+                "n_frames": (n % 30 + 1).astype("int32"),
+            }
+        )
+
+
+def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary ingestion + Arrow-batched decode: text → utf-8 payload bytes
+    (standing in for image blobs) → mapInPandas fake decode → typed
+    metadata. Oracle-checkable because the fake decode is a pure function
+    of octet length."""
+    d = load(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    )
+    return with_payload.mapInPandas(_fake_decode, DECODED_SCHEMA)
+
+
+M01_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+            WHEN doc_id % 3 = 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INTEGER) AS height,
+       CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+FROM documents
+"""

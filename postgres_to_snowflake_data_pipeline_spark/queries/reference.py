@@ -1,0 +1,384 @@
+"""Reference-parity relational queries (SURVEY.md §2), Spark-first.
+
+Each query re-expresses one operator cluster from the reference pipeline
+over the driver's TPC-H-ish tables, with an exact DuckDB oracle. Citations
+point at the reference file:line the semantics come from.
+
+Scale notes (100 TB): every query here is a declarative DataFrame plan —
+Catalyst does column pruning + predicate pushdown into the parquet scans,
+AQE sizes/coalesces the shuffles, and dimension joins are explicitly
+broadcast so the only large shuffles are the aggregation exchanges on the
+grouping keys.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_to_snowflake_data_pipeline_spark.queries.base import load
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (A1-class multi-aggregate: the reference's GROUP BY +
+# SUM(CASE)+COUNT pattern, /root/reference/dags/silver_layer_dag.py:53-66,
+# widened to the classic flag/status rollup). Partial (map-side) aggregation
+# then a single exchange on the tiny (flag,status) key space.
+# ---------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2025-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)      AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)      AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6)      AS avg_disc,
+       count(*)                       AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2025-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# q02 — the silver report: the reference's one real analytical query
+# (fact ⋈ dim ⋈ dim → GROUP BY year/dim/dim → SUM(CASE)×2 +
+# COUNT(DISTINCT) → ORDER BY), /root/reference/dags/silver_layer_dag.py:41-69
+# and /root/reference/scripts/reporte_gerencial.sql:1-15. Mapped:
+# tarjeta_puntos→lineitem⋈orders, banco→nation, programa→mktsegment,
+# CREDIT/DEBIT→returnflag, points→extendedprice, cardholder→custkey.
+# nation (25 rows) is broadcast — no shuffle for the dim joins; the orders
+# join is a key shuffle that AQE sizes.
+# ---------------------------------------------------------------------------
+def q02_silver_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    credit = F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(
+        F.lit(0.0)
+    )
+    debit = F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.year("o_orderdate").alias("anio"),
+            F.col("n_name").alias("banco"),
+            F.col("c_mktsegment").alias("programa"),
+        )
+        .agg(
+            F.round(F.sum(credit), 2).alias("total_puntos_credit"),
+            F.round(F.sum(debit), 2).alias("total_puntos_debit"),
+            F.countDistinct("o_custkey").alias("cant_tarjetahabientes"),
+        )
+        .orderBy("anio", "banco", "programa")
+    )
+
+
+Q02_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+       n_name AS banco,
+       c_mktsegment AS programa,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END), 2)
+           AS total_puntos_credit,
+       round(sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END), 2)
+           AS total_puntos_debit,
+       count(DISTINCT o_custkey) AS cant_tarjetahabientes
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# q03 — load-verification counts: per-table COUNT(*) + COUNT(DISTINCT ...)
+# stacked with UNION ALL, /root/reference/dags/s3_to_snowflake_dag.py:159-203
+# (U1+A2+A3). Each branch is an independent scan-side partial count.
+# ---------------------------------------------------------------------------
+def q03_verification_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spec = [
+        ("customer", "c_nationkey"),
+        ("lineitem", "l_returnflag"),
+        ("orders", "o_orderstatus"),
+        ("part", "p_brand"),
+        ("supplier", "s_nationkey"),
+    ]
+    parts = [
+        load(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"),
+            F.count(F.lit(1)).alias("row_count"),
+            F.countDistinct(c).alias("distinct_sources"),
+        )
+        for t, c in spec
+    ]
+    return reduce(DataFrame.unionByName, parts).orderBy("table_name")
+
+
+Q03_SQL = """
+SELECT 'customer' AS table_name, count(*) AS row_count,
+       count(DISTINCT c_nationkey) AS distinct_sources FROM customer
+UNION ALL
+SELECT 'lineitem', count(*), count(DISTINCT l_returnflag) FROM lineitem
+UNION ALL
+SELECT 'orders', count(*), count(DISTINCT o_orderstatus) FROM orders
+UNION ALL
+SELECT 'part', count(*), count(DISTINCT p_brand) FROM part
+UNION ALL
+SELECT 'supplier', count(*), count(DISTINCT s_nationkey) FROM supplier
+ORDER BY table_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# q04 — data_summary: GROUP BY source with COUNT/MAX stats, the reference's
+# summary CTAS /root/reference/dags/s3_to_snowflake_dag.py:205-255 (A4),
+# over the events stream table.
+# ---------------------------------------------------------------------------
+def q04_data_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.countDistinct("user_id").alias("distinct_users"),
+            F.max("ts").alias("last_ts"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q04_SQL = """
+SELECT event_type,
+       count(*) AS row_count,
+       count(DISTINCT user_id) AS distinct_users,
+       max(ts) AS last_ts,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q05 — cleanse projection: the reference's per-row Python cleaning
+# (truncate_string /root/reference/scripts/load_data.py:105-109, empty→NULL
+# :184-185, lineage literals /root/reference/scripts/export_to_s3.py:82-86)
+# as pure vectorized column expressions (P1/P5/P6/F7).
+# ---------------------------------------------------------------------------
+def q05_cleanse_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey"),
+        F.substring("c_name", 1, 12).alias("name_trunc"),
+        F.lower("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") >= 0, F.round(F.col("c_acctbal"), 2)).alias(
+            "acctbal_clean"
+        ),
+        F.lit("supabase").alias("source_database"),
+    )
+
+
+Q05_SQL = """
+SELECT c_custkey,
+       substr(c_name, 1, 12) AS name_trunc,
+       lower(c_mktsegment) AS segment,
+       CASE WHEN c_acctbal >= 0 THEN round(c_acctbal, 2) END AS acctbal_clean,
+       'supabase' AS source_database
+FROM customer
+"""
+
+
+# ---------------------------------------------------------------------------
+# q06 — left join + grouped counts: the reference's catalog introspection
+# joins (information_schema LEFT JOIN key_column_usage,
+# /root/reference/scripts/generate_postgres_dictionary.py:101-107) mapped to
+# nation LEFT JOIN supplier. Both sides small → broadcast, zero shuffle
+# before the group-by.
+# ---------------------------------------------------------------------------
+def q06_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    supp = load(spark, sf_dir, "supplier")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(supp, nation.n_nationkey == supp.s_nationkey, "left")
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count("s_suppkey").alias("supplier_cnt"),
+            F.round(F.coalesce(F.sum("s_acctbal"), F.lit(0.0)), 2).alias("supplier_bal"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+Q06_SQL = """
+SELECT r_name AS region_name, n_name AS nation_name,
+       count(s_suppkey) AS supplier_cnt,
+       round(coalesce(sum(s_acctbal), 0.0), 2) AS supplier_bal
+FROM nation
+JOIN region ON n_regionkey = r_regionkey
+LEFT JOIN supplier ON n_nationkey = s_nationkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q07 — timestamp normalize/roundtrip: the reference stringifies timestamps
+# to 'YYYY-MM-DD HH:MM:SS' before Parquet (/root/reference/scripts/
+# export_to_s3.py:88-93) and parses multi-format strings on load
+# (/root/reference/scripts/load_data.py:75-103) — F3/F4 as built-ins.
+# ---------------------------------------------------------------------------
+def q07_timestamp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    ts_str = F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        ts_str.alias("ts_str"),
+        F.to_timestamp(ts_str, "yyyy-MM-dd HH:mm:ss").alias("ts_roundtrip"),
+        F.year("o_orderdate").alias("anio"),
+        F.month("o_orderdate").alias("mes"),
+    )
+
+
+Q07_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str,
+       strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S')
+           AS ts_roundtrip,
+       CAST(year(o_orderdate) AS INTEGER) AS anio,
+       CAST(month(o_orderdate) AS INTEGER) AS mes
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# q08 — last-writer-wins current state: the engine's core reduction
+# (SURVEY.md §2.4) as a batch query — one winner per (user_id, event_type)
+# keyed on max event_id, via max_by (single hash-agg shuffle; no window
+# sort needed Spark-side).
+# ---------------------------------------------------------------------------
+def q08_lww_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.round(F.max_by("value", "event_id"), 2).alias("last_value"),
+        F.max_by("ts", "event_id").alias("last_ts"),
+    )
+
+
+Q08_SQL = """
+SELECT user_id, event_type,
+       max(event_id) AS last_event_id,
+       round(arg_max(value, event_id), 2) AS last_value,
+       arg_max(ts, event_id) AS last_ts
+FROM events
+GROUP BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — CDC final state (SQL view of the engine semantics): treat events as
+# a change feed — 'error' = delete, anything else = upsert, event_id = LSN,
+# key = user_id. Final state keeps only keys whose winning op isn't delete —
+# the tombstone rule the lake table enforces (SURVEY.md §7.4 #3).
+# ---------------------------------------------------------------------------
+def q09_cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    win = ev.groupBy("user_id").agg(
+        F.max("event_id").alias("last_event_id"),
+        F.max_by("event_type", "event_id").alias("last_op"),
+        F.round(F.max_by("value", "event_id"), 2).alias("value"),
+    )
+    return win.filter(F.col("last_op") != "error").select(
+        "user_id", "last_event_id", "last_op", "value"
+    )
+
+
+Q09_SQL = """
+SELECT user_id, last_event_id, last_op, value
+FROM (
+  SELECT user_id,
+         max(event_id) AS last_event_id,
+         arg_max(event_type, event_id) AS last_op,
+         round(arg_max(value, event_id), 2) AS value
+  FROM events
+  GROUP BY user_id
+)
+WHERE last_op <> 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q10 — per-key top-k (window function): top-3 events per user by value.
+# The reference has no OVER clauses (SURVEY.md §2.5); this is the windowed
+# rank the engine adds for turn-ordering verification. Rank on rounded value
+# with event_id tie-break so ordering is engine-independent.
+# ---------------------------------------------------------------------------
+def q10_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    vr = F.round(F.col("value"), 2)
+    w = Window.partitionBy("user_id").orderBy(vr.desc(), F.col("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            vr.alias("value_r"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+Q10_SQL = """
+SELECT user_id, event_id, value_r, rnk
+FROM (
+  SELECT user_id, event_id, round(value, 2) AS value_r,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY round(value, 2) DESC, event_id) AS rnk
+  FROM events
+)
+WHERE rnk <= 3
+"""

@@ -1,0 +1,439 @@
+"""Text-analysis & deduplication operators over the `documents` table.
+
+The training-data-pipeline operator family (exact dedup, n-gram Jaccard
+near-dup, MinHash+LSH, SimHash, language-ID, quality scoring, token
+counting, fingerprinting). All pure `pyspark.sql.functions` column
+expressions — no Python UDFs anywhere — so every stage stays inside
+whole-stage codegen and scales by partition count.
+
+Hash functions are md5 (identical across Spark and the DuckDB oracle), so
+every operator here is exactly oracle-checkable.
+
+Scale notes (100 TB): each operator is shingle/token-explode → hash-agg —
+the explode multiplies rows ~50× but the immediately following partial
+aggregation collapses them map-side before the single shuffle on doc_id
+(or shingle for the pair-join). The LSH candidate join shuffles only band
+signatures (16 bytes × bands per doc), never full documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_to_snowflake_data_pipeline_spark.queries.base import load
+
+# token normalization shared by every operator: lowercase, collapse runs of
+# whitespace, split on single space
+_NORM = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+_TOKS = f"split({_NORM}, ' ')"
+# distinct word-3-shingles; guarded so <3-token docs yield an empty array
+# (sequence(1, size-2) would otherwise run DESCENDING for size<3)
+_SHINGLES = (
+    f"CASE WHEN size({_TOKS}) >= 3 THEN "
+    f"array_distinct(transform(sequence(1, size({_TOKS}) - 2), "
+    f"i -> concat_ws(' ', slice({_TOKS}, i, 3)))) "
+    f"ELSE CAST(array() AS array<string>) END"
+)
+
+# DuckDB twins of the above
+_D_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_D_TOKS = f"string_split({_D_NORM}, ' ')"
+_D_SHINGLES = (
+    f"CASE WHEN len({_D_TOKS}) >= 3 THEN "
+    f"list_distinct([array_to_string(({_D_TOKS})[i:i+2], ' ') "
+    f"for i in range(1, len({_D_TOKS}) - 1)]) "
+    f"ELSE [] END"
+)
+
+_STOP_EN = "('the','a','of','and','to','in','is')"
+_STOP_ES = "('el','la','de','que','y','en','los')"
+_STOP_DE = "('der','die','das','und','ist','nicht','ein')"
+_STOP_FR = "('le','là','de','et','les','des','un')"
+_STOP_ZH = "('的','是','不','了','在','人','我')"
+
+
+def _with_tokens(df: DataFrame) -> DataFrame:
+    return df.withColumn("toks", F.expr(_TOKS))
+
+
+# ---------------------------------------------------------------------------
+# t01 — token counting (whitespace tokenizer): per-doc token count, char
+# count, chars/token. Pure narrow projection — no shuffle at all.
+# ---------------------------------------------------------------------------
+def t01_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        F.round(F.length("text").cast("double") / F.size("toks"), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+T01_SQL = f"""
+SELECT doc_id,
+       CAST(len({_D_TOKS}) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars_calc,
+       round(CAST(length(text) AS DOUBLE) / len({_D_TOKS}), 4) AS chars_per_token
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# t02 — quality scoring: distinct-token ratio, stopword ratio, punctuation
+# ratio, and a composite score. Vectorized higher-order array functions.
+# ---------------------------------------------------------------------------
+def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    n = F.size("toks").cast("double")
+    distinct_ratio = F.round(F.size(F.array_distinct("toks")) / n, 6)
+    stop_ratio = F.round(
+        F.size(F.expr(f"filter(toks, t -> t IN {_STOP_EN})")) / n, 6
+    )
+    punct_ratio = F.round(
+        F.size(F.expr("regexp_extract_all(text, '[.,!?;:]', 0)"))
+        / F.length("text").cast("double"),
+        6,
+    )
+    return d.select(
+        "doc_id",
+        distinct_ratio.alias("distinct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        F.round(0.6 * distinct_ratio + 0.4 * (1 - stop_ratio), 6).alias("quality"),
+    )
+
+
+T02_SQL = f"""
+SELECT doc_id,
+       round(len(list_distinct({_D_TOKS})) / CAST(len({_D_TOKS}) AS DOUBLE), 6)
+           AS distinct_ratio,
+       round(len(list_filter({_D_TOKS}, t -> t IN {_STOP_EN}))
+             / CAST(len({_D_TOKS}) AS DOUBLE), 6) AS stopword_ratio,
+       round(len(regexp_extract_all(text, '[.,!?;:]', 0))
+             / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+       round(0.6 * round(len(list_distinct({_D_TOKS})) / CAST(len({_D_TOKS}) AS DOUBLE), 6)
+             + 0.4 * (1 - round(len(list_filter({_D_TOKS}, t -> t IN {_STOP_EN}))
+                                / CAST(len({_D_TOKS}) AS DOUBLE), 6)), 6) AS quality
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# t03 — language ID: stopword-hit n-gram heuristic across 5 languages,
+# argmax with a fixed tie-break order (en > es > de > fr > zh).
+# ---------------------------------------------------------------------------
+def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    hits = {
+        lang: F.size(F.expr(f"filter(toks, t -> t IN {stops})"))
+        for lang, stops in [
+            ("en", _STOP_EN),
+            ("es", _STOP_ES),
+            ("de", _STOP_DE),
+            ("fr", _STOP_FR),
+            ("zh", _STOP_ZH),
+        ]
+    }
+    en, es, de, fr, zh = (hits[k] for k in ("en", "es", "de", "fr", "zh"))
+    pred = (
+        F.when((en >= es) & (en >= de) & (en >= fr) & (en >= zh), "en")
+        .when((es >= de) & (es >= fr) & (es >= zh), "es")
+        .when((de >= fr) & (de >= zh), "de")
+        .when(fr >= zh, "fr")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        en.alias("en_hits"),
+        es.alias("es_hits"),
+        de.alias("de_hits"),
+        fr.alias("fr_hits"),
+        zh.alias("zh_hits"),
+        pred.alias("lang_pred"),
+        F.col("lang").alias("lang_actual"),
+    )
+
+
+def _d_hits(stops: str) -> str:
+    return f"CAST(len(list_filter({_D_TOKS}, t -> t IN {stops})) AS INTEGER)"
+
+
+T03_SQL = f"""
+SELECT doc_id,
+       {_d_hits(_STOP_EN)} AS en_hits,
+       {_d_hits(_STOP_ES)} AS es_hits,
+       {_d_hits(_STOP_DE)} AS de_hits,
+       {_d_hits(_STOP_FR)} AS fr_hits,
+       {_d_hits(_STOP_ZH)} AS zh_hits,
+       CASE
+         WHEN {_d_hits(_STOP_EN)} >= {_d_hits(_STOP_ES)}
+          AND {_d_hits(_STOP_EN)} >= {_d_hits(_STOP_DE)}
+          AND {_d_hits(_STOP_EN)} >= {_d_hits(_STOP_FR)}
+          AND {_d_hits(_STOP_EN)} >= {_d_hits(_STOP_ZH)} THEN 'en'
+         WHEN {_d_hits(_STOP_ES)} >= {_d_hits(_STOP_DE)}
+          AND {_d_hits(_STOP_ES)} >= {_d_hits(_STOP_FR)}
+          AND {_d_hits(_STOP_ES)} >= {_d_hits(_STOP_ZH)} THEN 'es'
+         WHEN {_d_hits(_STOP_DE)} >= {_d_hits(_STOP_FR)}
+          AND {_d_hits(_STOP_DE)} >= {_d_hits(_STOP_ZH)} THEN 'de'
+         WHEN {_d_hits(_STOP_FR)} >= {_d_hits(_STOP_ZH)} THEN 'fr'
+         ELSE 'zh'
+       END AS lang_pred,
+       lang AS lang_actual
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# t04 — document fingerprinting: md5 of the normalized text (whitespace-
+# collapsed, lowercased) + a short prefix fingerprint.
+# ---------------------------------------------------------------------------
+def t04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.expr(_NORM))
+    return d.select(
+        "doc_id", fp.alias("fp_md5"), F.substring(fp, 1, 8).alias("fp_short")
+    )
+
+
+T04_SQL = f"""
+SELECT doc_id, md5({_D_NORM}) AS fp_md5, substr(md5({_D_NORM}), 1, 8) AS fp_short
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# t05 — exact deduplication: hash-groupBy on content hash; canonical doc =
+# min doc_id. One shuffle on the 16-byte hash, never on the text itself —
+# at 100 TB the map-side projection reduces each doc to (hash, id) first.
+# ---------------------------------------------------------------------------
+def t05_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+T05_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# t06 — n-gram Jaccard near-dup pairs: distinct word-3-shingles, candidate
+# pairs via shingle-equality self-join, exact Jaccard from shared/total
+# counts. The join key is the shingle string; at scale the shingle would be
+# md5-hashed first (16 bytes) — kept raw here for oracle clarity.
+# ---------------------------------------------------------------------------
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle")
+    )
+
+
+def t06_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingled(spark, sf_dir)
+    counts = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = s.alias("a")
+    b = s.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = counts.alias("ca")
+    cb = counts.alias("cb")
+    return (
+        shared.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
+        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("ca.n_sh") + F.col("cb.n_sh") - F.col("shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+    )
+
+
+T06_SQL = f"""
+WITH s AS (
+  SELECT doc_id, unnest({_D_SHINGLES}) AS shingle FROM documents
+),
+c AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM s a JOIN s b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 6) AS jaccard
+FROM p
+JOIN c ca ON ca.doc_id = doc_a
+JOIN c cb ON cb.doc_id = doc_b
+WHERE round(shared / CAST(ca.n_sh + cb.n_sh - shared AS DOUBLE), 6) >= 0.05
+"""
+
+
+# ---------------------------------------------------------------------------
+# t07 — MinHash band signatures (the LSH index): 16 md5-based min-hashes per
+# doc, banded 4×4, each band collapsed to one md5 signature. This is the
+# shuffle-cheap representation (bands × 16 bytes per doc) that the
+# candidate join (t08) buckets on.
+# ---------------------------------------------------------------------------
+N_HASHES = 16
+BAND_SIZE = 4
+
+
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingled(spark, sf_dir)
+    seeded = s.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("seed"),
+        "shingle",
+    ).withColumn(
+        "h", F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed").cast("string")))
+    )
+    minh = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("minh"))
+    return (
+        minh.withColumn("band", (F.col("seed") / BAND_SIZE).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("seed"), F.col("minh")))
+                        ),
+                        lambda x: x["minh"],
+                    ),
+                )
+            ).alias("band_sig")
+        )
+    )
+
+
+def t07_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_bands(spark, sf_dir)
+
+
+_D_MINHASH_BANDS = f"""
+WITH s AS (
+  SELECT doc_id, unnest({_D_SHINGLES}) AS shingle FROM documents
+),
+seeded AS (
+  SELECT doc_id, seed, md5(concat_ws('#', shingle, CAST(seed AS VARCHAR))) AS h
+  FROM s, (SELECT unnest(range(0, {N_HASHES})) AS seed) seeds
+),
+minh AS (
+  SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // {BAND_SIZE} AS INTEGER) AS band,
+         md5(string_agg(minh, '' ORDER BY seed)) AS band_sig
+  FROM minh GROUP BY 1, 2
+)
+"""
+
+T07_SQL = _D_MINHASH_BANDS + "SELECT doc_id, band, band_sig FROM bands"
+
+
+# ---------------------------------------------------------------------------
+# t08 — MinHash+LSH candidate pairs: bucket-join on (band, band_sig); docs
+# sharing ≥1 band signature are near-dup candidates. At 100 TB this is the
+# only join — on 20-byte keys — and its output is tiny (true candidates).
+# ---------------------------------------------------------------------------
+def t08_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = _minhash_bands(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("bands_shared"))
+    )
+
+
+T08_SQL = _D_MINHASH_BANDS + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS bands_shared
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# t09 — SimHash (32-bit): per-token 32-bit hash from md5 hex, ±1 vote per
+# bit weighted by token frequency, sign-threshold to a 32-bit signature.
+# Near-dup docs differ in few bits (hamming distance); the signature is a
+# single BIGINT per doc — trivially shuffleable at any scale.
+# ---------------------------------------------------------------------------
+def t09_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode("toks").alias("tok"))
+    h = toks.withColumn(
+        "h32", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    )
+    bits = h.select(
+        "doc_id",
+        "h32",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(shiftright(h32, bit) & 1) = 1"), F.lit(1)).otherwise(-1),
+    )
+    per_bit = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("s"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+            .otherwise(F.lit(0))
+        ).alias("simhash32")
+    )
+
+
+T09_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) AS h32 FROM t
+),
+b AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h32 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, (SELECT unnest(range(0, 32)) AS bit) bits
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT)
+           AS simhash32
+FROM b GROUP BY doc_id
+"""

@@ -1,0 +1,105 @@
+"""Scaling-efficiency evidence for the north rule (N vs 4N parallelism).
+
+No real cluster exists in this sandbox, so per the driver instruction we
+run the SAME CDC replay job on the SAME byte-identical input at two
+parallelism levels (local[8] and local[32]) and report throughput at both
+plus scaling efficiency = (T_8 / T_32) / (32/8).
+
+Each measurement runs in its own subprocess (fresh JVM) so the two runs
+share nothing. The feed is generated once with a FIXED partition count
+(pure function of (seed, index) — see cdc/generator.py), so both runs
+replay identical bytes.
+
+Usage:  python tools/bench_scaling.py [n_events]     (default 4M)
+Child:  python tools/bench_scaling.py --child <cores> <feed> <n_events>
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CORES = (8, 32)
+GEN_PARTITIONS = 64  # fixed => identical feed regardless of session cores
+
+
+def child(cores: int, feed_path: str, n_events: int) -> None:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cores)
+    os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = str(cores * 2)
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import replay_feed
+    from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events, write_feed
+    from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+    from postgres_to_snowflake_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(f"scaling-{cores}")
+    if not os.path.exists(os.path.join(feed_path, "_SUCCESS")):
+        write_feed(
+            change_events(spark, n_events, n_convs=50_000, num_partitions=GEN_PARTITIONS),
+            feed_path,
+            n_files=64,
+        )
+        print(json.dumps({"generated": n_events}), flush=True)
+        return
+
+    troot = os.path.join(tempfile.gettempdir(), f"scal-table-{cores}")
+    shutil.rmtree(troot, ignore_errors=True)
+    table = LakeTable.create(
+        spark, troot, TRANSCRIPT_SCHEMA, key_cols=("conv_id", "turn_idx"), n_buckets=32
+    )
+    t0 = time.perf_counter()
+    replay_feed(spark, table, feed_path, epochs=8, compact_every=0)
+    table.read().write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    shutil.rmtree(troot, ignore_errors=True)
+    print(json.dumps({"cores": cores, "sec": round(dt, 2),
+                      "events_per_sec": round(n_events / dt, 1)}), flush=True)
+
+
+def run_child(args: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child", *args],
+        capture_output=True, text=True, cwd=REPO,
+        env=dict(os.environ, PYTHONPATH=REPO),
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError("child failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if sys.argv[1:2] == ["--child"]:
+        child(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        return
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    feed = os.path.join(tempfile.gettempdir(), "scal-feed")
+    shutil.rmtree(feed, ignore_errors=True)
+    run_child(["32", feed, str(n_events)])  # generate once
+
+    results = {c: run_child([str(c), feed, str(n_events)]) for c in CORES}
+    lo, hi = results[CORES[0]], results[CORES[1]]
+    speedup = lo["sec"] / hi["sec"]
+    efficiency = speedup / (CORES[1] / CORES[0])
+    report = {
+        "n_events": n_events,
+        "runs": list(results.values()),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "criterion": "efficiency >= 0.8 between N and 4N parallelism",
+        "passes": efficiency >= 0.8,
+    }
+    print(json.dumps(report, indent=2))
+    shutil.rmtree(feed, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

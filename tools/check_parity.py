@@ -1,0 +1,105 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every catalog query on Spark and its DuckDB oracle on the same
+parquet tables, compares row count, column-name set, and an
+order-insensitive value hash (columns sorted by name, rows sorted, values
+normalized). Usage:
+
+    python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_cell(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, pd.Timestamp):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    return str(v)
+
+
+def frame_hash(df: pd.DataFrame) -> str:
+    cols = sorted(df.columns)
+    rows = ["\x1f".join(norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
+    rows.sort()
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from postgres_to_snowflake_data_pipeline_spark.queries import CATALOG
+    from postgres_to_snowflake_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("parity-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, (fn, sql) in CATALOG.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if sql is None:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.execute(sql).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rows {len(sdf)} vs {len(odf)}")
+        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+            problems.append(f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems and frame_hash(sdf) != frame_hash(odf):
+            problems.append("value-hash mismatch")
+            cols = sorted(sdf.columns)
+            s = sdf[cols].sort_values(cols).reset_index(drop=True)
+            o = odf[cols].sort_values(cols).reset_index(drop=True)
+            for i in range(min(len(s), len(o))):
+                sr = [norm_cell(v) for v in s.iloc[i]]
+                orow = [norm_cell(v) for v in o.iloc[i]]
+                if sr != orow:
+                    problems.append(f"first diff row {i}: spark={sr} oracle={orow}")
+                    break
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"ok   {name}: {len(sdf)} rows, hash match")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
