@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
 
 # representative slice of the catalog: relational agg/join, LWW, exact +
 # near dedup, ANN, Arrow-batched decode
@@ -63,7 +63,7 @@ def bench_cdc_replay(spark) -> tuple[float, float]:
         key_cols=("conv_id", "turn_idx"), n_buckets=32,
     )
     t0 = time.perf_counter()
-    replay_feed(spark, table, feed_path, epochs=8, compact_every=0)
+    replay_feed(spark, table, feed_path, epochs=4, compact_every=0)
     _materialize(table.read())
     dt = time.perf_counter() - t0
     shutil.rmtree(work, ignore_errors=True)

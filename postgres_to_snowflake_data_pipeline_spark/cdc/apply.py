@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -34,19 +34,32 @@ from postgres_to_snowflake_data_pipeline_spark.cdc.normalize import (
     normalize_to_schema,
 )
 from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import KEY_COLS, ORDER_COL
-from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable, bucket_expr
 
+#: per-epoch lineage (one row per merge commit)
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("epoch", T.LongType(), False),
-        T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("lsn_min", T.LongType(), True),
         T.StructField("lsn_max", T.LongType(), True),
         T.StructField("rows_in", T.LongType(), False),
-        T.StructField("rows_deduped", T.LongType(), True),
         T.StructField("rows_merged", T.LongType(), True),
+        T.StructField("n_buckets", T.IntegerType(), True),
         T.StructField("snapshot_id", T.LongType(), True),
         T.StructField("committed_at", T.TimestampType(), True),
+    ]
+)
+
+#: per-(epoch, bucket) lineage detail (one row per written table partition)
+BUCKET_LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("rows_merged", T.LongType(), False),
+        T.StructField("lsn_min", T.LongType(), True),
+        T.StructField("lsn_max", T.LongType(), True),
+        T.StructField("n_files", T.IntegerType(), False),
+        T.StructField("snapshot_id", T.LongType(), True),
     ]
 )
 
@@ -104,55 +117,63 @@ def apply_batch(
         )
     events = normalize_to_schema(events, target_evt_schema)
 
-    # ---- 2. lineage pre-aggregation per source partition (before the
-    # dedup shuffle: offset ranges describe the *source* slices, the analog
-    # of the reference's per-table verification counts,
-    # /root/reference/dags/s3_to_snowflake_dag.py:159-203)
-    events = events.persist()
-    part_stats = (
-        events.groupBy(F.spark_partition_id().alias("partition_id"))
-        .agg(
-            F.min(ORDER_COL).alias("lsn_min"),
-            F.max(ORDER_COL).alias("lsn_max"),
-            F.count(F.lit(1)).alias("rows_in"),
-        )
-        .collect()
+    # ---- 2. input metrics via Observation — collected DURING the merge
+    # pass itself (zero extra job, zero extra scan): rows_in and source
+    # offset (LSN) range per epoch, the analog of the reference's per-table
+    # verification counts (/root/reference/dags/s3_to_snowflake_dag.py:159-203).
+    # The per-partition breakdown comes from the written files' parquet
+    # footers inside LakeTable.merge (one lineage row per bucket).
+    obs = Observation(f"epoch-{epoch}")
+    events = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.min(ORDER_COL).alias("lsn_min"),
+        F.max(ORDER_COL).alias("lsn_max"),
     )
-    rows_in = sum(r["rows_in"] for r in part_stats)
 
-    # ---- 3. LWW dedup within the batch
-    winners = lww_dedup(events, KEY_COLS, salt_buckets=salt_buckets)
+    # ---- 3. LWW dedup within the batch, bucket-aligned so dedup and the
+    # delta write share ONE full-row shuffle. ``_bucket`` is a pure function
+    # of conv_id, so hash-repartitioning on it co-locates every key's events;
+    # grouping by (_bucket, key...) then satisfies Catalyst's clustering
+    # requirement with NO second exchange (HashPartitioning on a subset of
+    # the grouping columns) — the naive plan (key-hash shuffle for the agg,
+    # then bucket shuffle for the write) moves every row twice. Partition
+    # count = n_buckets, so size n_buckets to the cluster (32 locally, 4096
+    # at 1000 executors). With salting enabled we fall back to the two-stage
+    # salted reduction (hot-key pathology beats the extra shuffle).
+    snap0 = table.current()
+    kcol0 = snap0.key_cols[0]
+    if salt_buckets and salt_buckets > 1:
+        winners = lww_dedup(events, KEY_COLS, salt_buckets=salt_buckets)
+        winners = winners.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))
+    else:
+        bucketed = events.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))
+        bucketed = bucketed.repartition(snap0.n_buckets, F.col("_bucket"))
+        winners = lww_dedup(bucketed, ("_bucket",) + tuple(KEY_COLS))
     payload = [f.name for f in table_schema.fields]
     storage = winners.select(
         *payload,
         F.col(ORDER_COL).alias("_lsn"),
         (F.col("op") == "delete").alias("_deleted"),
+        F.col("_bucket"),
     )
 
     # ---- 4. merge (delta append + atomic snapshot commit). The lineage
-    # rows ride INSIDE the snapshot summary so they commit atomically with
-    # the data: a crash between data write and commit replays the epoch
+    # metrics ride INSIDE the snapshot summary so they commit atomically
+    # with the data: a crash between data write and commit replays the epoch
     # (commit key absent), a crash after the commit skips it — in both cases
     # lineage and table state stay consistent (no separate-write race).
-    lineage_rows = [
-        {
-            "epoch": epoch,
-            "partition_id": int(r["partition_id"]),
-            "lsn_min": int(r["lsn_min"]),
-            "lsn_max": int(r["lsn_max"]),
-            "rows_in": int(r["rows_in"]),
-        }
-        for r in part_stats
-    ]
+    # summary_fn runs post-write/pre-commit, when the Observation is filled.
     snap = table.merge(
         storage,
         commit_key=commit_key,
         schema=table_schema,
-        summary={"epoch": epoch, "rows_in": rows_in, "lineage": lineage_rows},
+        summary={"epoch": epoch},
+        summary_fn=lambda: {k: (int(v) if v is not None else None) for k, v in obs.get.items()},
     )
-    events.unpersist()
     assert snap is not None  # key was checked above; single writer
-    rows_deduped = -1  # not recounted on the hot path (would force a 2nd agg)
+    rows_in = snap.summary.get("rows_in") or 0
+    rows_deduped = sum(r["rows_merged"] for r in snap.summary.get("bucket_lineage", []))
 
     # ---- 5. optional materialized lineage mirror (derived, best-effort —
     # the authoritative record is the snapshot log; see lineage_df())
@@ -163,27 +184,30 @@ def apply_batch(
 
 
 def lineage_df(spark: SparkSession, table: LakeTable) -> DataFrame:
-    """Authoritative lineage/metrics table, rebuilt from the snapshot log —
-    the engine's analog of the reference's ``data_summary`` + verification
-    outputs (/root/reference/dags/s3_to_snowflake_dag.py:159-255), but
-    exactly-once by construction (lineage commits atomically with data)."""
+    """Authoritative per-epoch lineage/metrics table, rebuilt from the
+    snapshot log — the engine's analog of the reference's ``data_summary``
+    + verification outputs (/root/reference/dags/s3_to_snowflake_dag.py:
+    159-255), but exactly-once by construction (lineage commits atomically
+    with the data it describes; rows_in/LSN ranges come from an Observation
+    on the merge pass, per-bucket detail from written-file footers)."""
     rows = []
     for snap in table.snapshots():
-        committed = snap.summary.get("committed_at_unix")
-        for lr in snap.summary.get("lineage", []):
-            rows.append(
-                (
-                    int(lr["epoch"]),
-                    int(lr["partition_id"]),
-                    lr.get("lsn_min"),
-                    lr.get("lsn_max"),
-                    int(lr["rows_in"]),
-                    None,
-                    None,
-                    int(snap.snapshot_id),
-                    committed,
-                )
+        if "epoch" not in snap.summary:
+            continue
+        s = snap.summary
+        buckets = s.get("bucket_lineage", [])
+        rows.append(
+            (
+                int(s["epoch"]),
+                s.get("lsn_min"),
+                s.get("lsn_max"),
+                int(s.get("rows_in") or 0),
+                sum(int(b["rows_merged"]) for b in buckets) or None,
+                len(buckets) or None,
+                int(snap.snapshot_id),
+                s.get("committed_at_unix"),
             )
+        )
     df = spark.createDataFrame(
         rows,
         schema=T.StructType(
@@ -194,6 +218,28 @@ def lineage_df(spark: SparkSession, table: LakeTable) -> DataFrame:
     return df.withColumn(
         "committed_at", F.timestamp_seconds(F.col("committed_at_unix"))
     ).drop("committed_at_unix").select([f.name for f in LINEAGE_SCHEMA.fields])
+
+
+def bucket_lineage_df(spark: SparkSession, table: LakeTable) -> DataFrame:
+    """Per-(epoch, bucket) lineage detail: rows merged, LSN range, and file
+    count for every table partition touched by every merge commit."""
+    rows = []
+    for snap in table.snapshots():
+        if "epoch" not in snap.summary:
+            continue
+        for b in snap.summary.get("bucket_lineage", []):
+            rows.append(
+                (
+                    int(snap.summary["epoch"]),
+                    int(b["bucket"]),
+                    int(b["rows_merged"]),
+                    b.get("lsn_min"),
+                    b.get("lsn_max"),
+                    int(b["n_files"]),
+                    int(snap.snapshot_id),
+                )
+            )
+    return spark.createDataFrame(rows, schema=BUCKET_LINEAGE_SCHEMA)
 
 
 def export_lineage(spark: SparkSession, table: LakeTable, path: str) -> None:

@@ -9,14 +9,23 @@ highest LSN (deletes leave a tombstone).
 
 Physical shape
 --------------
-``max_by(struct(payload...), struct(lsn, op_rank))`` in a hash aggregate:
-Catalyst plans this as **partial aggregation before the shuffle** (map-side
-combine), so a hot conversation's millions of events collapse to at most one
-candidate row per input partition before any data moves — the primary skew
-defense. An optional explicit **salted two-stage** reduction is provided for
-the pathological case where even a single key's per-partition partials are
-too many (1000-executor guidance: leave salting off; partial agg + AQE skew
-handling cover the common cases, and the salt stage adds a shuffle).
+``max(struct(lsn, delete_rank, payload...))`` in a **Tungsten hash
+aggregate** (HashAggregateExec): ``max`` over a struct is a declarative
+aggregate, so the whole reduction stays in whole-stage codegen with
+UnsafeRow-backed aggregation buffers that spill gracefully under memory
+pressure. (The seemingly-equivalent ``max_by`` plans as
+ObjectHashAggregateExec, whose sort-based fallback triggers after only
+``spark.sql.objectHashAggregate.sortBased.fallbackThreshold`` = 128
+distinct keys — with CDC's nearly-unique keys that degenerates to a
+map-side sort of every partition and was measured 2-3× slower at 8M
+events.) Catalyst still plans **partial aggregation before the shuffle**
+(map-side combine), so a hot conversation's millions of events collapse to
+at most one candidate row per input partition before any data moves — the
+primary skew defense. An optional explicit **salted two-stage** reduction
+is provided for the pathological case where even a single key's
+per-partition partials are too many (1000-executor guidance: leave salting
+off; partial agg + AQE skew handling cover the common cases, and the salt
+stage adds a shuffle).
 
 Tie-break: equal LSNs only arise from exact duplicate emissions (FIXTURES.md
 §4), but we still order deterministically by (lsn, op != 'delete') so a
@@ -33,11 +42,17 @@ from pyspark.sql import functions as F
 from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import KEY_COLS, ORDER_COL
 
 
-def _order_struct() -> F.Column:
-    # delete ranks above non-delete at equal LSN (tie-break, see module doc)
+def _ordered_struct(events: DataFrame, key_cols: tuple[str, ...]) -> F.Column:
+    """Payload struct with the comparison prefix (lsn, delete-rank) leading,
+    so a plain declarative ``max`` selects the LWW winner. Struct comparison
+    is field-order lexicographic; fields beyond the prefix only break ties
+    between *identical duplicate emissions*, where any choice is the same
+    row. Delete ranks above non-delete at equal LSN (see module doc)."""
+    other = [c for c in events.columns if c not in key_cols and c != ORDER_COL]
     return F.struct(
         F.col(ORDER_COL),
         (F.col("op") == "delete").cast("int").alias("_del_rank"),
+        *[F.col(c) for c in other],
     )
 
 
@@ -52,17 +67,15 @@ def lww_dedup(
     distinct key), where each row is the event with the greatest
     (lsn, delete-rank) for its key.
     """
-    other = [c for c in events.columns if c not in key_cols]
-    winner = F.max_by(F.struct(*[F.col(c) for c in other]), _order_struct()).alias("_w")
+    winner = F.max(_ordered_struct(events, key_cols)).alias("_w")
 
     if salt_buckets and salt_buckets > 1:
         # Stage 1: reduce within (key, salt) groups — the salt spreads a hot
         # key across `salt_buckets` reducers; stage 2 merges the survivors.
         salt = F.pmod(F.xxhash64(F.col(ORDER_COL)), F.lit(salt_buckets)).alias("_salt")
         partial = events.groupBy(*key_cols, salt).agg(winner)
-        partial = partial.select(*key_cols, "_w.*")
-        deduped = partial.groupBy(*key_cols).agg(winner)
+        deduped = partial.groupBy(*key_cols).agg(F.max("_w").alias("_w"))
     else:
         deduped = events.groupBy(*key_cols).agg(winner)
 
-    return deduped.select(*key_cols, "_w.*").select(*events.columns)
+    return deduped.select(*key_cols, "_w.*").drop("_del_rank").select(*events.columns)

@@ -174,8 +174,17 @@ class LakeTable:
     # ------------------------------------------------------------------
     # write path
     # ------------------------------------------------------------------
-    def _write_data(self, df: DataFrame, commit_dir: str) -> dict[str, list[str]]:
-        """Write rows partitioned by bucket; return bucket -> relative paths."""
+    def _write_data(self, df: DataFrame, commit_dir: str) -> dict[str, list[dict[str, Any]]]:
+        """Write rows partitioned by bucket; return bucket -> file entries.
+
+        Each entry carries row count and ``_lsn`` min/max harvested from the
+        parquet footer just written — free statistics (no extra Spark job)
+        that feed the per-partition lineage rows and let reads skip files
+        by LSN range. Footers are read driver-side; on an object store at
+        4096-bucket scale this becomes a task-side stats collection instead
+        (footer GETs are still O(files), not O(rows))."""
+        import pyarrow.parquet as pq
+
         out = os.path.join(self.root, commit_dir)
         (
             df.withColumn("_bdir", F.col("_bucket"))
@@ -183,16 +192,39 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out)
         )
-        files: dict[str, list[str]] = {}
+        files: dict[str, list[dict[str, Any]]] = {}
         for d in os.listdir(out):
             if not d.startswith("_bdir="):
                 continue
             b = d.split("=", 1)[1]
-            files[b] = [
-                os.path.join(commit_dir, d, f)
-                for f in os.listdir(os.path.join(out, d))
-                if f.endswith(".parquet")
-            ]
+            entries = []
+            for f in os.listdir(os.path.join(out, d)):
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(out, d, f)
+                md = pq.ParquetFile(full).metadata
+                lsn_lo = lsn_hi = None
+                try:
+                    idx = [md.schema.column(i).name for i in range(md.num_columns)].index("_lsn")
+                    mins, maxs = [], []
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                    if mins:
+                        lsn_lo, lsn_hi = min(mins), max(maxs)
+                except ValueError:
+                    pass
+                entries.append(
+                    {
+                        "path": os.path.join(commit_dir, d, f),
+                        "rows": md.num_rows,
+                        "lsn_min": lsn_lo,
+                        "lsn_max": lsn_hi,
+                    }
+                )
+            files[b] = entries
         return files
 
     def _next_commit(
@@ -232,6 +264,7 @@ class LakeTable:
         commit_key: str | None = None,
         schema: T.StructType | None = None,
         summary: dict[str, Any] | None = None,
+        summary_fn: Any = None,
     ) -> Snapshot | None:
         """Apply one batch of per-key winning events (merge-on-read append).
 
@@ -240,24 +273,47 @@ class LakeTable:
         of ``schema`` (defaults to the table schema; pass a widened schema
         to evolve). Returns the committed snapshot, or None if ``commit_key``
         was already applied (idempotent replay).
+
+        ``summary_fn``, if given, is called after the data write and before
+        the metadata commit; its dict is folded into the snapshot summary —
+        the hook for Observation-collected input metrics, so lineage commits
+        atomically with the data it describes. The commit also records
+        per-bucket lineage (rows merged, LSN range) from the written files'
+        parquet footers.
         """
         if commit_key is not None and self.has_commit_key(commit_key):
             return None
         snap = self.current()
         target_schema = schema or snap.schema
         kcol = snap.key_cols[0]
-        df = winners.withColumn("_bucket", bucket_expr(kcol, snap.n_buckets))
         ordered = [f.name for f in target_schema.fields] + INTERNAL_COLS
-        # co-locate each bucket in one task -> exactly one delta file per
-        # affected bucket per commit (no small-file explosion across epochs)
-        df = df.select(*ordered).repartition(F.col("_bucket"))
+        if "_bucket" in winners.columns:
+            # caller already bucket-partitioned (apply_batch fuses the dedup
+            # and write shuffles) — write directly, no extra exchange
+            df = winners.select(*ordered)
+        else:
+            df = winners.withColumn("_bucket", bucket_expr(kcol, snap.n_buckets))
+            # co-locate each bucket in one task -> exactly one delta file per
+            # affected bucket per commit (no small-file explosion across epochs)
+            df = df.select(*ordered).repartition(F.col("_bucket"))
         commit_dir = os.path.join("data", f"commit-{snap.snapshot_id + 1}")
         raw = self._write_data(df, commit_dir)
-        new_files = {b: [{"path": p, "kind": "delta"} for p in ps] for b, ps in raw.items()}
+        new_files = {b: [dict(e, kind="delta") for e in es] for b, es in raw.items()}
+        bucket_lineage = [
+            {
+                "bucket": int(b),
+                "rows_merged": sum(e["rows"] for e in es),
+                "lsn_min": min((e["lsn_min"] for e in es if e["lsn_min"] is not None), default=None),
+                "lsn_max": max((e["lsn_max"] for e in es if e["lsn_max"] is not None), default=None),
+                "n_files": len(es),
+            }
+            for b, es in sorted(raw.items(), key=lambda kv: int(kv[0]))
+        ]
+        extra = summary_fn() if summary_fn is not None else {}
         return self._next_commit(
             new_files,
             target_schema,
-            dict(summary or {}, operation="merge"),
+            dict(summary or {}, **extra, bucket_lineage=bucket_lineage, operation="merge"),
             commit_key,
             replace_buckets=False,
         )
@@ -283,7 +339,7 @@ class LakeTable:
         )
         commit_dir = os.path.join("data", f"compact-{snap.snapshot_id + 1}")
         raw = self._write_data(df, commit_dir)
-        new_files = {b: [{"path": p, "kind": "base"} for p in ps] for b, ps in raw.items()}
+        new_files = {b: [dict(e, kind="base") for e in es] for b, es in raw.items()}
         for b in todo:  # buckets whose rows were all... always rewritten
             new_files.setdefault(str(b), [])
         return self._next_commit(
