@@ -137,10 +137,24 @@ class LakeTable:
         return df.select(*cols)
 
     def _resolve_lww(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
-        other = [c for c in df.columns if c not in key_cols]
-        order = F.struct(F.col("_lsn"), F.col("_deleted").cast("int").alias("_dr"))
-        w = F.max_by(F.struct(*[F.col(c) for c in other]), order).alias("_w")
-        return df.groupBy(*key_cols).agg(w).select(*key_cols, "_w.*").select(*df.columns)
+        # declarative max over an ordering-prefixed struct — stays in a
+        # Tungsten aggregate (max_by would plan as ObjectHashAggregate and
+        # hit its 128-key sort-based fallback on these near-unique keys;
+        # see cdc/dedup.py). The (_lsn, _dr) prefix decides; trailing fields
+        # only tie-break identical duplicate rows.
+        other = [c for c in df.columns if c not in key_cols and c != "_lsn"]
+        prefixed = F.struct(
+            F.col("_lsn"),
+            F.col("_deleted").cast("int").alias("_dr"),
+            *[F.col(c) for c in other],
+        )
+        return (
+            df.groupBy(*key_cols)
+            .agg(F.max(prefixed).alias("_w"))
+            .select(*key_cols, "_w.*")
+            .drop("_dr")
+            .select(*df.columns)
+        )
 
     def read(
         self,

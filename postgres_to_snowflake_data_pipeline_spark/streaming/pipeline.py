@@ -59,11 +59,28 @@ def run_stream(
     compact_every: int = 16,
     salt_buckets: int | None = None,
     available_now: bool = True,
+    watermark_delay: str | None = None,
 ) -> StreamingQuery:
     """Start the streaming merge. With ``available_now=True`` the query
     drains everything currently in the feed and stops (deterministic tests /
-    replays); otherwise it runs continuously."""
+    replays); otherwise it runs continuously.
+
+    ``watermark_delay`` (e.g. ``"10 minutes"``) enables the optional
+    cross-batch duplicate shed: ``withWatermark("ts", delay)`` +
+    ``dropDuplicatesWithinWatermark`` on the event identity (lsn, key), so
+    a WAL segment re-emitted across micro-batches is dropped before the
+    merge instead of being resolved by read-time LWW. State is bounded by
+    the watermark. Standard watermark contract applies: the delay must
+    cover the maximum event-time disorder of the feed's *arrival* order —
+    rows older than the advanced watermark are discarded as late. Leave it
+    off (default) when arrival order is not event-time-ordered; correctness
+    never depends on this shed (duplicate LSNs are idempotent under the
+    merge, and read-time LWW resolves cross-batch conflicts by LSN)."""
     events = read_feed_stream(spark, feed_path, event_schema, max_files_per_trigger)
+    if watermark_delay is not None:
+        events = events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+            ["lsn", "conv_id", "turn_idx"]
+        )
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         apply_batch(

@@ -1,0 +1,97 @@
+"""Physical-plan assertions — the 100 TB properties, CI-guarded.
+
+Correct answers are necessary but not sufficient: these tests pin the plan
+shapes that keep the engine viable at scale — filter pushdown into parquet
+scans, column pruning, broadcast joins for small dims, and the
+single-exchange bucket-aligned merge path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from postgres_to_snowflake_data_pipeline_spark.cdc.dedup import lww_dedup
+from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events
+from postgres_to_snowflake_data_pipeline_spark.lake.table import bucket_expr
+from postgres_to_snowflake_data_pipeline_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from postgres_to_snowflake_data_pipeline_spark.queries import reference, simops, textops
+
+
+def n_exchanges(df) -> int:
+    """Shuffle exchanges in the physical plan (excluding broadcast)."""
+    text = explain_str(df, "simple")
+    return len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|RoundRobinPartitioning|SinglePartition)",
+            text,
+        )
+    )
+
+
+def test_q01_filter_pushdown_and_pruning(spark, sf_dir):
+    df = reference.q01_pricing_summary(spark, sf_dir)
+    assert any("l_shipdate" in f for f in pushed_filters(df)), "shipdate filter not pushed to scan"
+    scans = read_schema_columns(df)
+    assert scans, "no parquet scan found"
+    cols = {c for scan in scans for c in scan}
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, (
+        "aggregation should not read unused lineitem columns"
+    )
+
+
+def test_q02_broadcasts_dims_and_prunes(spark, sf_dir):
+    df = reference.q02_silver_report(spark, sf_dir)
+    assert has_broadcast_join(df), "nation/customer dims should broadcast"
+    for scan in read_schema_columns(df):
+        if any(c.startswith("l_") for c in scan):
+            assert set(scan) <= {"l_orderkey", "l_extendedprice", "l_returnflag"}, (
+                f"lineitem scan reads too much: {scan}"
+            )
+
+
+def test_q05_projection_prunes_scan(spark, sf_dir):
+    df = reference.q05_cleanse_projection(spark, sf_dir)
+    (scan,) = read_schema_columns(df)
+    assert set(scan) == {"c_custkey", "c_name", "c_mktsegment", "c_acctbal"}
+
+
+def test_v01_broadcasts_queries(spark, sf_dir):
+    df = simops.v01_ann_cosine_topk(spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert any("vec_id" in f for f in pushed_filters(df)), "query/candidate split not pushed"
+
+
+def test_t05_dedup_reads_only_needed_columns(spark, sf_dir):
+    df = textops.t05_dedup_exact(spark, sf_dir)
+    (scan,) = read_schema_columns(df)
+    assert set(scan) == {"doc_id", "text"}
+
+
+def test_bucket_aligned_dedup_single_exchange(spark):
+    """The merge-path contract: repartition by bucket + groupBy(bucket, key)
+    must produce exactly ONE shuffle (Catalyst recognizes the bucket
+    partitioning satisfies the aggregation's clustering requirement)."""
+    ev = change_events(spark, 10_000, n_convs=100)
+    b = ev.withColumn("_bucket", bucket_expr("conv_id", 16)).repartition(
+        16, F.col("_bucket")
+    )
+    w = lww_dedup(b, ("_bucket", "conv_id", "turn_idx"))
+    assert n_exchanges(w) == 1, explain_str(w)
+
+
+def test_naive_dedup_would_double_shuffle(spark):
+    """Control for the test above: dedup then bucket-repartition (the naive
+    plan) costs two full-row exchanges."""
+    ev = change_events(spark, 10_000, n_convs=100)
+    w = lww_dedup(ev).withColumn("_bucket", bucket_expr("conv_id", 16))
+    w2 = w.repartition(16, F.col("_bucket"))
+    assert n_exchanges(w2) == 2

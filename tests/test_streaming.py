@@ -96,3 +96,12 @@ def test_late_arriving_feed_files(spark, tmp_path):
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, str(tmp_path / "ck"))
     q.awaitTermination(300)
     assert_matches_oracle(table.read(), all_events, PAYLOAD)
+
+def test_watermarked_duplicate_shed_matches_oracle(spark, setup):
+    """Optional dropDuplicatesWithinWatermark path: same final state, with
+    cross-batch duplicate LSN emissions shed before the merge."""
+    events, feed, table, ckpt, _ = setup
+    q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
+                   max_files_per_trigger=2, watermark_delay="12 hours")
+    q.awaitTermination(300)
+    assert_matches_oracle(table.read(), events, PAYLOAD)
