@@ -34,9 +34,12 @@ HEADLINE = [
     "q08_lww_current_state",
     "t05_dedup_exact",
     "t07_minhash_bands",
+    "t10_minhash_bands_fast",
     "t09_simhash",
     "v01_ann_cosine_topk",
+    "v04_ann_lsh_bucketed",
     "m01_multimodal_decode",
+    "m02_frame_sample",
 ]
 
 
@@ -94,7 +97,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline suite wall time (8 analytics queries + "
+                "metric": f"headline suite wall time ({len(HEADLINE)} analytics queries + "
                 f"{N_EVENTS} change-event CDC replay)",
                 "value": total,
                 "unit": "sec",

@@ -36,29 +36,18 @@ def _h(seed: int, *cols: Column | str) -> Column:
     return F.abs(F.xxhash64(F.lit(seed), *cols))
 
 
-def change_events(
-    spark: SparkSession,
-    n_events: int,
+def event_projection(
+    idx: Column,
     n_convs: int = 5000,
     seed: int = 42,
     max_turns: int = 50,
-    dup_frac_mod: int = 50,   # 1/50 = 2% duplicated LSNs
-    late_frac_mod: int = 20,  # 1/20 = 5% late (lower-LSN, older-ts) events
+    late_frac_mod: int = 20,
     delete_pct: int = 5,
-    evolved_from: int | None = None,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Build the deterministic change feed as a DataFrame.
-
-    ``evolved_from``: if set, events with index >= that value additionally
-    carry the additive-evolution columns ``tool_meta`` / ``latency_ms``
-    (non-null), modeling a producer-side schema upgrade mid-stream.
-    Events before it carry NULLs in those columns (the caller may also drop
-    the columns entirely to model the pre-evolution feed shape).
-    """
-    idx = F.col("id")
-    base = spark.range(0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
-
+) -> list[Column]:
+    """The deterministic change-event columns as a pure function of a row
+    index column — shared by the batch generator (``spark.range``) and the
+    rate-source stream (``sources.rate_change_stream``), so both produce
+    identical rows for identical indices at any parallelism."""
     # --- LSN: main sequence on even numbers; late events dip to odd numbers
     # below earlier events (unique because odd/even never collide and each
     # idx maps to a distinct odd value).
@@ -95,7 +84,7 @@ def change_events(
     text = F.format_string("turn text %s/%s @lsn=%s", conv_id, turn_idx.cast("string"), lsn.cast("string"))
     ts = F.timestamp_seconds(F.unix_timestamp(F.lit(BASE_TS)) + lsn)
 
-    df = base.select(
+    return [
         lsn.alias("lsn"),
         op.alias("op"),
         conv_id.alias("conv_id"),
@@ -104,8 +93,41 @@ def change_events(
         F.when(op != "delete", text).alias("text"),
         F.when(op != "delete", tool).alias("tool"),
         ts.alias("ts"),
-        idx.alias("_idx"),
+    ]
+
+
+def change_events(
+    spark: SparkSession,
+    n_events: int,
+    n_convs: int = 5000,
+    seed: int = 42,
+    max_turns: int = 50,
+    dup_frac_mod: int = 50,   # 1/50 = 2% duplicated LSNs
+    late_frac_mod: int = 20,  # 1/20 = 5% late (lower-LSN, older-ts) events
+    delete_pct: int = 5,
+    evolved_from: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Build the deterministic change feed as a DataFrame.
+
+    ``evolved_from``: if set, events with index >= that value additionally
+    carry the additive-evolution columns ``tool_meta`` / ``latency_ms``
+    (non-null), modeling a producer-side schema upgrade mid-stream.
+    Events before it carry NULLs in those columns (the caller may also drop
+    the columns entirely to model the pre-evolution feed shape).
+    """
+    idx = F.col("id")
+    base = spark.range(0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
+
+    cols = event_projection(
+        idx,
+        n_convs=n_convs,
+        seed=seed,
+        max_turns=max_turns,
+        late_frac_mod=late_frac_mod,
+        delete_pct=delete_pct,
     )
+    df = base.select(*cols, idx.alias("_idx"))
 
     if evolved_from is not None:
         evolved = F.col("_idx") >= evolved_from

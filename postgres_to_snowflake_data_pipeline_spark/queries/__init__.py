@@ -60,12 +60,17 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         textops.T08_SQL,
     ),
     "t09_simhash": (textops.t09_simhash, textops.T09_SQL),
+    # scale-path twins (xxhash64 — engine-private hashes, rows-only checks)
+    "t10_minhash_bands_fast": (textops.t10_minhash_bands_fast, None),
+    "t11_minhash_candidates_fast": (textops.t11_minhash_candidates_fast, None),
     # similarity search (embeddings)
     "v01_ann_cosine_topk": (simops.v01_ann_cosine_topk, simops.V01_SQL),
     "v02_ann_ivf_cell": (simops.v02_ann_ivf_cell, simops.V02_SQL),
     "v03_embedding_near_dup": (simops.v03_embedding_near_dup, simops.V03_SQL),
-    # multimodal binary plumbing (Arrow-batched decode stub)
+    "v04_ann_lsh_bucketed": (simops.v04_ann_lsh_bucketed, simops.V04_SQL),
+    # multimodal binary plumbing (Arrow-batched decode stubs)
     "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
+    "m02_frame_sample": (multimodal.m02_frame_sample, multimodal.M02_SQL),
 }
 
 

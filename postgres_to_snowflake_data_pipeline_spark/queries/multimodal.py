@@ -37,30 +37,33 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """STUB decoder (deterministic fake): derives 'image dimensions' purely
-    from the payload byte length, vectorized over each Arrow batch. A real
-    deployment swaps the body for PIL/ffmpeg calls with identical schema.
-    """
-    for pdf in batches:
-        n = pdf["payload"].map(len).astype("int32")  # vectorized over the batch
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": n,
-                "width": (n % 640 + 1).astype("int32"),
-                "height": (n * 7 % 480 + 1).astype("int32"),
-                "n_frames": (n % 30 + 1).astype("int32"),
-            }
-        )
-
-
 def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary ingestion + Arrow-batched decode: text → utf-8 payload bytes
     (standing in for image blobs) → mapInPandas fake decode → typed
     metadata. Oracle-checkable because the fake decode is a pure function
-    of octet length."""
+    of octet length.
+
+    The decode fn is a *closure* on purpose: cloudpickle serializes local
+    functions by value, so Python workers never import this package —
+    the UDF runs even when the driver wasn't launched with --py-files."""
+
+    def fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # STUB decoder (deterministic fake): 'image dimensions' purely from
+        # payload byte length, vectorized per Arrow batch. A real deployment
+        # swaps the body for PIL/ffmpeg calls with identical schema.
+        for pdf in batches:
+            n = pdf["payload"].map(len).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": n,
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n * 7 % 480 + 1).astype("int32"),
+                    "n_frames": (n % 30 + 1).astype("int32"),
+                }
+            )
+
     d = load(spark, sf_dir, "documents")
     with_payload = d.select(
         "doc_id",
@@ -70,7 +73,7 @@ def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("video/mp4")
         .alias("media_type"),
     )
-    return with_payload.mapInPandas(_fake_decode, DECODED_SCHEMA)
+    return with_payload.mapInPandas(fake_decode, DECODED_SCHEMA)
 
 
 M01_SQL = """
@@ -83,4 +86,64 @@ SELECT doc_id,
        CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INTEGER) AS height,
        CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# m02 — frame sampling: 1→N Arrow-batched decode (each video payload yields
+# n_frames rows). The mapInPandas generator shape is exactly a real
+# ffmpeg-based sampler's: consume a batch of payloads, emit a frame table.
+# Deterministic fake => oracle-checkable via unnest(range(...)).
+# ---------------------------------------------------------------------------
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.IntegerType(), False),
+        T.StructField("frame_sig", T.StringType(), False),
+    ]
+)
+
+FPS = 4  # fake sampling rate: one frame per 250 ms
+
+
+def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = FPS
+
+    def fake_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # STUB frame sampler (deterministic fake): n_frames from byte
+        # length, per-frame signature from (doc_id, frame_idx) — vectorized
+        # via repeat + groupwise cumcount. Closure => serialized by value,
+        # workers need no package import.
+        import hashlib
+
+        for pdf in batches:
+            n = pdf["payload"].map(len) % 30 + 1  # same n_frames rule as m01
+            doc_ids = pdf["doc_id"].repeat(n).reset_index(drop=True)
+            frame_idx = doc_ids.groupby(doc_ids).cumcount().astype("int32")
+            sig = (doc_ids.astype(str) + "#" + frame_idx.astype(str)).map(
+                lambda s: hashlib.md5(s.encode()).hexdigest()[:16]
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": frame_idx,
+                    "frame_ts_ms": (frame_idx * (1000 // fps)).astype("int32"),
+                    "frame_sig": sig,
+                }
+            )
+
+    d = load(spark, sf_dir, "documents")
+    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return with_payload.mapInPandas(fake_frames, FRAME_SCHEMA)
+
+
+M02_SQL = f"""
+SELECT doc_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST(f * (1000 // {FPS}) AS INTEGER) AS frame_ts_ms,
+       substr(md5(concat(CAST(doc_id AS VARCHAR), '#', CAST(f AS VARCHAR))), 1, 16)
+           AS frame_sig
+FROM documents,
+     LATERAL unnest(range(0, octet_length(encode(text)) % 30 + 1)) AS t(f)
 """

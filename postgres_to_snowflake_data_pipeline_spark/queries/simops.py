@@ -23,25 +23,15 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from postgres_to_snowflake_data_pipeline_spark.functions.vector import (
+    cosine_similarity as _cosine,
+)
+from postgres_to_snowflake_data_pipeline_spark.functions.vector import (
+    to_double_array as _as_double,
+)
 from postgres_to_snowflake_data_pipeline_spark.queries.base import load
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors
-
-
-def _as_double(col: str) -> Column:
-    return F.transform(F.col(col), lambda x: x.cast("double"))
-
-
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def _topk(joined: DataFrame, k: int) -> DataFrame:
@@ -183,4 +173,101 @@ FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
             6) >= 0.9
+"""
+
+
+# ---------------------------------------------------------------------------
+# v04 — random-hyperplane LSH-bucketed ANN (the scale path for unlabeled
+# corpora): each vector is reduced to an 8-bit bucket = sign pattern of dot
+# products with 8 deterministic ±1 hyperplanes; search only within the
+# query's bucket. At 100 TB the table is partitioned by bucket, so a query
+# touches 1/256th of the data (multi-probe widens recall). The hyperplane
+# sign matrix is a deterministic md5-derived constant embedded identically
+# in the Spark plan and the oracle SQL.
+# ---------------------------------------------------------------------------
+N_PLANES = 8
+DIM = 64
+
+
+def _plane_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"plane{p}#dim{d}".encode()).digest()[0] % 2 == 0 else -1
+            for d in range(DIM)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def _bucket_of(vec_col: str) -> Column:
+    v = _as_double(vec_col)
+    bits = []
+    for p, signs in enumerate(_plane_signs()):
+        plane = F.array(*[F.lit(float(s)) for s in signs])
+        bits.append(
+            F.when(_dot_planes(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.alias("bucket")
+
+
+def _dot_planes(a: Column, plane: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def v04_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    with_bucket = emb.select("vec_id", "embedding", _bucket_of("embedding"))
+    queries = with_bucket.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        "bucket",
+    )
+    cands = with_bucket.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_embedding"),
+        "bucket",
+    )
+    return _topk(cands.join(F.broadcast(queries), "bucket").drop("bucket"), k=3)
+
+
+def _oracle_bucket_sql(vec: str) -> str:
+    parts = []
+    for p, signs in enumerate(_plane_signs()):
+        arr = "[" + ", ".join(f"{s}.0" for s in signs) + "]"
+        parts.append(
+            f"(CASE WHEN list_dot_product({vec}, {arr}::DOUBLE[]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return " + ".join(parts)
+
+
+V04_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_oracle_bucket_sql("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qe, bucket FROM e WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, v AS ce, bucket FROM e WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+               6) AS cosine
+  FROM c JOIN q USING (bucket)
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
 """

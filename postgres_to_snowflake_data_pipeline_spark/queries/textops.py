@@ -437,3 +437,51 @@ SELECT doc_id,
            AS simhash32
 FROM b GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# t10 — MinHash bands, scale path (xxhash64): same banding structure as
+# t07 but with Spark's native 64-bit hash intrinsic and NO seed-explode —
+# all 16 min-hashes aggregate in one pass over the shingle explode (16
+# F.min columns), so the pre-shuffle row count is 16x lower than the
+# md5/explode formulation. Engine-private hash values => rows-only check;
+# t07 is the oracle-verified twin of the same algorithm.
+# ---------------------------------------------------------------------------
+def t10_minhash_bands_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgres_to_snowflake_data_pipeline_spark.functions.text import (
+        minhash_signature_fast,
+    )
+
+    s = _shingled(spark, sf_dir)
+    minh = s.groupBy("doc_id").agg(
+        *[F.min(c).alias(f"mh_{i}") for i, c in enumerate(minhash_signature_fast("shingle", N_HASHES))]
+    )
+    bands = []
+    for band in range(N_HASHES // BAND_SIZE):
+        sig = F.xxhash64(
+            *[F.col(f"mh_{band * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        )
+        bands.append(
+            minh.select(
+                "doc_id", F.lit(band).alias("band"), sig.alias("band_sig")
+            )
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def t11_minhash_candidates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-join on the fast signatures (rows-only check)."""
+    bands = t10_minhash_bands_fast(spark, sf_dir)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("bands_shared"))
+    )
