@@ -44,6 +44,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q08_lww_current_state": (reference.q08_lww_current_state, reference.Q08_SQL),
     "q09_cdc_final_state": (reference.q09_cdc_final_state, reference.Q09_SQL),
     "q10_topk_per_user": (reference.q10_topk_per_user, reference.Q10_SQL),
+    "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
+    "q12_csv_source_roundtrip": (
+        reference.q12_csv_source_roundtrip,
+        reference.Q12_SQL,
+    ),
     # text analysis / dedup (training-data ops)
     "t01_token_count": (textops.t01_token_count, textops.T01_SQL),
     "t02_quality_score": (textops.t02_quality_score, textops.T02_SQL),

@@ -382,3 +382,85 @@ FROM (
 )
 WHERE rnk <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# q11 — multi-format timestamp parsing: the reference's parse_timestamp
+# tries 5 strptime formats per value in per-row Python
+# (/root/reference/scripts/load_data.py:75-103); here it's a coalesce of
+# vectorized try-parses (F3) — null only if every format misses.
+# ---------------------------------------------------------------------------
+def q11_multiformat_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    fmt_sel = F.col("o_orderkey") % 3
+    raw = (
+        F.when(fmt_sel == 0, F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"))
+        .when(fmt_sel == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .otherwise(F.date_format("o_orderdate", "dd.MM.yyyy HH:mm"))
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp(raw, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(raw, F.lit("MM/dd/yyyy")),
+        F.try_to_timestamp(raw, F.lit("dd.MM.yyyy HH:mm")),
+    )
+    return o.select(
+        "o_orderkey",
+        raw.alias("raw_str"),
+        parsed.alias("parsed_ts"),
+        parsed.isNull().alias("unparseable"),
+    )
+
+
+Q11_SQL = """
+WITH s AS (
+  SELECT o_orderkey,
+         CASE o_orderkey % 3
+           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')
+           WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+           ELSE strftime(o_orderdate, '%d.%m.%Y %H:%M')
+         END AS raw_str
+  FROM orders
+)
+SELECT o_orderkey, raw_str,
+       coalesce(try_strptime(raw_str, '%Y-%m-%d %H:%M:%S'),
+                try_strptime(raw_str, '%m/%d/%Y'),
+                try_strptime(raw_str, '%d.%m.%Y %H:%M')) AS parsed_ts,
+       coalesce(try_strptime(raw_str, '%Y-%m-%d %H:%M:%S'),
+                try_strptime(raw_str, '%m/%d/%Y'),
+                try_strptime(raw_str, '%d.%m.%Y %H:%M')) IS NULL AS unparseable
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# q12 — CSV source roundtrip (S1 + P7): customers exported to CSV, read
+# back with an explicit schema in DROPMALFORMED mode, cleaned. The oracle
+# reads the original parquet — so the value-hash also proves the CSV
+# write/read hop is lossless for these types.
+# ---------------------------------------------------------------------------
+def q12_csv_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from postgres_to_snowflake_data_pipeline_spark.sources.files import read_csv_table
+
+    c = load(spark, sf_dir, "customer")
+    out = os.path.join(
+        tempfile.gettempdir(), "csvq-" + sf_dir.strip("/").replace("/", "-")
+    )
+    c.write.mode("overwrite").option("header", True).csv(out)
+    back = read_csv_table(spark, out, c.schema, drop_malformed=True)
+    return back.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal_r"),
+        "c_mktsegment",
+    )
+
+
+Q12_SQL = """
+SELECT c_custkey, c_name, c_nationkey,
+       round(c_acctbal, 2) AS acctbal_r, c_mktsegment
+FROM customer
+"""

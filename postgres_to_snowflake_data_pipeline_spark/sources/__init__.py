@@ -14,10 +14,16 @@ from postgres_to_snowflake_data_pipeline_spark.sources.feed import (
     read_feed_batch,
     read_feed_stream,
 )
+from postgres_to_snowflake_data_pipeline_spark.sources.files import (
+    read_csv_table,
+    read_json_table,
+)
 
 __all__ = [
     "read_feed_batch",
     "read_feed_stream",
     "rate_change_stream",
     "jdbc_changefeed",
+    "read_csv_table",
+    "read_json_table",
 ]
