@@ -185,6 +185,42 @@ class LakeTable:
             df = df.select(*[f.name for f in snap.schema.fields])
         return df
 
+    def changes(self, since_snapshot_id: int) -> DataFrame:
+        """Incremental read: the change rows committed AFTER the given
+        snapshot — the lake table itself becomes a changefeed source for
+        downstream pipelines (Iceberg-style incremental consumption).
+
+        Returns one row per key per merge commit in the range, with
+        ``lsn``, ``op`` ('upsert'/'delete') and the payload columns.
+        Only the delta files added by those commits are scanned (their
+        paths are recorded per commit), so cost is O(new data), not
+        O(table). Compaction commits rewrite existing rows and are
+        correctly skipped."""
+        snap = self.current()
+        entries: list[dict[str, Any]] = []
+        for s in self.log.history():
+            if s.snapshot_id <= since_snapshot_id:
+                continue
+            if s.summary.get("operation") != "merge":
+                continue
+            commit_dir = os.path.join("data", f"commit-{s.snapshot_id}")
+            for fs in s.files.values():
+                for e in fs:
+                    if e["path"].startswith(commit_dir):
+                        entries.append(e)
+        df = self._read_files(snap, entries)
+        if df is None:
+            fields = [
+                T.StructField("lsn", T.LongType(), False),
+                T.StructField("op", T.StringType(), False),
+            ] + list(snap.schema.fields)
+            return self.spark.createDataFrame([], T.StructType(fields))
+        return df.select(
+            F.col("_lsn").alias("lsn"),
+            F.when(F.col("_deleted"), "delete").otherwise("upsert").alias("op"),
+            *[f.name for f in snap.schema.fields],
+        )
+
     # ------------------------------------------------------------------
     # write path
     # ------------------------------------------------------------------
