@@ -107,13 +107,24 @@ class MetadataLog:
         return None if sid is None else self.load(sid)
 
     def history(self) -> list[Snapshot]:
-        """All snapshots, oldest first (time travel / lineage audits)."""
+        """Retained snapshots, oldest first (time travel / lineage audits).
+        The walk stops at the expiry horizon: a parent pruned by
+        ``LakeTable.expire_snapshots`` simply ends the chain."""
         out, sid = [], self.current_id()
         while sid is not None:
-            snap = self.load(sid)
+            try:
+                snap = self.load(sid)
+            except FileNotFoundError:
+                break
             out.append(snap)
             sid = snap.parent_id
         return list(reversed(out))
+
+    def delete_snapshot(self, sid: int) -> None:
+        try:
+            os.remove(self._snap_path(sid))
+        except FileNotFoundError:
+            pass
 
     # -- atomic commit ---------------------------------------------------
     def _atomic_write(self, path: str, payload: str) -> None:

@@ -368,6 +368,40 @@ class LakeTable:
             replace_buckets=False,
         )
 
+    def expire_snapshots(self, keep_last: int = 3) -> dict[str, int]:
+        """Retention: drop snapshot metadata older than the last
+        ``keep_last`` commits and physically delete data files no kept
+        snapshot references (orphans from expired commits + compacted-away
+        deltas). Safe under the table's single-writer model; kept
+        snapshots remain fully readable (time travel + ``changes()``).
+        Returns counts: expired snapshots, deleted files, freed bytes."""
+        snaps = self.snapshots()
+        if keep_last < 1 or len(snaps) <= keep_last:
+            return {"expired_snapshots": 0, "deleted_files": 0, "freed_bytes": 0}
+        keep, expired = snaps[-keep_last:], snaps[:-keep_last]
+        referenced = {
+            e["path"] for s in keep for es in s.files.values() for e in es
+        }
+        data_root = os.path.join(self.root, "data")
+        deleted = freed = 0
+        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
+            for fn in filenames:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.root)
+                if fn.endswith(".parquet") and rel not in referenced:
+                    freed += os.path.getsize(full)
+                    os.remove(full)
+                    deleted += 1
+            if not os.listdir(dirpath):
+                os.rmdir(dirpath)
+        for s in expired:
+            self.log.delete_snapshot(s.snapshot_id)
+        return {
+            "expired_snapshots": len(expired),
+            "deleted_files": deleted,
+            "freed_bytes": freed,
+        }
+
     def compact(self, buckets: list[int] | None = None) -> Snapshot:
         """Fold delta files into per-bucket base files (copy-on-write).
 
