@@ -164,12 +164,21 @@ def apply_batch(
     # (commit key absent), a crash after the commit skips it — in both cases
     # lineage and table state stay consistent (no separate-write race).
     # summary_fn runs post-write/pre-commit, when the Observation is filled.
+    def _obs_metrics() -> dict:
+        # An all-empty batch can leave the CollectMetrics row unset
+        # (LocalRelation-optimized plan) — report zeros rather than fail.
+        try:
+            m = obs.get
+        except Exception:  # noqa: BLE001
+            return {"rows_in": 0, "lsn_min": None, "lsn_max": None}
+        return {k: (int(v) if v is not None else None) for k, v in m.items()}
+
     snap = table.merge(
         storage,
         commit_key=commit_key,
         schema=table_schema,
         summary={"epoch": epoch},
-        summary_fn=lambda: {k: (int(v) if v is not None else None) for k, v in obs.get.items()},
+        summary_fn=_obs_metrics,
     )
     assert snap is not None  # key was checked above; single writer
     rows_in = snap.summary.get("rows_in") or 0

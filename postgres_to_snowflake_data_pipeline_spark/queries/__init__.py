@@ -49,6 +49,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         reference.q12_csv_source_roundtrip,
         reference.Q12_SQL,
     ),
+    "q13_rollup_totals": (reference.q13_rollup_totals, reference.Q13_SQL),
+    "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
     # text analysis / dedup (training-data ops)
     "t01_token_count": (textops.t01_token_count, textops.T01_SQL),
     "t02_quality_score": (textops.t02_quality_score, textops.T02_SQL),

@@ -464,3 +464,66 @@ SELECT c_custkey, c_name, c_nationkey,
        round(c_acctbal, 2) AS acctbal_r, c_mktsegment
 FROM customer
 """
+
+
+# ---------------------------------------------------------------------------
+# q13 — rollup with subtotals (beyond the reference, which has no grouping
+# sets — SURVEY.md §2.4): year × nation rollup of order totals with
+# grouping_id distinguishing detail/subtotal/grand-total rows.
+# ---------------------------------------------------------------------------
+def q13_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.rollup(F.year("o_orderdate").alias("anio"), F.col("n_name").alias("nación"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .withColumnRenamed("nación", "nation_name")
+    )
+
+
+Q13_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS anio,
+       n_name AS nation_name,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(*) AS n_orders,
+       CAST(grouping(year(o_orderdate)) * 2 + grouping(n_name) AS BIGINT) AS gid
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (year(o_orderdate), n_name)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q14 — semi/anti joins (absent from the reference — SURVEY.md §2.3):
+# customers WITH recent orders (left semi) and customers WITHOUT any
+# order (left anti), stacked with a tag column.
+# ---------------------------------------------------------------------------
+def q14_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    cond = c.c_custkey == o.o_custkey
+    with_orders = c.join(o, cond, "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("segment")
+    )
+    without = c.join(o, cond, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("segment")
+    )
+    return with_orders.unionByName(without)
+
+
+Q14_SQL = """
+SELECT c_custkey, 'has_orders' AS segment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
