@@ -1,0 +1,65 @@
+"""Multi-table CDC routing: one WAL feed → N lake tables.
+
+The reference replicates FIVE tables per run (banco/programa/usuario/
+cardholder/tarjeta_puntos — /root/reference/scripts/load_data.py:49-64,
+/root/reference/dags/s3_to_snowflake_dag.py:265-273, one parallel COPY
+task per table). A real Postgres logical-decoding stream likewise tags
+every record with its relation. This module routes a tagged change feed
+to per-table merges inside ONE epoch.
+
+Scale/consistency notes:
+- Each table's slice is filtered from the same feed DataFrame — Catalyst
+  pushes the `_table = 'x'` predicate into the scan, so each table's apply
+  reads only its rows (at 100 TB the feed would be written partitioned by
+  `_table`, making this partition pruning).
+- Per-(table, epoch) commit keys: a crash mid-epoch replays only the
+  tables that had not committed — each table independently exactly-once,
+  which is also the reference's guarantee (per-table COPY tasks retry
+  independently).
+- FK ordering (the reference loads parents before children,
+  load_data.py:49-64) is unnecessary under snapshot semantics: readers see
+  each table atomically at its own snapshot; cross-table consistency is
+  re-established by reading all tables as of the same epoch via
+  ``snapshot_for_epoch``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgres_to_snowflake_data_pipeline_spark.cdc.apply import ApplyResult, apply_batch
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+TABLE_COL = "_table"
+
+
+def apply_multi_table(
+    spark: SparkSession,
+    tables: dict[str, LakeTable],
+    events: DataFrame,
+    epoch: int,
+    salt_buckets: int | None = None,
+) -> dict[str, ApplyResult]:
+    """Apply one epoch of a table-tagged change feed to every target table.
+
+    ``events`` must carry a ``_table`` column naming the destination; rows
+    tagged with unknown tables are ignored (tolerant routing, like the
+    reference's ON_ERROR='CONTINUE')."""
+    results: dict[str, ApplyResult] = {}
+    for name, table in tables.items():
+        slice_df = events.filter(F.col(TABLE_COL) == name).drop(TABLE_COL)
+        results[name] = apply_batch(
+            spark, table, slice_df, epoch=epoch, salt_buckets=salt_buckets
+        )
+    return results
+
+
+def snapshot_for_epoch(table: LakeTable, epoch: int) -> int | None:
+    """Snapshot id of the commit that applied ``epoch`` to this table —
+    lets a reader pin ALL tables to the same epoch for a cross-table-
+    consistent view (the multi-table analog of time travel)."""
+    for snap in table.snapshots():
+        if snap.summary.get("epoch") == epoch:
+            return snap.snapshot_id
+    return None

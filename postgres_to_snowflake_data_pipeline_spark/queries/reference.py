@@ -527,3 +527,33 @@ UNION ALL
 SELECT c_custkey, 'no_orders' FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
+
+
+# ---------------------------------------------------------------------------
+# q15 — global ORDER BY + LIMIT (top-k): absent from the reference
+# (SURVEY.md §2.6 "No LIMIT/top-k anywhere"). Spark plans this as
+# TakeOrderedAndProject — per-partition top-k then a single tiny driver
+# merge, never a full global sort. Ranking on rounded price with orderkey
+# tie-break keeps it engine-independent.
+# ---------------------------------------------------------------------------
+def q15_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    pr = F.round("o_totalprice", 2)
+    return (
+        o.select(
+            "o_orderkey",
+            pr.alias("price_r"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .orderBy(F.col("price_r").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q15_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price_r,
+       o_orderpriority AS priority
+FROM orders
+ORDER BY price_r DESC, o_orderkey
+LIMIT 10
+"""

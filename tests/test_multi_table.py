@@ -1,0 +1,67 @@
+"""Multi-table CDC routing (the reference's five-table replication scope)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events
+from postgres_to_snowflake_data_pipeline_spark.cdc.multi import (
+    apply_multi_table,
+    snapshot_for_epoch,
+)
+from postgres_to_snowflake_data_pipeline_spark.cdc.oracle import assert_matches_oracle
+from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+PAYLOAD = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _tagged_feed(spark, n):
+    """Deterministically route events to tables a/b (plus some to an
+    unknown table the router must tolerate)."""
+    ev = change_events(spark, n, n_convs=100)
+    tag = F.when(F.abs(F.xxhash64("lsn")) % 10 < 4, "ta").when(
+        F.abs(F.xxhash64("lsn")) % 10 < 8, "tb"
+    ).otherwise("unknown")
+    return ev.withColumn("_table", tag)
+
+
+def test_routing_matches_per_table_oracle(spark, tmp_path):
+    feed = _tagged_feed(spark, 4000)
+    tables = {
+        name: LakeTable.create(
+            spark, str(tmp_path / name), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"), n_buckets=4
+        )
+        for name in ("ta", "tb")
+    }
+    res = apply_multi_table(spark, tables, feed, epoch=0)
+    assert set(res) == {"ta", "tb"} and not any(r.skipped for r in res.values())
+    for name, table in tables.items():
+        expected = feed.filter(F.col("_table") == name).drop("_table")
+        assert_matches_oracle(table.read(), expected, PAYLOAD)
+    # unknown-table rows were tolerated (dropped), not crashed on
+    assert feed.filter("_table = 'unknown'").count() > 0
+
+
+def test_per_table_idempotency_and_epoch_pinning(spark, tmp_path):
+    feed = _tagged_feed(spark, 2000)
+    tables = {
+        name: LakeTable.create(
+            spark, str(tmp_path / name), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"), n_buckets=4
+        )
+        for name in ("ta", "tb")
+    }
+    apply_multi_table(spark, tables, feed, epoch=0)
+    # simulate: table 'tb' crashed before its epoch-1 commit, 'ta' committed
+    feed2 = _tagged_feed(spark, 1000)
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+
+    apply_batch(spark, tables["ta"], feed2.filter("_table='ta'").drop("_table"), epoch=1)
+    # full epoch-1 replay: 'ta' skips, 'tb' applies
+    res = apply_multi_table(spark, tables, feed2, epoch=1)
+    assert res["ta"].skipped and not res["tb"].skipped
+    # cross-table-consistent view as of epoch 0
+    for name, table in tables.items():
+        sid = snapshot_for_epoch(table, 0)
+        assert sid is not None
+        assert table.read(snapshot_id=sid).count() > 0
