@@ -48,9 +48,11 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_cdc_replay(spark) -> tuple[float, float]:
-    """Generate a deterministic feed, replay it through the engine; return
-    (replay seconds, events/sec). Generation is excluded from the timing."""
+def bench_cdc_replay(spark, trials: int = 3) -> tuple[float, float]:
+    """Generate a deterministic feed once, replay it through the engine
+    ``trials`` times (fresh table each); return the MEDIAN (replay seconds,
+    events/sec). Generation is excluded from the timing; the median damps
+    the sandbox's ±20% hypervisor-steal noise."""
     from postgres_to_snowflake_data_pipeline_spark.cdc.apply import replay_feed
     from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events, write_feed
     from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
@@ -59,17 +61,22 @@ def bench_cdc_replay(spark) -> tuple[float, float]:
     work = os.path.join(tempfile.gettempdir(), "bench-cdc")
     shutil.rmtree(work, ignore_errors=True)
     feed_path = os.path.join(work, "feed")
-    write_feed(change_events(spark, N_EVENTS, n_convs=50_000), feed_path, n_files=16)
+    write_feed(change_events(spark, N_EVENTS, n_convs=50_000), feed_path, n_files=64)
 
-    table = LakeTable.create(
-        spark, os.path.join(work, "table"), TRANSCRIPT_SCHEMA,
-        key_cols=("conv_id", "turn_idx"), n_buckets=32,
-    )
-    t0 = time.perf_counter()
-    replay_feed(spark, table, feed_path, epochs=4, compact_every=0)
-    _materialize(table.read())
-    dt = time.perf_counter() - t0
+    times = []
+    for i in range(trials):
+        troot = os.path.join(work, f"table-{i}")
+        table = LakeTable.create(
+            spark, troot, TRANSCRIPT_SCHEMA,
+            key_cols=("conv_id", "turn_idx"), n_buckets=128,
+        )
+        t0 = time.perf_counter()
+        replay_feed(spark, table, feed_path, epochs=4, compact_every=0)
+        _materialize(table.read())
+        times.append(time.perf_counter() - t0)
+        shutil.rmtree(troot, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
+    dt = sorted(times)[len(times) // 2]
     return dt, N_EVENTS / dt
 
 

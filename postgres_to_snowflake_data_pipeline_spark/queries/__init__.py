@@ -52,6 +52,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q13_rollup_totals": (reference.q13_rollup_totals, reference.Q13_SQL),
     "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
     "q15_top_orders": (reference.q15_top_orders, reference.Q15_SQL),
+    "q16_hourly_rollup": (reference.q16_hourly_rollup, reference.Q16_SQL),
+    "q17_session_windows": (reference.q17_session_windows, reference.Q17_SQL),
     # text analysis / dedup (training-data ops)
     "t01_token_count": (textops.t01_token_count, textops.T01_SQL),
     "t02_quality_score": (textops.t02_quality_score, textops.T02_SQL),

@@ -557,3 +557,78 @@ FROM orders
 ORDER BY price_r DESC, o_orderkey
 LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# q16 — event-time tumbling-window rollup: hourly event counts/sums. In
+# streaming this is `groupBy(window(ts, '1 hour'))` with a watermark; the
+# batch formulation (date_trunc) computes the identical result, which is
+# how the engine's batch/stream parity is verified for windowed aggs.
+# ---------------------------------------------------------------------------
+def q16_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+Q16_SQL = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q17 — session windows (gap-based): per-user activity sessions with a
+# 6-hour inactivity gap, via Spark's native session_window (the same
+# operator Structured Streaming uses for stateful sessionization). The
+# oracle is the classic gaps-and-islands SQL: a new session starts when
+# the gap from the previous event reaches the threshold.
+# ---------------------------------------------------------------------------
+SESSION_GAP = "6 hours"
+
+
+def q17_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .select("user_id", "first_ts", "last_ts", "n_events", "total_value")
+    )
+
+
+Q17_SQL = """
+WITH t AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM t
+)
+SELECT user_id,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY user_id, sess_id
+"""
