@@ -15,6 +15,7 @@ from postgres_to_snowflake_data_pipeline_spark.queries import (
     multimodal,
     reference,
     simops,
+    temporal,
     textops,
 )
 
@@ -54,6 +55,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q15_top_orders": (reference.q15_top_orders, reference.Q15_SQL),
     "q16_hourly_rollup": (reference.q16_hourly_rollup, reference.Q16_SQL),
     "q17_session_windows": (reference.q17_session_windows, reference.Q17_SQL),
+    "j01_asof_join": (temporal.j01_asof_join, temporal.J01_SQL),
+    "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
     # text analysis / dedup (training-data ops)
     "t01_token_count": (textops.t01_token_count, textops.T01_SQL),
     "t02_quality_score": (textops.t02_quality_score, textops.T02_SQL),
