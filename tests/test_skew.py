@@ -47,7 +47,7 @@ def test_extreme_skew_correctness(spark, tmp_path):
 
 def test_dedup_plan_has_map_side_partial_aggregation(spark):
     """The unsalted path is skew-safe because Catalyst plans
-    partial max_by before the exchange — assert that stays true."""
+    a partial aggregate before the exchange — assert that stays true."""
     events = change_events(spark, 1000, n_convs=10)
     plan = explain_str(lww_dedup(events))
     exchange_pos = plan.find("Exchange")
