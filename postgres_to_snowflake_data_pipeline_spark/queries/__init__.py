@@ -55,6 +55,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q15_top_orders": (reference.q15_top_orders, reference.Q15_SQL),
     "q16_hourly_rollup": (reference.q16_hourly_rollup, reference.Q16_SQL),
     "q17_session_windows": (reference.q17_session_windows, reference.Q17_SQL),
+    "q18_json_extract": (reference.q18_json_extract, reference.Q18_SQL),
     "j01_asof_join": (temporal.j01_asof_join, temporal.J01_SQL),
     "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
     # text analysis / dedup (training-data ops)
@@ -73,6 +74,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         textops.T08_SQL,
     ),
     "t09_simhash": (textops.t09_simhash, textops.T09_SQL),
+    "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
+    "t13_levenshtein_pairs": (textops.t13_levenshtein_pairs, textops.T13_SQL),
     # scale-path twins (xxhash64 — engine-private hashes, rows-only checks)
     "t10_minhash_bands_fast": (textops.t10_minhash_bands_fast, None),
     "t11_minhash_candidates_fast": (textops.t11_minhash_candidates_fast, None),

@@ -632,3 +632,39 @@ SELECT user_id,
        round(sum(value), 2) AS total_value
 FROM s GROUP BY user_id, sess_id
 """
+
+
+# ---------------------------------------------------------------------------
+# q18 — JSON scalar extraction: the reference handles JSON only as Python
+# serialization of metadata documents (SURVEY.md §2.8); here the `props`
+# JSON payload column is parsed with the built-in from_json and aggregated
+# — the schema-on-read pattern for semi-structured event payloads.
+# ---------------------------------------------------------------------------
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = load(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k",
+        F.from_json("props", T.StructType([T.StructField("k", T.IntegerType())]))["k"],
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_parsed"),
+            F.sum("k").alias("k_total"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q18_SQL = """
+SELECT event_type,
+       count(CAST(json_extract(props, '$.k') AS INTEGER)) AS n_parsed,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_total,
+       CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

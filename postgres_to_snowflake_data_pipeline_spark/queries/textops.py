@@ -492,3 +492,89 @@ def t11_minhash_candidates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("bands_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# t12 — TF-IDF top term per document: corpus document frequencies (one
+# hash-agg over the exploded distinct tokens), idf = ln(N/df), per-doc top
+# term by tf*idf. The df table is tiny (vocabulary-sized) and broadcasts.
+# ---------------------------------------------------------------------------
+def t12_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    n_docs = d.count()  # corpus-level scalar (metadata-cheap)
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tbl = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+    )
+
+
+T12_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_D_TOKS}) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfq.df), 6) AS tfidf
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term AS top_term, tfidf
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# t13 — fuzzy near-dup pairs by edit distance: Levenshtein over the first
+# 40 normalized chars, blocked by source (the blocking key bounds the
+# O(n²) pair space — the same role the LSH bands play for MinHash).
+# ---------------------------------------------------------------------------
+def t13_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring(F.expr(_NORM), 1, 40).alias("prefix")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, "source")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 20)
+    )
+
+
+T13_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, substr({_D_NORM}, 1, 40) AS prefix FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
+FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 20
+"""
