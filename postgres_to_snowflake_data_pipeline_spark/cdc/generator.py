@@ -43,11 +43,17 @@ def event_projection(
     max_turns: int = 50,
     late_frac_mod: int = 20,
     delete_pct: int = 5,
+    text_bytes: int = 0,
 ) -> list[Column]:
     """The deterministic change-event columns as a pure function of a row
     index column — shared by the batch generator (``spark.range``) and the
     rate-source stream (``sources.rate_change_stream``), so both produce
-    identical rows for identical indices at any parallelism."""
+    identical rows for identical indices at any parallelism.
+
+    ``text_bytes > 0`` pads ``text`` to roughly that many bytes with a
+    deterministic filler (payload-weighted benchmarking: real transcripts
+    carry ~KB turns, not the 40-byte default). The verifiable
+    ``turn text {conv}/{turn} @lsn={lsn}`` prefix is preserved."""
     # --- LSN: main sequence on even numbers; late events dip to odd numbers
     # below earlier events (unique because odd/even never collide and each
     # idx maps to a distinct odd value).
@@ -82,6 +88,12 @@ def event_projection(
     # Deliverable invariant is per-turn *text* equality: make text a pure
     # function of (key, lsn) so any wrong winner is visible.
     text = F.format_string("turn text %s/%s @lsn=%s", conv_id, turn_idx.cast("string"), lsn.cast("string"))
+    if text_bytes > 0:
+        filler = F.repeat(
+            F.md5(F.concat_ws("|", conv_id, lsn.cast("string"))),
+            max(text_bytes // 32, 1),
+        )
+        text = F.concat(text, F.lit(" "), filler)
     ts = F.timestamp_seconds(F.unix_timestamp(F.lit(BASE_TS)) + lsn)
 
     return [
@@ -107,6 +119,7 @@ def change_events(
     delete_pct: int = 5,
     evolved_from: int | None = None,
     num_partitions: int | None = None,
+    text_bytes: int = 0,
 ) -> DataFrame:
     """Build the deterministic change feed as a DataFrame.
 
@@ -126,6 +139,7 @@ def change_events(
         max_turns=max_turns,
         late_frac_mod=late_frac_mod,
         delete_pct=delete_pct,
+        text_bytes=text_bytes,
     )
     df = base.select(*cols, idx.alias("_idx"))
 

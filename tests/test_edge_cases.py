@@ -90,3 +90,18 @@ def test_evolution_case_insensitive_column_match(spark, tmp_path):
     cols = [f.name for f in table.schema().fields]
     assert cols == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
     assert table.read().filter(F.col("text").isNotNull()).count() > 0
+
+
+def test_padded_payload_replay_matches_oracle(spark, tmp_path):
+    """text_bytes padding (payload-weighted benches) preserves the LWW
+    correctness contract — text stays a pure function of (key, lsn)."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.oracle import assert_matches_oracle
+
+    events = change_events(spark, 1500, n_convs=60, text_bytes=256)
+    table = _table(spark, tmp_path, "pad")
+    apply_batch(spark, table, events, epoch=0)
+    assert_matches_oracle(
+        table.read(), events, ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    )
+    n = table.read().filter(F.length("text") >= 250).count()
+    assert n > 0
