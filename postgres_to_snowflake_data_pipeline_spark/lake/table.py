@@ -51,10 +51,11 @@ INTERNAL_FIELDS = [
 INTERNAL_COLS = [f.name for f in INTERNAL_FIELDS]
 
 
-def bucket_expr(col: str, n_buckets: int) -> F.Column:
+def bucket_expr(col: str | F.Column, n_buckets: int) -> F.Column:
     """Deterministic bucket assignment — pure function of the key value, so
     the same key always lands in the same bucket at any cluster size."""
-    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
 
 
 class LakeTable:
@@ -184,6 +185,21 @@ class LakeTable:
         if not include_internal:
             df = df.select(*[f.name for f in snap.schema.fields])
         return df
+
+    def read_key(self, conv_id: str, snapshot_id: int | None = None) -> DataFrame:
+        """Point lookup: current rows for one conversation. Bucket pruning
+        makes this O(one bucket) — only the files of the key's hash bucket
+        are opened (1/n_buckets of the table), then the residual conv_id
+        filter pushes into those parquet scans."""
+        snap = self.current() if snapshot_id is None else self.log.load(snapshot_id)
+        bucket = (
+            self.spark.range(1)
+            .select(bucket_expr(F.lit(conv_id), snap.n_buckets))
+            .first()[0]
+        )
+        return self.read(snapshot_id=snapshot_id, buckets=[int(bucket)]).filter(
+            F.col(snap.key_cols[0]) == conv_id
+        )
 
     def changes(self, since_snapshot_id: int) -> DataFrame:
         """Incremental read: the change rows committed AFTER the given

@@ -87,6 +87,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # multimodal binary plumbing (Arrow-batched decode stubs)
     "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
     "m02_frame_sample": (multimodal.m02_frame_sample, multimodal.M02_SQL),
+    "m03_resize": (multimodal.m03_resize, multimodal.M03_SQL),
 }
 
 

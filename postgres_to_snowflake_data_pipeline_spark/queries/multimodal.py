@@ -147,3 +147,64 @@ SELECT doc_id,
 FROM documents,
      LATERAL unnest(range(0, octet_length(encode(text)) % 30 + 1)) AS t(f)
 """
+
+
+# ---------------------------------------------------------------------------
+# m03 — resize stub: Arrow-batched image resize to a fixed 224×224 target
+# (the training-prep normalization step). The fake scales the byte count by
+# the area ratio — a pure function of the m01 fake dimensions, so the whole
+# decode→resize chain stays oracle-checkable.
+# ---------------------------------------------------------------------------
+RESIZE_TO = 224
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("resized_n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def m03_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    target = RESIZE_TO
+
+    def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # STUB resizer (deterministic fake): byte count scales with the
+        # area ratio; a real deployment calls PIL.Image.resize here with
+        # the identical batch shape. Closure => shipped by value.
+        for pdf in batches:
+            area_ratio = (target * target) / (pdf["width"] * pdf["height"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_width": pdf["width"],
+                    "src_height": pdf["height"],
+                    "width": target,
+                    "height": target,
+                    "resized_n_bytes": (pdf["n_bytes"] * area_ratio)
+                    .astype("int64"),
+                }
+            )
+
+    decoded = m01_multimodal_decode(spark, sf_dir)
+    return decoded.mapInPandas(fake_resize, RESIZED_SCHEMA)
+
+
+M03_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS w,
+         CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INTEGER) AS h
+  FROM documents
+)
+SELECT doc_id, w AS src_width, h AS src_height,
+       {RESIZE_TO} AS width, {RESIZE_TO} AS height,
+       CAST(trunc(n_bytes * (({RESIZE_TO} * {RESIZE_TO}) / CAST(w * h AS DOUBLE))) AS BIGINT)
+           AS resized_n_bytes
+FROM d
+"""

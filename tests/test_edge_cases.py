@@ -105,3 +105,17 @@ def test_padded_payload_replay_matches_oracle(spark, tmp_path):
     )
     n = table.read().filter(F.length("text") >= 250).count()
     assert n > 0
+
+
+def test_point_lookup_bucket_pruned(spark, tmp_path):
+    """read_key returns exactly the full-read rows for that conversation
+    while scanning only the key's hash bucket."""
+    table = _table(spark, tmp_path, "pl")
+    events = change_events(spark, 2000, n_convs=50)
+    apply_batch(spark, table, events, epoch=0)
+    conv = table.read().select("conv_id").first()[0]
+    via_key = table.read_key(conv).orderBy("turn_idx").collect()
+    via_full = (
+        table.read().filter(F.col("conv_id") == conv).orderBy("turn_idx").collect()
+    )
+    assert via_key == via_full and len(via_key) > 0
