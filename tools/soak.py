@@ -1,0 +1,127 @@
+"""Operational soak: producer + continuous stream + crash + retention.
+
+Exercises the engine the way an operator would run it, end to end:
+
+1. a producer appends WAL parquet slices to the feed dir while a
+   continuous streaming merge is running (compaction every 4 epochs);
+2. the stream is KILLED mid-flight and restarted from its checkpoint;
+3. after the producer finishes, an availableNow drain catches up;
+4. snapshots older than the last 3 are expired (orphan-file GC);
+5. the final table state is verified row-for-row against the sequential
+   replay oracle over the full feed, and lineage must reconcile.
+
+Prints one JSON line; exits non-zero on any violation.
+
+    python tools/soak.py [n_events] [n_slices]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    n_slices = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+
+    from pyspark.sql import functions as F
+
+    from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events
+    from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import (
+        CHANGE_EVENT_SCHEMA,
+        TRANSCRIPT_SCHEMA,
+    )
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+    from postgres_to_snowflake_data_pipeline_spark.session import get_spark
+    from postgres_to_snowflake_data_pipeline_spark.streaming.pipeline import run_stream
+
+    spark = get_spark("soak")
+    work = os.path.join(tempfile.gettempdir(), "soak")
+    shutil.rmtree(work, ignore_errors=True)
+    feed = os.path.join(work, "feed")
+    os.makedirs(feed)
+    ckpt = os.path.join(work, "ckpt")
+
+    full = change_events(spark, n_events, n_convs=20_000).persist()
+    max_lsn = full.agg(F.max("lsn")).first()[0]
+    step = (max_lsn + n_slices) // n_slices
+
+    table = LakeTable.create(
+        spark, os.path.join(work, "t"), TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"), n_buckets=32,
+    )
+
+    t0 = time.perf_counter()
+    q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
+                   max_files_per_trigger=2, compact_every=4, available_now=False)
+    killed = False
+    for s in range(n_slices):
+        lo, hi = s * step, (s + 1) * step
+        (full.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+         .coalesce(1).write.mode("append").parquet(feed))
+        if s == n_slices // 2 and not killed:
+            q.stop()            # crash mid-flight
+            q.awaitTermination(60)
+            killed = True
+            q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
+                           max_files_per_trigger=2, compact_every=4,
+                           available_now=False)
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    # catch-up drain of anything unprocessed
+    q2 = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
+                    max_files_per_trigger=4, compact_every=4)
+    q2.awaitTermination(300)
+    wall = time.perf_counter() - t0
+
+    # materialize the lineage mirror BEFORE retention prunes the snapshot
+    # log (the operational ordering: metrics outlive expired snapshots)
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import export_lineage
+
+    lineage_path = os.path.join(work, "lineage")
+    export_lineage(spark, table, lineage_path)
+
+    # retention + GC, then verify
+    gc = table.expire_snapshots(keep_last=3)
+
+    state = table.read().persist()
+    n_state = state.count()
+    # oracle: LWW winner per key over the FULL feed, deletes dropped
+    keys = ["conv_id", "turn_idx"]
+    other = [c for c in full.columns if c not in keys and c != "lsn"]
+    ordered = F.struct(F.col("lsn"), (F.col("op") == "delete").cast("int").alias("_dr"),
+                       *[F.col(c) for c in other])
+    oracle = (full.groupBy(*keys).agg(F.max(ordered).alias("_w"))
+              .select(*keys, "_w.*")
+              .filter(F.col("op") != "delete")
+              .select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    mismatch = state.exceptAll(oracle).count() + oracle.exceptAll(state).count()
+
+    lin = spark.read.parquet(lineage_path)
+    rows_in = lin.agg(F.sum("rows_in")).first()[0]
+    feed_rows = spark.read.parquet(feed).count()
+
+    ok = mismatch == 0 and rows_in == feed_rows
+    print(json.dumps({
+        "soak_events": n_events, "slices": n_slices, "killed_and_restarted": killed,
+        "wall_sec": round(wall, 1), "final_rows": n_state,
+        "state_mismatch_rows": mismatch,
+        "lineage_rows_in": rows_in, "feed_rows": feed_rows,
+        "gc": gc, "snapshots_retained": len(table.snapshots()),
+        "ok": ok,
+    }))
+    shutil.rmtree(work, ignore_errors=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
