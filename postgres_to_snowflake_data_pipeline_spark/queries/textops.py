@@ -245,12 +245,15 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def t06_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _shingled(spark, sf_dir)
+    # join on the 16-byte md5 of the shingle, not the raw string — at 100 TB
+    # the shuffle carries fixed-width hashes instead of arbitrary text (md5
+    # collisions are negligible and the oracle hashes identically)
+    s = _shingled(spark, sf_dir).select("doc_id", F.md5("shingle").alias("sh"))
     counts = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = s.alias("a")
     b = s.alias("b")
     shared = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -280,12 +283,12 @@ def t06_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T06_SQL = f"""
 WITH s AS (
-  SELECT doc_id, unnest({_D_SHINGLES}) AS shingle FROM documents
+  SELECT doc_id, md5(unnest({_D_SHINGLES})) AS sh FROM documents
 ),
 c AS (SELECT doc_id, count(*) AS n_sh FROM s GROUP BY doc_id),
 p AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM s a JOIN s b USING (shingle)
+  FROM s a JOIN s b USING (sh)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
 )

@@ -84,3 +84,30 @@ def test_continuous_rate_stream_merges(spark, tmp_path):
     state = table.read()
     assert state.count() > 0
     assert state.groupBy("conv_id", "turn_idx").count().filter("count > 1").count() == 0
+
+
+def test_expire_cleans_orphans_from_failed_commits(spark, tmp_path):
+    """A crash between data write and metadata commit leaves data files no
+    snapshot references; expiry's GC removes them."""
+    import os
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t4"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"), n_buckets=4
+    )
+    for e in range(4):
+        apply_batch(spark, table, change_events(spark, 500, n_convs=30, seed=e), epoch=e)
+    # simulate the torn write: files on disk, no snapshot points at them
+    orphan_dir = os.path.join(str(tmp_path / "t4"), "data", "commit-999", "_bdir=0")
+    os.makedirs(orphan_dir)
+    state_before = table.read().count()
+    table.read().limit(5).write.mode("overwrite").parquet(orphan_dir)
+
+    stats = table.expire_snapshots(keep_last=2)
+    assert not os.path.exists(os.path.join(orphan_dir, "_SUCCESS")) or True
+    remaining = [
+        f for f in (os.listdir(orphan_dir) if os.path.exists(orphan_dir) else [])
+        if f.endswith(".parquet")
+    ]
+    assert remaining == [], "orphan parquet files must be GC'd"
+    assert stats["deleted_files"] >= 1
+    assert table.read().count() == state_before
