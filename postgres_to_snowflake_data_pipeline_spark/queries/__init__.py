@@ -76,9 +76,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "t09_simhash": (textops.t09_simhash, textops.T09_SQL),
     "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
     "t13_levenshtein_pairs": (textops.t13_levenshtein_pairs, textops.T13_SQL),
-    # scale-path twins (xxhash64 — engine-private hashes, rows-only checks)
-    "t10_minhash_bands_fast": (textops.t10_minhash_bands_fast, None),
-    "t11_minhash_candidates_fast": (textops.t11_minhash_candidates_fast, None),
+    # scale-path twins (multiply-mod hash family — 1 md5/shingle, full oracle)
+    "t10_minhash_bands_fast": (textops.t10_minhash_bands_fast, textops.T10_SQL),
+    "t11_minhash_candidates_fast": (
+        textops.t11_minhash_candidates_fast,
+        textops.T11_SQL,
+    ),
     # similarity search (embeddings)
     "v01_ann_cosine_topk": (simops.v01_ann_cosine_topk, simops.V01_SQL),
     "v02_ann_ivf_cell": (simops.v02_ann_ivf_cell, simops.V02_SQL),

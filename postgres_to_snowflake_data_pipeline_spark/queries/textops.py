@@ -450,26 +450,34 @@ FROM b GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
-# t10 — MinHash bands, scale path (xxhash64): same banding structure as
-# t07 but with Spark's native 64-bit hash intrinsic and NO seed-explode —
-# all 16 min-hashes aggregate in one pass over the shingle explode (16
-# F.min columns), so the pre-shuffle row count is 16x lower than the
-# md5/explode formulation. Engine-private hash values => rows-only check;
-# t07 is the oracle-verified twin of the same algorithm.
+# t10 — MinHash bands, scale path (multiply-mod family): same banding
+# structure as t07 but with ONE md5 per shingle (reduced to a 60-bit int
+# base) and 16 universal-hash draws (a_i*base+b_i) mod p — 16x less hashing
+# work pre-aggregation, and unlike an engine-private intrinsic the values
+# are exactly reproducible in the DuckDB oracle (shared md5 + hex cast +
+# 64-bit modular arithmetic; constants single-sourced from functions.text).
 # ---------------------------------------------------------------------------
 def t10_minhash_bands_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgres_to_snowflake_data_pipeline_spark.functions.text import (
+        minhash_base,
         minhash_signature_fast,
     )
 
-    s = _shingled(spark, sf_dir)
+    s = _shingled(spark, sf_dir).select(
+        "doc_id", minhash_base("shingle").alias("base")
+    )
     minh = s.groupBy("doc_id").agg(
-        *[F.min(c).alias(f"mh_{i}") for i, c in enumerate(minhash_signature_fast("shingle", N_HASHES))]
+        *[F.min(c).alias(f"mh_{i}")
+          for i, c in enumerate(minhash_signature_fast("base", N_HASHES))]
     )
     bands = []
     for band in range(N_HASHES // BAND_SIZE):
-        sig = F.xxhash64(
-            *[F.col(f"mh_{band * BAND_SIZE + j}") for j in range(BAND_SIZE)]
+        sig = F.md5(
+            F.concat_ws(
+                "#",
+                *[F.col(f"mh_{band * BAND_SIZE + j}").cast("string")
+                  for j in range(BAND_SIZE)],
+            )
         )
         bands.append(
             minh.select(
@@ -482,8 +490,47 @@ def t10_minhash_bands_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _fast_family_sql() -> str:
+    """DuckDB CTEs mirroring the multiply-mod MinHash family exactly
+    (same constants as functions.text.MINHASH_AB, inlined)."""
+    from postgres_to_snowflake_data_pipeline_spark.functions.text import (
+        MINHASH_AB,
+        MINHASH_P,
+    )
+
+    ab_rows = ",\n         ".join(
+        f"({i}, {MINHASH_AB[i][0]}, {MINHASH_AB[i][1]})" for i in range(N_HASHES)
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(unnest({_D_SHINGLES})), 1, 15)) AS BIGINT)
+           % {MINHASH_P} AS base
+  FROM documents
+),
+ab(seed, a, b) AS (
+  VALUES {ab_rows}
+),
+seeded AS (
+  SELECT doc_id, seed, (a * base + b) % {MINHASH_P} AS h
+  FROM s CROSS JOIN ab
+),
+minh AS (
+  SELECT doc_id, seed, min(h) AS minh FROM seeded GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, CAST(seed // {BAND_SIZE} AS INTEGER) AS band,
+         md5(string_agg(CAST(minh AS VARCHAR), '#' ORDER BY seed)) AS band_sig
+  FROM minh GROUP BY 1, 2
+)
+"""
+
+
+T10_SQL = _fast_family_sql() + "SELECT doc_id, band, band_sig FROM bands"
+
+
 def t11_minhash_candidates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH bucket-join on the fast signatures (rows-only check)."""
+    """LSH bucket-join on the fast signatures (full oracle parity)."""
     bands = t10_minhash_bands_fast(spark, sf_dir)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -495,6 +542,15 @@ def t11_minhash_candidates_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("bands_shared"))
     )
+
+
+T11_SQL = _fast_family_sql() + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS bands_shared
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
 
 
 # ---------------------------------------------------------------------------
