@@ -146,6 +146,12 @@ def apply_batch(
     if salt_buckets and salt_buckets > 1:
         winners = lww_dedup(events, KEY_COLS, salt_buckets=salt_buckets)
         winners = winners.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))
+        # re-cluster on _bucket before the write: the salted reduction left
+        # the winners partitioned by key-hash, so without this exchange the
+        # partitionBy write would scatter every bucket across all shuffle
+        # partitions — up to shuffle_partitions x n_buckets delta files per
+        # epoch instead of the one-file-per-bucket invariant.
+        winners = winners.repartition(snap0.n_buckets, F.col("_bucket"))
     else:
         bucketed = events.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))
         bucketed = bucketed.repartition(snap0.n_buckets, F.col("_bucket"))
@@ -164,12 +170,27 @@ def apply_batch(
     # (commit key absent), a crash after the commit skips it — in both cases
     # lineage and table state stay consistent (no separate-write race).
     # summary_fn runs post-write/pre-commit, when the Observation is filled.
-    def _obs_metrics() -> dict:
+    def _obs_metrics(rows_merged: int) -> dict:
         # An all-empty batch can leave the CollectMetrics row unset
-        # (LocalRelation-optimized plan) — report zeros rather than fail.
+        # (LocalRelation-optimized plan) — report zeros for THAT case only.
+        # If the merge actually wrote rows, missing metrics means the
+        # Observation node was severed from the executed plan (renamed
+        # column, plan rewrite): surface it instead of committing zeroed
+        # lineage that downstream reconciliation would flag far from here.
         try:
             m = obs.get
-        except Exception:  # noqa: BLE001
+        except Exception as exc:  # no-metrics error from the JVM Observation
+            if rows_merged > 0:
+                raise RuntimeError(
+                    f"epoch {epoch}: merge wrote {rows_merged} rows but the "
+                    "input Observation produced no metrics — lineage would "
+                    "be silently zeroed"
+                ) from exc
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "epoch %s: empty batch, lineage metrics defaulted to zero", epoch
+            )
             return {"rows_in": 0, "lsn_min": None, "lsn_max": None}
         return {k: (int(v) if v is not None else None) for k, v in m.items()}
 

@@ -8,10 +8,14 @@ every record with its relation. This module routes a tagged change feed
 to per-table merges inside ONE epoch.
 
 Scale/consistency notes:
-- Each table's slice is filtered from the same feed DataFrame — Catalyst
-  pushes the `_table = 'x'` predicate into the scan, so each table's apply
-  reads only its rows (at 100 TB the feed would be written partitioned by
-  `_table`, making this partition pruning).
+- The feed is persisted once for the epoch, then each table's slice is a
+  `_table = 'x'` filter over the cached partitions — N per-table applies
+  cost one feed materialization, not N full upstream re-scans (at 100 TB
+  the feed would additionally be written partitioned by `_table`, making
+  the filter partition pruning on the cold read too).
+- Rows routed to unknown tables are tolerated (like the reference's
+  ON_ERROR='CONTINUE') but COUNTED and surfaced on the result, matching
+  the reference's load reports — silent drops hide producer bugs.
 - Per-(table, epoch) commit keys: a crash mid-epoch replays only the
   tables that had not committed — each table independently exactly-once,
   which is also the reference's guarantee (per-table COPY tasks retry
@@ -34,25 +38,40 @@ from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
 TABLE_COL = "_table"
 
 
+class MultiApplyResult(dict):
+    """Per-table ApplyResults (dict API preserved) plus the count of rows
+    routed to unknown tables — tolerated, never silently invisible."""
+
+    unknown_rows: int = 0
+
+
 def apply_multi_table(
     spark: SparkSession,
     tables: dict[str, LakeTable],
     events: DataFrame,
     epoch: int,
     salt_buckets: int | None = None,
-) -> dict[str, ApplyResult]:
+) -> MultiApplyResult:
     """Apply one epoch of a table-tagged change feed to every target table.
 
     ``events`` must carry a ``_table`` column naming the destination; rows
-    tagged with unknown tables are ignored (tolerant routing, like the
-    reference's ON_ERROR='CONTINUE')."""
-    results: dict[str, ApplyResult] = {}
-    for name, table in tables.items():
-        slice_df = events.filter(F.col(TABLE_COL) == name).drop(TABLE_COL)
-        results[name] = apply_batch(
-            spark, table, slice_df, epoch=epoch, salt_buckets=salt_buckets
-        )
-    return results
+    tagged with unknown tables are skipped (tolerant routing, like the
+    reference's ON_ERROR='CONTINUE') and reported via
+    ``result.unknown_rows``."""
+    events = events.persist()
+    try:
+        results = MultiApplyResult()
+        for name, table in tables.items():
+            slice_df = events.filter(F.col(TABLE_COL) == name).drop(TABLE_COL)
+            results[name] = apply_batch(
+                spark, table, slice_df, epoch=epoch, salt_buckets=salt_buckets
+            )
+        results.unknown_rows = events.filter(
+            ~F.col(TABLE_COL).isin(list(tables))
+        ).count()
+        return results
+    finally:
+        events.unpersist()
 
 
 def snapshot_for_epoch(table: LakeTable, epoch: int) -> int | None:

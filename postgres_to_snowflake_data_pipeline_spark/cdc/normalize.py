@@ -34,15 +34,40 @@ def schema_diff(incoming: T.StructType, target: T.StructType) -> dict[str, list[
     }
 
 
+def _orderable(dt: T.DataType) -> bool:
+    """Whether Spark can use the type in an ordering (struct-max LWW dedup
+    folds every payload column into its comparator — see cdc/dedup.py)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def evolve_schema(target: T.StructType, incoming: T.StructType) -> T.StructType:
     """Additive evolution: target schema plus any new incoming fields
-    (appended, forced nullable). Never drops or retypes existing fields."""
+    (appended, forced nullable). Never drops or retypes existing fields.
+
+    Non-orderable column types (MapType anywhere in the field) are rejected
+    with a clear error instead of poisoning the whole dedup/read path with
+    an analysis failure deep inside the LWW comparator."""
     known = {f.name.lower() for f in target.fields}
     extra = [
         T.StructField(f.name, f.dataType, True)
         for f in incoming.fields
         if f.name.lower() not in known
     ]
+    bad = [f for f in extra if not _orderable(f.dataType)]
+    if bad:
+        names = ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in bad)
+        raise ValueError(
+            f"cannot evolve schema with non-orderable column(s) [{names}]: "
+            "CDC LWW dedup orders rows by a struct of every payload column "
+            "and Spark cannot order MapType — encode maps as JSON strings "
+            "or structs"
+        )
     return T.StructType(list(target.fields) + extra)
 
 

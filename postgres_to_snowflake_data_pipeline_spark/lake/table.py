@@ -341,11 +341,11 @@ class LakeTable:
         was already applied (idempotent replay).
 
         ``summary_fn``, if given, is called after the data write and before
-        the metadata commit; its dict is folded into the snapshot summary —
-        the hook for Observation-collected input metrics, so lineage commits
-        atomically with the data it describes. The commit also records
-        per-bucket lineage (rows merged, LSN range) from the written files'
-        parquet footers.
+        the metadata commit with the total rows just written; its dict is
+        folded into the snapshot summary — the hook for Observation-collected
+        input metrics, so lineage commits atomically with the data it
+        describes. The commit also records per-bucket lineage (rows merged,
+        LSN range) collected task-side during the write.
         """
         if commit_key is not None and self.has_commit_key(commit_key):
             return None
@@ -375,7 +375,8 @@ class LakeTable:
             }
             for b, es in sorted(raw.items(), key=lambda kv: int(kv[0]))
         ]
-        extra = summary_fn() if summary_fn is not None else {}
+        total_rows = sum(b["rows_merged"] for b in bucket_lineage)
+        extra = summary_fn(total_rows) if summary_fn is not None else {}
         return self._next_commit(
             new_files,
             target_schema,

@@ -613,7 +613,7 @@ def q17_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q17_SQL = """
 WITH t AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, value, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
                OR ts - lag(ts) OVER w >= INTERVAL '6 hours'
               THEN 1 ELSE 0 END AS new_sess
@@ -621,7 +621,7 @@ WITH t AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 s AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, value
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS sess_id
   FROM t
 )

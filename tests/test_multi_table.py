@@ -39,8 +39,9 @@ def test_routing_matches_per_table_oracle(spark, tmp_path):
     for name, table in tables.items():
         expected = feed.filter(F.col("_table") == name).drop("_table")
         assert_matches_oracle(table.read(), expected, PAYLOAD)
-    # unknown-table rows were tolerated (dropped), not crashed on
-    assert feed.filter("_table = 'unknown'").count() > 0
+    # unknown-table rows were tolerated AND counted (ON_ERROR='CONTINUE'
+    # with a load report, not a silent drop)
+    assert res.unknown_rows == feed.filter("_table = 'unknown'").count() > 0
 
 
 def test_per_table_idempotency_and_epoch_pinning(spark, tmp_path):

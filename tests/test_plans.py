@@ -88,6 +88,29 @@ def test_bucket_aligned_dedup_single_exchange(spark):
     assert n_exchanges(w) == 1, explain_str(w)
 
 
+def test_salted_apply_writes_one_delta_file_per_bucket(spark, tmp_path):
+    """The salted path re-clusters winners on _bucket before the write;
+    without it the stage-2 key-hash partitioning scatters every bucket
+    across all shuffle partitions and partitionBy writes up to
+    shuffle_partitions x n_buckets delta files per epoch."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+    from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+    ev = change_events(spark, 5_000, n_convs=50)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    apply_batch(spark, table, ev, epoch=0, salt_buckets=4)
+    snap = table.current()
+    for b, entries in snap.files.items():
+        deltas = [e for e in entries if e.get("kind") == "delta"]
+        assert len(deltas) <= 1, (
+            f"bucket {b} got {len(deltas)} delta files in one epoch"
+        )
+
+
 def test_naive_dedup_would_double_shuffle(spark):
     """Control for the test above: dedup then bucket-repartition (the naive
     plan) costs two full-row exchanges."""

@@ -69,6 +69,56 @@ def test_schema_diff_and_evolve():
     assert evolve_schema(evolved, CHANGE_EVENT_V2_SCHEMA) == evolved  # idempotent
 
 
+def test_evolve_schema_rejects_non_orderable_types():
+    """MapType anywhere in an added column fails fast with a clear error —
+    the LWW comparator orders a struct of every payload column, and letting
+    a map through would fail analysis deep inside dedup/read instead."""
+    bad = T.StructType(
+        [T.StructField("tool_args", T.MapType(T.StringType(), T.StringType()))]
+    )
+    with pytest.raises(ValueError, match="tool_args.*not.*orderable|non-orderable"):
+        evolve_schema(TRANSCRIPT_SCHEMA, bad)
+    # array-of-map is just as bad; array-of-string is fine
+    nested = T.StructType(
+        [T.StructField("xs", T.ArrayType(T.MapType(T.StringType(), T.LongType())))]
+    )
+    with pytest.raises(ValueError):
+        evolve_schema(TRANSCRIPT_SCHEMA, nested)
+    ok = T.StructType([T.StructField("tags", T.ArrayType(T.StringType()))])
+    assert evolve_schema(TRANSCRIPT_SCHEMA, ok).fieldNames()[-1] == "tags"
+
+
+def test_normalizer_coerces_type_conflicting_payloads(spark):
+    """The reference tolerates loose typing across hops (dbml says VARCHAR,
+    DDL says INTEGER for usuario.idauthuserstatus —
+    /root/reference/dbml/tables_diagram.txt:23 vs
+    create_schema_with_metadata.py:126-137) via Snowflake's
+    MATCH_BY_COLUMN_NAME + ON_ERROR='CONTINUE' COPY. Pin our equivalent:
+    convertible values cross type boundaries in both directions through the
+    Arrow normalizer."""
+    df = spark.createDataFrame(
+        [("c1", "7", 123), ("c2", "42", 456)],
+        T.StructType(
+            [
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.StringType()),  # string -> int
+                T.StructField("role", T.LongType()),        # int -> string
+            ]
+        ),
+    )
+    target = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+        ]
+    )
+    out = {r["conv_id"]: r for r in normalize_to_schema(df, target).collect()}
+    assert out["c1"]["turn_idx"] == 7 and out["c2"]["turn_idx"] == 42
+    assert out["c1"]["role"] == "123" and out["c2"]["role"] == "456"
+    assert normalize_to_schema(df, target).schema == target
+
+
 def test_mid_stream_evolution_matches_oracle(spark, tmp_path):
     """Feed v1 events, then v2 events with new columns, through the
     *streaming* path; old rows read back with NULLs, new rows carry values."""
