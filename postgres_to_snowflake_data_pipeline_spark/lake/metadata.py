@@ -1,36 +1,77 @@
-"""Snapshot metadata log for the lake table.
+"""Snapshot metadata log for the lake table — O(batch) metadata per commit.
 
 Layout (all under the table root):
 
-    _meta/v{N}.json   -- immutable snapshot N (schema, file lists, summary)
+    _meta/v{N}.json   -- immutable snapshot N (schema, manifest list, summary)
+    _meta/m{N}.json   -- immutable manifest: the file entries ADDED (or the
+                         bucket file-lists REPLACED) by commit N
     _meta/_current    -- single line: latest committed snapshot number
-    data/...          -- immutable parquet data files referenced by snapshots
+    data/...          -- immutable parquet data files referenced by manifests
 
-Commit protocol: write ``v{N}.json`` and the new ``_current`` via
-write-temp-then-``os.rename`` — atomic on POSIX, so a reader never observes
-a partial snapshot and a crashed writer leaves at most unreferenced temp
-files (never a corrupt log). Single-writer by design (one streaming query
-owns a table); a production deployment swaps this module for an Iceberg
-catalog whose compare-and-swap commit provides multi-writer safety.
+Manifest-list indirection (Iceberg-style): a snapshot does NOT re-serialize
+the cumulative file map — it stores an ordered list of manifest pointers
+``{path, op, buckets}``; the full map is reconstructed by folding manifests
+in order (``append`` extends a bucket's file list, ``replace`` sets it).
+Each merge therefore writes O(batch) metadata, not O(table history), and a
+compaction commit PRUNES every parent manifest whose buckets it fully
+replaces — so the manifest list stays O(commits since last compaction)
+rather than O(all commits). Manifests are immutable and cached in memory.
 
-Idempotency: every snapshot carries the set of **commit keys**
-(``epoch:{id}`` from the streaming sink) it folded in, plus the cumulative
-set from its parent — so "was this epoch already applied?" is one O(1) set
-lookup on the current snapshot, exactly the Iceberg snapshot-summary
-pattern the north rule names.
+Commit protocol: write the manifest, then ``v{N}.json``, then the new
+``_current`` via write-temp-then-``os.rename`` — atomic on POSIX, so a
+reader never observes a partial snapshot and a crashed writer leaves at
+most unreferenced temp/manifest files (never a corrupt log). Single-writer
+by design (one streaming query owns a table); a production deployment swaps
+this module for an Iceberg catalog whose compare-and-swap commit provides
+multi-writer safety.
+
+Idempotency: "was this epoch already applied?" must not require a
+cumulative key list (at 10^3-10^4 epochs that list itself becomes the
+quadratic-metadata problem). Epoch-shaped keys (``epoch:{n}``) are
+compressed to a **high-watermark**: ``epoch_watermark = w`` means every
+epoch ≤ w is committed; only out-of-order epochs and non-epoch keys remain
+in the residual ``commit_keys`` list — O(1) state for the common
+contiguous-epoch replay, with ``commit_count`` preserving the total for
+observability.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from dataclasses import dataclass, field
-from typing import Any
+from typing import Any, Callable
 
 from pyspark.sql import types as T
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
+
+_EPOCH_RE = re.compile(r"^epoch:(\d+)$")
+
+
+def epoch_of(key: str) -> int | None:
+    """The epoch number of an ``epoch:{n}`` commit key, else None."""
+    m = _EPOCH_RE.match(key)
+    return int(m.group(1)) if m else None
+
+
+def fold_commit_keys(
+    watermark: int, residual: list[str], new_key: str | None
+) -> tuple[int, list[str]]:
+    """Advance the epoch high-watermark with ``new_key`` folded in; return
+    (new_watermark, new_residual). Contiguous epochs collapse into the
+    watermark; gaps and non-epoch keys stay listed explicitly."""
+    keys = set(residual)
+    if new_key is not None:
+        keys.add(new_key)
+    w = watermark
+    for e in sorted(e for e in (epoch_of(k) for k in keys) if e is not None):
+        if e == w + 1:
+            w = e
+    keep = sorted(k for k in keys if (epoch_of(k) is None or epoch_of(k) > w))
+    return w, keep
 
 
 @dataclass
@@ -40,13 +81,40 @@ class Snapshot:
     schema_json: dict[str, Any]          # Spark StructType.jsonValue()
     n_buckets: int
     key_cols: list[str]
-    files: dict[str, list[str]]          # bucket (as str) -> data file paths (table-relative)
+    #: ordered manifest pointers: {"path": "m{N}.json", "op": "append"|"replace",
+    #: "buckets": [str, ...]} — folded in order to reconstruct the file map
+    manifests: list[dict[str, Any]] = field(default_factory=list)
     summary: dict[str, Any] = field(default_factory=dict)
-    commit_keys: list[str] = field(default_factory=list)  # cumulative
+    #: residual keys only (epochs above the watermark, non-epoch keys)
+    commit_keys: list[str] = field(default_factory=list)
+    #: every epoch ≤ watermark is committed (-1 = none)
+    epoch_watermark: int = -1
+    #: total commit keys ever folded in (observability; the cumulative count)
+    commit_count: int = 0
+    #: resolved bucket -> file-entry list; lazily folded from manifests
+    _files: dict[str, list[dict[str, Any]]] | None = field(
+        default=None, repr=False, compare=False
+    )
+    _resolver: Callable[[list[dict[str, Any]]], dict[str, list[dict[str, Any]]]] | None = field(
+        default=None, repr=False, compare=False
+    )
 
     @property
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(self.schema_json)
+
+    @property
+    def files(self) -> dict[str, list[dict[str, Any]]]:
+        if self._files is None:
+            assert self._resolver is not None, "detached snapshot has no file map"
+            self._files = self._resolver(self.manifests)
+        return self._files
+
+    def has_commit_key(self, key: str) -> bool:
+        e = epoch_of(key)
+        if e is not None and e <= self.epoch_watermark:
+            return True
+        return key in self.commit_keys
 
     def to_json(self) -> dict[str, Any]:
         return {
@@ -56,33 +124,45 @@ class Snapshot:
             "schema": self.schema_json,
             "n_buckets": self.n_buckets,
             "key_cols": self.key_cols,
-            "files": self.files,
+            "manifests": self.manifests,
             "summary": self.summary,
             "commit_keys": self.commit_keys,
+            "epoch_watermark": self.epoch_watermark,
+            "commit_count": self.commit_count,
         }
 
     @staticmethod
     def from_json(d: dict[str, Any]) -> "Snapshot":
-        return Snapshot(
+        snap = Snapshot(
             snapshot_id=d["snapshot_id"],
             parent_id=d.get("parent_id"),
             schema_json=d["schema"],
             n_buckets=d["n_buckets"],
             key_cols=d["key_cols"],
-            files=d["files"],
+            manifests=d.get("manifests", []),
             summary=d.get("summary", {}),
             commit_keys=d.get("commit_keys", []),
+            epoch_watermark=d.get("epoch_watermark", -1),
+            commit_count=d.get("commit_count", len(d.get("commit_keys", []))),
         )
+        if "files" in d:  # format v1: inline cumulative file map
+            snap._files = d["files"]
+        return snap
 
 
 class MetadataLog:
     def __init__(self, table_root: str):
         self.root = table_root
         self.meta_dir = os.path.join(table_root, "_meta")
+        self._manifest_cache: dict[str, dict[str, list[dict[str, Any]]]] = {}
+        self._snap_cache: dict[int, Snapshot] = {}
 
     # -- paths ---------------------------------------------------------
     def _snap_path(self, sid: int) -> str:
         return os.path.join(self.meta_dir, f"v{sid}.json")
+
+    def manifest_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, name)
 
     def _current_path(self) -> str:
         return os.path.join(self.meta_dir, "_current")
@@ -98,9 +178,39 @@ class MetadataLog:
         except FileNotFoundError:
             return None
 
+    def _load_manifest(self, name: str) -> dict[str, list[dict[str, Any]]]:
+        m = self._manifest_cache.get(name)
+        if m is None:
+            with open(self.manifest_path(name)) as f:
+                m = json.load(f)["files"]
+            self._manifest_cache[name] = m
+        return m
+
+    def resolve_files(
+        self, manifests: list[dict[str, Any]]
+    ) -> dict[str, list[dict[str, Any]]]:
+        """Fold the manifest list (in commit order) into the full
+        bucket -> file-entries map. Entry dicts are shared with the cache
+        (treat as immutable); the lists are fresh copies."""
+        files: dict[str, list[dict[str, Any]]] = {}
+        for m in manifests:
+            data = self._load_manifest(m["path"])
+            if m["op"] == "replace":
+                for b, es in data.items():
+                    files[b] = list(es)
+            else:
+                for b, es in data.items():
+                    files.setdefault(b, []).extend(es)
+        return files
+
     def load(self, sid: int) -> Snapshot:
-        with open(self._snap_path(sid)) as f:
-            return Snapshot.from_json(json.load(f))
+        snap = self._snap_cache.get(sid)
+        if snap is None:
+            with open(self._snap_path(sid)) as f:
+                snap = Snapshot.from_json(json.load(f))
+            snap._resolver = self.resolve_files
+            self._snap_cache[sid] = snap
+        return snap
 
     def current(self) -> Snapshot | None:
         sid = self.current_id()
@@ -121,10 +231,25 @@ class MetadataLog:
         return list(reversed(out))
 
     def delete_snapshot(self, sid: int) -> None:
+        self._snap_cache.pop(sid, None)
         try:
             os.remove(self._snap_path(sid))
         except FileNotFoundError:
             pass
+
+    def delete_manifest(self, name: str) -> None:
+        self._manifest_cache.pop(name, None)
+        try:
+            os.remove(self.manifest_path(name))
+        except FileNotFoundError:
+            pass
+
+    def list_manifests(self) -> list[str]:
+        try:
+            return [f for f in os.listdir(self.meta_dir)
+                    if f.startswith("m") and f.endswith(".json")]
+        except FileNotFoundError:
+            return []
 
     # -- atomic commit ---------------------------------------------------
     def _atomic_write(self, path: str, payload: str) -> None:
@@ -135,7 +260,23 @@ class MetadataLog:
             os.fsync(f.fileno())
         os.rename(tmp, path)
 
-    def commit(self, snap: Snapshot) -> None:
+    def commit(
+        self,
+        snap: Snapshot,
+        new_manifest: tuple[str, dict[str, list[dict[str, Any]]]] | None = None,
+    ) -> None:
+        """Commit a snapshot; ``new_manifest`` = (name, bucket->entries) is
+        the delta this commit introduces (None for metadata-only commits).
+        Manifest first, then snapshot, then the _current pointer — each
+        atomic, so a crash at any point leaves a readable table."""
         os.makedirs(self.meta_dir, exist_ok=True)
+        if new_manifest is not None:
+            name, files = new_manifest
+            self._atomic_write(
+                self.manifest_path(name), json.dumps({"files": files})
+            )
+            self._manifest_cache[name] = files
+        snap._resolver = self.resolve_files
         self._atomic_write(self._snap_path(snap.snapshot_id), json.dumps(snap.to_json()))
         self._atomic_write(self._current_path(), str(snap.snapshot_id))
+        self._snap_cache[snap.snapshot_id] = snap

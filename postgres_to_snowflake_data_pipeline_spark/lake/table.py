@@ -41,7 +41,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from postgres_to_snowflake_data_pipeline_spark.lake.metadata import MetadataLog, Snapshot
+from postgres_to_snowflake_data_pipeline_spark.lake.metadata import (
+    MetadataLog,
+    Snapshot,
+    fold_commit_keys,
+)
 
 INTERNAL_FIELDS = [
     T.StructField("_lsn", T.LongType(), False),
@@ -86,10 +90,10 @@ class LakeTable:
             schema_json=schema.jsonValue(),
             n_buckets=n_buckets,
             key_cols=list(key_cols),
-            files={},
+            manifests=[],
             summary={"operation": "create"},
-            commit_keys=[],
         )
+        snap._files = {}
         t.log.commit(snap)
         return t
 
@@ -112,7 +116,7 @@ class LakeTable:
         return self.current().schema
 
     def has_commit_key(self, key: str) -> bool:
-        return key in set(self.current().commit_keys)
+        return self.current().has_commit_key(key)
 
     def snapshots(self) -> list[Snapshot]:
         return self.log.history()
@@ -240,17 +244,18 @@ class LakeTable:
     # ------------------------------------------------------------------
     # write path
     # ------------------------------------------------------------------
-    def _write_data(self, df: DataFrame, commit_dir: str) -> dict[str, list[dict[str, Any]]]:
-        """Write rows partitioned by bucket; return bucket -> file entries.
+    def _write_data(
+        self, df: DataFrame, commit_dir: str
+    ) -> tuple[dict[str, list[dict[str, Any]]], list[dict[str, Any]]]:
+        """Write rows partitioned by bucket; return (bucket -> file entries,
+        per-bucket stats rows).
 
-        Each entry carries row count and ``_lsn`` min/max harvested from the
-        parquet footer just written — free statistics (no extra Spark job)
-        that feed the per-partition lineage rows and let reads skip files
-        by LSN range. Footers are read driver-side; on an object store at
-        4096-bucket scale this becomes a task-side stats collection instead
-        (footer GETs are still O(files), not O(rows))."""
-        import pyarrow.parquet as pq
-
+        Stats (row count, ``_lsn`` min/max per bucket) come from a
+        DISTRIBUTED read-back of the files just written, pruned to two
+        columns — executors do the work, the driver only lists file names.
+        The previous design parsed every parquet footer driver-side, which
+        serializes the commit path on O(files) metadata GETs at
+        4096-bucket object-store scale."""
         out = os.path.join(self.root, commit_dir)
         (
             df.withColumn("_bdir", F.col("_bucket"))
@@ -258,40 +263,42 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out)
         )
-        files: dict[str, list[dict[str, Any]]] = {}
-        for d in os.listdir(out):
-            if not d.startswith("_bdir="):
-                continue
-            b = d.split("=", 1)[1]
-            entries = []
-            for f in os.listdir(os.path.join(out, d)):
-                if not f.endswith(".parquet"):
-                    continue
-                full = os.path.join(out, d, f)
-                md = pq.ParquetFile(full).metadata
-                lsn_lo = lsn_hi = None
-                try:
-                    idx = [md.schema.column(i).name for i in range(md.num_columns)].index("_lsn")
-                    mins, maxs = [], []
-                    for rg in range(md.num_row_groups):
-                        st = md.row_group(rg).column(idx).statistics
-                        if st is not None and st.has_min_max:
-                            mins.append(st.min)
-                            maxs.append(st.max)
-                    if mins:
-                        lsn_lo, lsn_hi = min(mins), max(maxs)
-                except ValueError:
-                    pass
-                entries.append(
-                    {
-                        "path": os.path.join(commit_dir, d, f),
-                        "rows": md.num_rows,
-                        "lsn_min": lsn_lo,
-                        "lsn_max": lsn_hi,
-                    }
+        bdirs = [d for d in os.listdir(out) if d.startswith("_bdir=")]
+        if not bdirs:
+            return {}, []
+        stats = {
+            str(r["_bdir"]): r
+            for r in (
+                self.spark.read.parquet(out)
+                .groupBy("_bdir")
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.min("_lsn").alias("lsn_min"),
+                    F.max("_lsn").alias("lsn_max"),
                 )
-            files[b] = entries
-        return files
+                .collect()
+            )
+        }
+        files: dict[str, list[dict[str, Any]]] = {}
+        bucket_stats: list[dict[str, Any]] = []
+        for d in sorted(bdirs, key=lambda d: int(d.split("=", 1)[1])):
+            b = d.split("=", 1)[1]
+            files[b] = [
+                {"path": os.path.join(commit_dir, d, f)}
+                for f in os.listdir(os.path.join(out, d))
+                if f.endswith(".parquet")
+            ]
+            r = stats.get(b)
+            bucket_stats.append(
+                {
+                    "bucket": int(b),
+                    "rows_merged": int(r["rows"]) if r else 0,
+                    "lsn_min": r["lsn_min"] if r else None,
+                    "lsn_max": r["lsn_max"] if r else None,
+                    "n_files": len(files[b]),
+                }
+            )
+        return files, bucket_stats
 
     def _next_commit(
         self,
@@ -302,26 +309,53 @@ class LakeTable:
         replace_buckets: bool,
     ) -> Snapshot:
         parent = self.current()
+        sid = parent.snapshot_id + 1
+        # in-memory full map for this snapshot's readers (commit itself only
+        # persists the delta manifest — O(batch) metadata per commit)
         files = {b: list(fs) for b, fs in parent.files.items()}
         for b, fs in new_files.items():
             if replace_buckets:
-                files[b] = fs
+                files[b] = list(fs)
             else:
                 files.setdefault(b, []).extend(fs)
-        keys = list(parent.commit_keys)
-        if commit_key is not None:
-            keys.append(commit_key)
+        if replace_buckets:
+            # a replace commit supersedes every parent manifest whose
+            # buckets it fully covers — the pruning that keeps the manifest
+            # list O(commits since last compaction)
+            covered = set(new_files)
+            manifests = [
+                m for m in parent.manifests if not set(m["buckets"]) <= covered
+            ]
+        else:
+            manifests = list(parent.manifests)
+        new_manifest = None
+        if new_files:
+            name = f"m{sid}.json"
+            manifests = manifests + [
+                {
+                    "path": name,
+                    "op": "replace" if replace_buckets else "append",
+                    "buckets": sorted(new_files),
+                }
+            ]
+            new_manifest = (name, new_files)
+        watermark, residual = fold_commit_keys(
+            parent.epoch_watermark, parent.commit_keys, commit_key
+        )
         snap = Snapshot(
-            snapshot_id=parent.snapshot_id + 1,
+            snapshot_id=sid,
             parent_id=parent.snapshot_id,
             schema_json=schema.jsonValue(),
             n_buckets=parent.n_buckets,
             key_cols=parent.key_cols,
-            files=files,
+            manifests=manifests,
             summary=dict(summary, committed_at_unix=time.time()),
-            commit_keys=keys,
+            commit_keys=residual,
+            epoch_watermark=watermark,
+            commit_count=parent.commit_count + (commit_key is not None),
         )
-        self.log.commit(snap)
+        snap._files = files
+        self.log.commit(snap, new_manifest=new_manifest)
         return snap
 
     def merge(
@@ -363,18 +397,8 @@ class LakeTable:
             # affected bucket per commit (no small-file explosion across epochs)
             df = df.select(*ordered).repartition(F.col("_bucket"))
         commit_dir = os.path.join("data", f"commit-{snap.snapshot_id + 1}")
-        raw = self._write_data(df, commit_dir)
+        raw, bucket_lineage = self._write_data(df, commit_dir)
         new_files = {b: [dict(e, kind="delta") for e in es] for b, es in raw.items()}
-        bucket_lineage = [
-            {
-                "bucket": int(b),
-                "rows_merged": sum(e["rows"] for e in es),
-                "lsn_min": min((e["lsn_min"] for e in es if e["lsn_min"] is not None), default=None),
-                "lsn_max": max((e["lsn_max"] for e in es if e["lsn_max"] is not None), default=None),
-                "n_files": len(es),
-            }
-            for b, es in sorted(raw.items(), key=lambda kv: int(kv[0]))
-        ]
         total_rows = sum(b["rows_merged"] for b in bucket_lineage)
         extra = summary_fn(total_rows) if summary_fn is not None else {}
         return self._next_commit(
@@ -413,11 +437,27 @@ class LakeTable:
                 os.rmdir(dirpath)
         for s in expired:
             self.log.delete_snapshot(s.snapshot_id)
+        # manifest GC: a manifest written by an expired commit stays alive
+        # as long as any KEPT snapshot's manifest list points at it
+        live_manifests = {m["path"] for s in keep for m in s.manifests}
+        for name in self.log.list_manifests():
+            if name not in live_manifests:
+                self.log.delete_manifest(name)
         return {
             "expired_snapshots": len(expired),
             "deleted_files": deleted,
             "freed_bytes": freed,
         }
+
+    def buckets_needing_compaction(self, max_files: int) -> list[int]:
+        """Buckets whose file count exceeds ``max_files`` — the read-
+        amplification trigger. O(metadata): consults the in-memory file map
+        only, no storage listing."""
+        return sorted(
+            int(b)
+            for b, fs in self.current().files.items()
+            if len(fs) > max_files
+        )
 
     def compact(self, buckets: list[int] | None = None) -> Snapshot:
         """Fold delta files into per-bucket base files (copy-on-write).
@@ -439,7 +479,7 @@ class LakeTable:
             "_bucket", *snap.key_cols
         )
         commit_dir = os.path.join("data", f"compact-{snap.snapshot_id + 1}")
-        raw = self._write_data(df, commit_dir)
+        raw, _stats = self._write_data(df, commit_dir)
         new_files = {b: [dict(e, kind="base") for e in es] for b, es in raw.items()}
         for b in todo:  # buckets whose rows were all... always rewritten
             new_files.setdefault(str(b), [])

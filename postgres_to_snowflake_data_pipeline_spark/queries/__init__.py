@@ -87,6 +87,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "v02_ann_ivf_cell": (simops.v02_ann_ivf_cell, simops.V02_SQL),
     "v03_embedding_near_dup": (simops.v03_embedding_near_dup, simops.V03_SQL),
     "v04_ann_lsh_bucketed": (simops.v04_ann_lsh_bucketed, simops.V04_SQL),
+    "v05_ann_lsh_multiprobe": (simops.v05_ann_lsh_multiprobe, simops.V05_SQL),
     # multimodal binary plumbing (Arrow-batched decode stubs)
     "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
     "m02_frame_sample": (multimodal.m02_frame_sample, multimodal.M02_SQL),

@@ -248,6 +248,33 @@ def _oracle_bucket_sql(vec: str) -> str:
     return " + ".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# v05 — multi-probe LSH ANN: probe the query's bucket AND every bucket at
+# Hamming distance 1 (flip each of the 8 sign bits) — 9 bucketed probes per
+# query instead of 1. The recall knob: near neighbors that landed just
+# across one hyperplane are recovered, while the join stays bucket-equi
+# (9x the probe rows, still nothing like a cross join; candidates keep ONE
+# bucket each so no pair dedup is needed).
+# ---------------------------------------------------------------------------
+def v05_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    with_bucket = emb.select("vec_id", "embedding", _bucket_of("embedding"))
+    probes = F.array(
+        F.col("bucket"), *[F.expr(f"bucket ^ {1 << p}") for p in range(N_PLANES)]
+    )
+    queries = with_bucket.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.explode(probes).alias("bucket"),
+    )
+    cands = with_bucket.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_embedding"),
+        "bucket",
+    )
+    return _topk(cands.join(F.broadcast(queries), "bucket").drop("bucket"), k=3)
+
+
 V04_SQL = f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -255,6 +282,39 @@ WITH e AS (
   FROM embeddings
 ),
 q AS (SELECT vec_id AS query_id, v AS qe, bucket FROM e WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, v AS ce, bucket FROM e WHERE vec_id >= {N_QUERIES}),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+               6) AS cosine
+  FROM c JOIN q USING (bucket)
+)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+"""
+
+
+def _probe_list_sql() -> str:
+    probes = ", ".join(f"xor(bucket, {1 << p})" for p in range(N_PLANES))
+    return f"[bucket, {probes}]"
+
+
+V05_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {_oracle_bucket_sql("embedding::DOUBLE[]")} AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qe, unnest({_probe_list_sql()}) AS bucket
+  FROM e WHERE vec_id < {N_QUERIES}
+),
 c AS (SELECT vec_id AS neighbor_id, v AS ce, bucket FROM e WHERE vec_id >= {N_QUERIES}),
 scored AS (
   SELECT query_id, neighbor_id,

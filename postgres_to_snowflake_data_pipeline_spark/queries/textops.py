@@ -562,16 +562,22 @@ def t12_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = _with_tokens(load(spark, sf_dir, "documents"))
-    n_docs = d.count()  # corpus-level scalar (metadata-cheap)
     tf = (
         d.select("doc_id", F.explode("toks").alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df_tbl = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df_tbl), "term").withColumn(
-        "tfidf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    # corpus size as a broadcast 1-row relation, not a separate driver-side
+    # count() action — the whole query stays one job
+    n = d.select(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tbl), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("term")
@@ -607,17 +613,23 @@ WHERE rn = 1
 
 # ---------------------------------------------------------------------------
 # t13 — fuzzy near-dup pairs by edit distance: Levenshtein over the first
-# 40 normalized chars, blocked by source (the blocking key bounds the
-# O(n²) pair space — the same role the LSH bands play for MinHash).
+# 40 normalized chars, blocked on (source, first-4-chars). The block key is
+# part of the operator's semantics (like LSH bands): only same-block pairs
+# are compared, which bounds per-block pair counts even when one source
+# dominates — blocking on source alone left the pair space near-quadratic
+# per source at 100x scale. The oracle applies the identical blocking, so
+# the check stays exact.
 # ---------------------------------------------------------------------------
 def t13_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.substring(F.expr(_NORM), 1, 40).alias("prefix")
-    )
+        "doc_id",
+        "source",
+        F.substring(F.expr(_NORM), 1, 40).alias("prefix"),
+    ).withColumn("p4", F.substring("prefix", 1, 4))
     a = d.alias("a")
     b = d.alias("b")
     return (
-        a.join(b, "source")
+        a.join(b, ["source", "p4"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -630,10 +642,12 @@ def t13_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T13_SQL = f"""
 WITH d AS (
-  SELECT doc_id, source, substr({_D_NORM}, 1, 40) AS prefix FROM documents
+  SELECT doc_id, source, substr({_D_NORM}, 1, 40) AS prefix,
+         substr({_D_NORM}, 1, 4) AS p4
+  FROM documents
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(levenshtein(a.prefix, b.prefix) AS INTEGER) AS edit_dist
-FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+FROM d a JOIN d b ON a.source = b.source AND a.p4 = b.p4 AND a.doc_id < b.doc_id
 WHERE levenshtein(a.prefix, b.prefix) <= 20
 """

@@ -49,8 +49,8 @@ def write_report_jdbc(
 ) -> None:
     """JDBC report writeback (the reference recomputes the report into
     Supabase, silver_layer_dag.py:82-127; we write the already-computed
-    DataFrame). Configuration-complete; exercised only against a real
-    database."""
+    DataFrame). Exercised end-to-end against embedded Derby in
+    tests/test_jdbc.py."""
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)

@@ -85,7 +85,8 @@ def jdbc_changefeed(
     Postgres table fed by `pg_logical_slot_get_changes` or a Debezium
     outbox). Partitioning on the LSN column gives `num_partitions`
     concurrent range scans — the reference's single-threaded
-    `pd.read_sql_query` (export_to_s3.py:74-76) parallelized."""
+    `pd.read_sql_query` (export_to_s3.py:74-76) parallelized. Exercised
+    end-to-end against embedded Derby in tests/test_jdbc.py."""
     reader = (
         spark.read.format("jdbc")
         .option("url", url)

@@ -57,6 +57,7 @@ def run_stream(
     lineage_path: str | None = None,
     max_files_per_trigger: int = 1,
     compact_every: int = 16,
+    compact_max_files: int | None = None,
     salt_buckets: int | None = None,
     available_now: bool = True,
     watermark_delay: str | None = None,
@@ -75,7 +76,14 @@ def run_stream(
     rows older than the advanced watermark are discarded as late. Leave it
     off (default) when arrival order is not event-time-ordered; correctness
     never depends on this shed (duplicate LSNs are idempotent under the
-    merge, and read-time LWW resolves cross-batch conflicts by LSN)."""
+    merge, and read-time LWW resolves cross-batch conflicts by LSN).
+
+    Compaction triggers compose: ``compact_every`` fires on an epoch cadence
+    (predictable write amplification); ``compact_max_files`` additionally
+    compacts just the buckets whose file count exceeded the bound — the
+    read-amplification guard when batch sizes vary wildly (a cadence-only
+    trigger lets per-bucket file counts grow unbounded between firings when
+    many small batches arrive)."""
     events = read_feed_stream(spark, feed_path, event_schema, max_files_per_trigger)
     if watermark_delay is not None:
         events = events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
@@ -93,6 +101,10 @@ def run_stream(
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
             table.compact()
+        elif compact_max_files:
+            over = table.buckets_needing_compaction(compact_max_files)
+            if over:
+                table.compact(buckets=over)
 
     writer = events.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

@@ -1,0 +1,65 @@
+"""ANN recall on PLANTED near neighbors: the LSH probes trade recall for
+pruning, and the trade is only measurable when true near-duplicates exist
+(on pure-noise embeddings the exact top-3 are ~orthogonal pairs that no
+locality-sensitive scheme can or should bucket together).
+
+The fixture plants 3 high-cosine perturbations of every query vector in a
+sea of random noise; ground truth is v01 (exact brute-force cosine).
+Multi-probe (v05) must dominate single-probe (v04) recall while staying a
+bucket-equi join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from postgres_to_snowflake_data_pipeline_spark.queries import simops
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    dim, n_q, per_q, n_noise = simops.DIM, simops.N_QUERIES, 3, 200
+    rows = []
+    vid = 0
+    qs = []
+    for _ in range(n_q):
+        q = rng.standard_normal(dim)
+        q /= np.linalg.norm(q)
+        qs.append(q)
+        rows.append((vid, q.astype(np.float32).tolist(), vid % 4))
+        vid += 1
+    for q in qs:  # planted near neighbors: cosine ~0.97
+        for _ in range(per_q):
+            v = q + 0.25 * rng.standard_normal(dim) / np.sqrt(dim)
+            rows.append((vid, v.astype(np.float32).tolist(), vid % 4))
+            vid += 1
+    for _ in range(n_noise):
+        v = rng.standard_normal(dim)
+        rows.append((vid, v.astype(np.float32).tolist(), vid % 4))
+        vid += 1
+    d = tmp_path_factory.mktemp("planted")
+    pd.DataFrame(rows, columns=["vec_id", "embedding", "label"]).to_parquet(
+        d / "embeddings.parquet"
+    )
+    return str(d)
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, planted_dir):
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in simops.v01_ann_cosine_topk(spark, planted_dir).collect()
+        if r["rnk"] <= 3
+    }
+    assert len(exact) == simops.N_QUERIES * 3
+    single = _pairs(simops.v04_ann_lsh_bucketed(spark, planted_dir))
+    multi = _pairs(simops.v05_ann_lsh_multiprobe(spark, planted_dir))
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi >= 0.8, f"multi-probe recall {r_multi:.2f} below target"

@@ -1,0 +1,105 @@
+"""Metadata scale contracts: O(batch) bytes per commit, manifest pruning
+at compaction, and epoch-watermark commit-key compression.
+
+At 10^10 events in ~10^3 epochs the old design (every snapshot
+re-serializing the cumulative file map + cumulative commit keys) wrote
+metadata quadratic in commits; these tests pin the replacement."""
+
+from __future__ import annotations
+
+import os
+
+from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch, replay_feed
+from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events, write_feed
+from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+from postgres_to_snowflake_data_pipeline_spark.lake.metadata import fold_commit_keys
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+
+def _snapshot_bytes(table: LakeTable) -> dict[int, int]:
+    meta = table.log.meta_dir
+    return {
+        int(f[1:-5]): os.path.getsize(os.path.join(meta, f))
+        for f in os.listdir(meta)
+        if f.startswith("v") and f.endswith(".json")
+    }
+
+
+def test_snapshot_metadata_stays_o_batch(spark, tmp_path):
+    """Snapshot JSON size must plateau across epochs (manifest-list
+    indirection + watermark compression), not grow with history."""
+    feed = str(tmp_path / "feed")
+    write_feed(change_events(spark, 12_000, n_convs=300), feed, n_files=4)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    replay_feed(spark, table, feed, epochs=16, compact_every=4)
+    sizes = _snapshot_bytes(table)
+    # the commit pattern is a sawtooth (merges accumulate manifests until a
+    # compaction prunes them); compare the PEAK of the first cycle with the
+    # peak of the last — a design that accumulates per-commit metadata
+    # would show the late peak far above the early one
+    n = max(sizes)
+    early_peak = max(v for k, v in sizes.items() if 1 <= k <= 5)
+    late_peak = max(v for k, v in sizes.items() if k >= n - 5)
+    assert late_peak <= early_peak * 1.5 + 512, (
+        f"snapshot metadata grows with history: early peak={early_peak}B, "
+        f"late peak={late_peak}B"
+    )
+    # watermark swallowed the contiguous epochs: no residual key list
+    snap = table.current()
+    assert snap.epoch_watermark == 15
+    assert snap.commit_keys == []
+    assert snap.commit_count == 16
+    # manifest pruning: compaction replaced the delta manifests, so the
+    # list is O(commits since last compaction), not O(all commits)
+    assert len(snap.manifests) <= 8, snap.manifests
+
+
+def test_commit_key_watermark_handles_out_of_order_epochs(spark, tmp_path):
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+        n_buckets=4,
+    )
+    ev = change_events(spark, 200, n_convs=10)
+    apply_batch(spark, table, ev, epoch=0)
+    apply_batch(spark, table, ev, epoch=2)  # gap: epoch 1 missing
+    snap = table.current()
+    assert snap.epoch_watermark == 0 and snap.commit_keys == ["epoch:2"]
+    assert table.has_commit_key("epoch:0")
+    assert table.has_commit_key("epoch:2")
+    assert not table.has_commit_key("epoch:1")
+    apply_batch(spark, table, ev, epoch=1)  # gap closes -> watermark jumps
+    snap = table.current()
+    assert snap.epoch_watermark == 2 and snap.commit_keys == []
+    for e in range(3):
+        assert apply_batch(spark, table, ev, epoch=e).skipped
+
+
+def test_fold_commit_keys_pure():
+    assert fold_commit_keys(-1, [], "epoch:0") == (0, [])
+    assert fold_commit_keys(0, [], "epoch:5") == (0, ["epoch:5"])
+    assert fold_commit_keys(0, ["epoch:5"], "epoch:1") == (1, ["epoch:5"])
+    # chain absorption: 2,3,4 queued then 1 arrives
+    assert fold_commit_keys(0, ["epoch:2", "epoch:3", "epoch:4"], "epoch:1") == (4, [])
+    # non-epoch keys never compress
+    assert fold_commit_keys(3, [], "manual:x") == (3, ["manual:x"])
+
+
+def test_expire_gcs_unreferenced_manifests(spark, tmp_path):
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+        n_buckets=4,
+    )
+    for e in range(6):
+        apply_batch(spark, table, change_events(spark, 300, n_convs=20, seed=e), epoch=e)
+    table.compact()
+    before = set(table.log.list_manifests())
+    table.expire_snapshots(keep_last=2)
+    after = set(table.log.list_manifests())
+    live = {m["path"] for s in table.snapshots() for m in s.manifests}
+    assert after == live, "manifest GC left unreferenced manifests"
+    assert after <= before
+    # table still fully readable
+    assert table.read().count() > 0

@@ -118,3 +118,18 @@ def test_naive_dedup_would_double_shuffle(spark):
     w = lww_dedup(ev).withColumn("_bucket", bucket_expr("conv_id", 16))
     w2 = w.repartition(16, F.col("_bucket"))
     assert n_exchanges(w2) == 2
+
+
+def test_t13_blocking_bounds_pair_space(spark, sf_dir):
+    """The (source, 4-char-prefix) block key must fragment each source's
+    docs into small blocks — the guard that keeps the Levenshtein pair
+    space from going quadratic when one source dominates."""
+    from postgres_to_snowflake_data_pipeline_spark.functions.text import norm_text
+    from postgres_to_snowflake_data_pipeline_spark.queries.reference import load
+
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.substring(norm_text("text"), 1, 4).alias("p4")
+    )
+    per_source = d.groupBy("source").count().agg(F.max("count")).first()[0]
+    per_block = d.groupBy("source", "p4").count().agg(F.max("count")).first()[0]
+    assert per_block * 3 <= per_source, (per_block, per_source)

@@ -52,13 +52,12 @@ def test_stream_restart_from_checkpoint_reconverges(spark, setup):
     import time
     deadline = time.time() + 120
     while time.time() < deadline:
-        if len(table.current().commit_keys) >= 3:
+        if table.current().commit_count >= 3:
             break
         time.sleep(1)
     q.stop()
     q.awaitTermination(60)
-    mid_keys = set(table.current().commit_keys)
-    assert len(mid_keys) >= 3, "stream made no progress before kill"
+    assert table.current().commit_count >= 3, "stream made no progress before kill"
     # phase 2: restart from the same checkpoint; drain the rest
     q2 = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                     max_files_per_trigger=1)
@@ -104,4 +103,19 @@ def test_watermarked_duplicate_shed_matches_oracle(spark, setup):
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                    max_files_per_trigger=2, watermark_delay="12 hours")
     q.awaitTermination(300)
+    assert_matches_oracle(table.read(), events, PAYLOAD)
+
+
+def test_file_count_compaction_trigger_bounds_read_amplification(spark, setup):
+    """With the epoch-cadence trigger off, the file-count trigger alone must
+    keep per-bucket file counts bounded across many tiny micro-batches —
+    and the result still matches the oracle."""
+    events, feed, table, ckpt, _ = setup
+    q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
+                   max_files_per_trigger=1, compact_every=0,
+                   compact_max_files=3)
+    q.awaitTermination(300)
+    worst = max(len(fs) for fs in table.current().files.values())
+    # one over-bound epoch may land after the last compaction check
+    assert worst <= 3 + 1, f"bucket has {worst} files despite trigger"
     assert_matches_oracle(table.read(), events, PAYLOAD)

@@ -90,6 +90,20 @@ def main() -> None:
     lineage_path = os.path.join(work, "lineage")
     export_lineage(spark, table, lineage_path)
 
+    # metadata-growth audit BEFORE retention deletes old snapshots: commit
+    # metadata must be O(batch), i.e. the per-snapshot bytes sawtooth
+    # (merges accumulate manifests until compaction prunes) must not trend
+    # upward across the run
+    meta = table.log.meta_dir
+    sizes = {
+        int(f[1:-5]): os.path.getsize(os.path.join(meta, f))
+        for f in os.listdir(meta) if f.startswith("v") and f.endswith(".json")
+    }
+    n_snap = max(sizes)
+    early_peak = max(v for k, v in sizes.items() if k <= max(6, n_snap // 4))
+    late_peak = max(v for k, v in sizes.items() if k >= n_snap - 6)
+    meta_bounded = late_peak <= early_peak * 2 + 1024
+
     # retention + GC, then verify
     gc = table.expire_snapshots(keep_last=3)
 
@@ -110,12 +124,14 @@ def main() -> None:
     rows_in = lin.agg(F.sum("rows_in")).first()[0]
     feed_rows = spark.read.parquet(feed).count()
 
-    ok = mismatch == 0 and rows_in == feed_rows
+    ok = mismatch == 0 and rows_in == feed_rows and meta_bounded
     print(json.dumps({
         "soak_events": n_events, "slices": n_slices, "killed_and_restarted": killed,
         "wall_sec": round(wall, 1), "final_rows": n_state,
         "state_mismatch_rows": mismatch,
         "lineage_rows_in": rows_in, "feed_rows": feed_rows,
+        "meta_bytes_early_peak": early_peak, "meta_bytes_late_peak": late_peak,
+        "meta_bounded": meta_bounded,
         "gc": gc, "snapshots_retained": len(table.snapshots()),
         "ok": ok,
     }))
