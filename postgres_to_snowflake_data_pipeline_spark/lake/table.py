@@ -250,12 +250,17 @@ class LakeTable:
         """Write rows partitioned by bucket; return (bucket -> file entries,
         per-bucket stats rows).
 
-        Stats (row count, ``_lsn`` min/max per bucket) come from a
-        DISTRIBUTED read-back of the files just written, pruned to two
-        columns — executors do the work, the driver only lists file names.
-        The previous design parsed every parquet footer driver-side, which
-        serializes the commit path on O(files) metadata GETs at
-        4096-bucket object-store scale."""
+        Stats (row count, ``_lsn`` min/max per bucket) are collected
+        adaptively, mirroring Spark's own listing strategy
+        (``parallelPartitionDiscovery.threshold``): below
+        ``STATS_DRIVER_THRESHOLD`` files the driver reads the parquet
+        footers directly (sub-millisecond each on a local store, no job
+        overhead); above it a DISTRIBUTED footer read runs instead — the V2
+        parquet source with aggregate pushdown answers the per-bucket
+        COUNT/MIN/MAX from row-group statistics in executor tasks, so at
+        4096-bucket object-store scale the commit path never serializes on
+        O(files) driver GETs. Both paths produce identical stats
+        (pinned by tests/test_metadata.py)."""
         out = os.path.join(self.root, commit_dir)
         (
             df.withColumn("_bdir", F.col("_bucket"))
@@ -266,19 +271,16 @@ class LakeTable:
         bdirs = [d for d in os.listdir(out) if d.startswith("_bdir=")]
         if not bdirs:
             return {}, []
-        stats = {
-            str(r["_bdir"]): r
-            for r in (
-                self.spark.read.parquet(out)
-                .groupBy("_bdir")
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.min("_lsn").alias("lsn_min"),
-                    F.max("_lsn").alias("lsn_max"),
-                )
-                .collect()
-            )
-        }
+        n_files = sum(
+            1
+            for d in bdirs
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        )
+        if n_files <= self.STATS_DRIVER_THRESHOLD:
+            stats = self._driver_stats(out, bdirs)
+        else:
+            stats = {str(r["_bdir"]): r for r in self._read_back_stats(out)}
         files: dict[str, list[dict[str, Any]]] = {}
         bucket_stats: list[dict[str, Any]] = []
         for d in sorted(bdirs, key=lambda d: int(d.split("=", 1)[1])):
@@ -299,6 +301,71 @@ class LakeTable:
                 }
             )
         return files, bucket_stats
+
+    #: file-count cutoff between driver-side footer reads and the
+    #: distributed pushdown read-back (cf. Spark's
+    #: spark.sql.sources.parallelPartitionDiscovery.threshold)
+    STATS_DRIVER_THRESHOLD = 256
+
+    def _driver_stats(self, out: str, bdirs: list[str]) -> dict[str, dict]:
+        """Per-bucket (rows, lsn min/max) from parquet footers read on the
+        driver — the cheap path for small commits on a fast store."""
+        import pyarrow.parquet as pq
+
+        stats: dict[str, dict] = {}
+        for d in bdirs:
+            b = d.split("=", 1)[1]
+            rows, mins, maxs = 0, [], []
+            for f in os.listdir(os.path.join(out, d)):
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(out, d, f)).metadata
+                rows += md.num_rows
+                try:
+                    idx = [
+                        md.schema.column(i).name for i in range(md.num_columns)
+                    ].index("_lsn")
+                except ValueError:
+                    continue
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        mins.append(st.min)
+                        maxs.append(st.max)
+            stats[b] = {
+                "rows": rows,
+                "lsn_min": min(mins) if mins else None,
+                "lsn_max": max(maxs) if maxs else None,
+            }
+        return stats
+
+    def _read_back_stats(self, out: str) -> list:
+        """Per-bucket (rows, lsn min/max) of the files under ``out`` via the
+        V2 parquet source with aggregate pushdown: the COUNT/MIN/MAX grouped
+        by the partition column are answered from row-group statistics in
+        executor tasks — a distributed footer read, no row data scanned."""
+        conf = self.spark.conf
+        v1_list = conf.get("spark.sql.sources.useV1SourceList")
+        agg_pd = conf.get("spark.sql.parquet.aggregatePushDown", "false")
+        try:
+            conf.set(
+                "spark.sql.sources.useV1SourceList",
+                ",".join(s for s in v1_list.split(",") if s != "parquet"),
+            )
+            conf.set("spark.sql.parquet.aggregatePushDown", "true")
+            return (
+                self.spark.read.parquet(out)
+                .groupBy("_bdir")
+                .agg(
+                    F.count(F.lit(1)).alias("rows"),
+                    F.min("_lsn").alias("lsn_min"),
+                    F.max("_lsn").alias("lsn_max"),
+                )
+                .collect()
+            )
+        finally:
+            conf.set("spark.sql.sources.useV1SourceList", v1_list)
+            conf.set("spark.sql.parquet.aggregatePushDown", agg_pd)
 
     def _next_commit(
         self,

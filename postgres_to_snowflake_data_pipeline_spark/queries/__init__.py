@@ -76,6 +76,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "t09_simhash": (textops.t09_simhash, textops.T09_SQL),
     "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
     "t13_levenshtein_pairs": (textops.t13_levenshtein_pairs, textops.T13_SQL),
+    "t14_rolling_fingerprint": (
+        textops.t14_rolling_fingerprint,
+        textops.T14_SQL,
+    ),
     # scale-path twins (multiply-mod hash family — 1 md5/shingle, full oracle)
     "t10_minhash_bands_fast": (textops.t10_minhash_bands_fast, textops.T10_SQL),
     "t11_minhash_candidates_fast": (

@@ -651,3 +651,51 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM d a JOIN d b ON a.source = b.source AND a.p4 = b.p4 AND a.doc_id < b.doc_id
 WHERE levenshtein(a.prefix, b.prefix) <= 20
 """
+
+
+# ---------------------------------------------------------------------------
+# t14 — rolling-hash document fingerprint: left-fold a polynomial hash
+# (acc*B + tok) mod p over the per-token 60-bit md5 bases. Order-sensitive
+# (unlike the set-style md5 fingerprint t04): token transpositions change
+# the fingerprint. One narrow projection, no shuffle, no UDF — the fold is
+# a higher-order `aggregate` inside codegen; DuckDB's `list_reduce` is the
+# oracle twin (both left-fold with the first element as init).
+# ---------------------------------------------------------------------------
+ROLL_B = 1_000_003
+ROLL_P = 2_147_483_647
+
+_BASES = (
+    f"transform({_TOKS}, t -> pmod(CAST(conv(substr(md5(t), 1, 15), 16, 10)"
+    f" AS BIGINT), {ROLL_P}))"
+)
+
+
+def t14_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fold = (
+        f"aggregate(slice(b, 2, size(b) - 1), element_at(b, 1), "
+        f"(acc, x) -> pmod(acc * {ROLL_B}L + x, {ROLL_P}L))"
+    )
+    return d.withColumn("b", F.expr(_BASES)).select(
+        "doc_id",
+        F.size("b").alias("n_tokens"),
+        F.when(F.size("b") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr(fold))
+        .alias("rolling_fp"),
+    )
+
+
+T14_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform({_D_TOKS},
+             t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                  % {ROLL_P}) AS bases
+  FROM documents
+)
+SELECT doc_id, CAST(len(bases) AS INTEGER) AS n_tokens,
+       CASE WHEN len(bases) = 0 THEN NULL
+            ELSE list_reduce(bases, (acc, x) -> (acc * {ROLL_B} + x) % {ROLL_P})
+       END AS rolling_fp
+FROM b
+"""

@@ -103,3 +103,19 @@ def test_expire_gcs_unreferenced_manifests(spark, tmp_path):
     assert after <= before
     # table still fully readable
     assert table.read().count() > 0
+
+
+def test_driver_and_distributed_stats_paths_agree(spark, tmp_path):
+    """The adaptive stats collection must yield identical per-bucket
+    lineage whichever side of the file-count threshold it takes."""
+    ev = change_events(spark, 2_000, n_convs=60)
+    lineages = []
+    for name, threshold in (("drv", 10**9), ("dist", 0)):
+        table = LakeTable.create(
+            spark, str(tmp_path / name), TRANSCRIPT_SCHEMA,
+            ("conv_id", "turn_idx"), n_buckets=8,
+        )
+        table.STATS_DRIVER_THRESHOLD = threshold
+        apply_batch(spark, table, ev, epoch=0)
+        lineages.append(table.current().summary["bucket_lineage"])
+    assert lineages[0] == lineages[1]
