@@ -186,6 +186,16 @@ class MetadataLog:
             self._manifest_cache[name] = m
         return m
 
+    def manifest_of(self, sid: int) -> dict[str, list[dict[str, Any]]] | None:
+        """The delta manifest written BY commit ``sid`` (bucket -> entries
+        added in that commit), or None if the commit added no files. The
+        incremental-read primitive: a changefeed consumer asks exactly
+        'what did commit N add?' without reconstructing any file map."""
+        try:
+            return self._load_manifest(f"m{sid}.json")
+        except FileNotFoundError:
+            return None
+
     def resolve_files(
         self, manifests: list[dict[str, Any]]
     ) -> dict[str, list[dict[str, Any]]]:

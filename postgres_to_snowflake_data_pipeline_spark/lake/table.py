@@ -124,14 +124,19 @@ class LakeTable:
     # ------------------------------------------------------------------
     # read path
     # ------------------------------------------------------------------
-    def _read_files(self, snap: Snapshot, entries: list[dict[str, Any]]) -> DataFrame | None:
+    def _read_files(
+        self,
+        snap: Snapshot,
+        entries: list[dict[str, Any]],
+        fields: list[T.StructField] | None = None,
+    ) -> DataFrame | None:
         paths = [os.path.join(self.root, e["path"]) for e in entries]
         if not paths:
             return None
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         # name-based resolution: fields absent from every read file (written
         # pre-evolution) come back as NULL columns of the declared type
-        want = list(snap.schema.fields) + INTERNAL_FIELDS
+        want = list(fields if fields is not None else snap.schema.fields) + INTERNAL_FIELDS
         cols = []
         have = {c.lower() for c in df.columns}
         for fld in want:
@@ -167,9 +172,25 @@ class LakeTable:
         include_internal: bool = False,
         include_tombstones: bool = False,
         buckets: list[int] | None = None,
+        columns: list[str] | None = None,
     ) -> DataFrame:
-        """Current (or time-travel) state of the table as a DataFrame."""
+        """Current (or time-travel) state of the table as a DataFrame.
+
+        ``columns`` pushes projection THROUGH the LWW resolution: the
+        resolve aggregates ``max(struct(payload...))``, and Catalyst cannot
+        prune columns out of a struct constructor — so without this, a
+        consumer's ``.select("conv_id")`` still scans and shuffles every
+        payload column. With it, only (keys + requested + internal) columns
+        are read and shuffled — the difference between moving 2 columns and
+        moving a 100 TB text column for a count-style consumer."""
         snap = self.current() if snapshot_id is None else self.log.load(snapshot_id)
+        want_fields = list(snap.schema.fields)
+        if columns is not None:
+            missing = set(columns) - {f.name for f in want_fields}
+            if missing:
+                raise ValueError(f"unknown columns: {sorted(missing)}")
+            keep = set(columns) | set(snap.key_cols)
+            want_fields = [f for f in want_fields if f.name in keep]
         entries: list[dict[str, Any]] = []
         has_delta = False
         for b, fs in snap.files.items():
@@ -178,16 +199,16 @@ class LakeTable:
             for e in fs:
                 entries.append(e)
                 has_delta = has_delta or e.get("kind") == "delta"
-        df = self._read_files(snap, entries)
+        df = self._read_files(snap, entries, fields=want_fields)
         if df is None:
-            fields = list(snap.schema.fields) + (INTERNAL_FIELDS if include_internal else [])
+            fields = want_fields + (INTERNAL_FIELDS if include_internal else [])
             return self.spark.createDataFrame([], T.StructType(fields))
         if has_delta:
             df = self._resolve_lww(df, snap.key_cols)
         if not include_tombstones:
             df = df.filter(~F.col("_deleted"))
         if not include_internal:
-            df = df.select(*[f.name for f in snap.schema.fields])
+            df = df.select(*[f.name for f in want_fields])
         return df
 
     def read_key(self, conv_id: str, snapshot_id: int | None = None) -> DataFrame:
@@ -212,10 +233,11 @@ class LakeTable:
 
         Returns one row per key per merge commit in the range, with
         ``lsn``, ``op`` ('upsert'/'delete') and the payload columns.
-        Only the delta files added by those commits are scanned (their
-        paths are recorded per commit), so cost is O(new data), not
-        O(table). Compaction commits rewrite existing rows and are
-        correctly skipped."""
+        Only the delta files added by those commits are scanned — each
+        merge's file list comes straight from its own delta manifest
+        (O(1) metadata lookups, no file-map reconstruction or path
+        matching). Compaction commits rewrite existing rows and are
+        correctly skipped (they carry no merge manifest)."""
         snap = self.current()
         entries: list[dict[str, Any]] = []
         for s in self.log.history():
@@ -223,11 +245,11 @@ class LakeTable:
                 continue
             if s.summary.get("operation") != "merge":
                 continue
-            commit_dir = os.path.join("data", f"commit-{s.snapshot_id}")
-            for fs in s.files.values():
-                for e in fs:
-                    if e["path"].startswith(commit_dir):
-                        entries.append(e)
+            added = self.log.manifest_of(s.snapshot_id)
+            if added is None:
+                continue  # empty-batch merge: metadata-only commit
+            for fs in added.values():
+                entries.extend(fs)
         df = self._read_files(snap, entries)
         if df is None:
             fields = [

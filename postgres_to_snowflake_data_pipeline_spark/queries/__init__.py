@@ -56,6 +56,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q16_hourly_rollup": (reference.q16_hourly_rollup, reference.Q16_SQL),
     "q17_session_windows": (reference.q17_session_windows, reference.Q17_SQL),
     "q18_json_extract": (reference.q18_json_extract, reference.Q18_SQL),
+    "q19_percentile_stats": (
+        reference.q19_percentile_stats,
+        reference.Q19_SQL,
+    ),
     "j01_asof_join": (temporal.j01_asof_join, temporal.J01_SQL),
     "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
     # text analysis / dedup (training-data ops)

@@ -668,3 +668,42 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# q19 — exact grouped percentiles: the distribution-profile operator for
+# the metrics layer (the reference's data_summary reports only counts and
+# maxima, s3_to_snowflake_dag.py:209-250; a 100 TB metrics table needs
+# distributional stats). Spark's exact `percentile` and DuckDB's
+# `quantile_cont` share linear interpolation, so the oracle is exact.
+# At true 10^10 scale the same query swaps in approx_percentile with an
+# error bound — structurally identical plan, partial-aggregated sketches.
+# ---------------------------------------------------------------------------
+def q19_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("priority")
+    )
+
+
+Q19_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""

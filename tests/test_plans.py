@@ -133,3 +133,31 @@ def test_t13_blocking_bounds_pair_space(spark, sf_dir):
     per_source = d.groupBy("source").count().agg(F.max("count")).first()[0]
     per_block = d.groupBy("source", "p4").count().agg(F.max("count")).first()[0]
     assert per_block * 3 <= per_source, (per_block, per_source)
+
+
+def test_projected_read_prunes_scan_through_lww(spark, tmp_path):
+    """read(columns=...) must push projection through the LWW max(struct)
+    resolve: the parquet scan reads only keys+requested+internal columns
+    (Catalyst cannot prune columns out of a struct constructor on its own),
+    and the result matches the full read's projection."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+    from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+    from postgres_to_snowflake_data_pipeline_spark.plans.inspect import (
+        read_schema_columns,
+    )
+
+    ev = change_events(spark, 3_000, n_convs=80)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+        n_buckets=4,
+    )
+    apply_batch(spark, table, ev, epoch=0)
+    apply_batch(spark, table, change_events(spark, 1_000, n_convs=80, seed=9), epoch=1)
+
+    narrow = table.read(columns=["role"])
+    for scan in read_schema_columns(narrow):
+        assert "text" not in scan and "tool" not in scan, scan
+    full = table.read().select("conv_id", "turn_idx", "role")
+    assert narrow.exceptAll(full).count() == 0
+    assert full.exceptAll(narrow).count() == 0
