@@ -66,8 +66,11 @@ def apply_multi_table(
             results[name] = apply_batch(
                 spark, table, slice_df, epoch=epoch, salt_buckets=salt_buckets
             )
+        # null-safe: ~isin(...) evaluates to NULL (not TRUE) for NULL tags,
+        # which filter() would drop — exactly the silent loss this counter
+        # exists to surface
         results.unknown_rows = events.filter(
-            ~F.col(TABLE_COL).isin(list(tables))
+            ~F.col(TABLE_COL).isin(list(tables)) | F.col(TABLE_COL).isNull()
         ).count()
         return results
     finally:

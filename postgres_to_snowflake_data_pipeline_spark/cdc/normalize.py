@@ -46,28 +46,31 @@ def _orderable(dt: T.DataType) -> bool:
     return True
 
 
+def assert_orderable_schema(schema: T.StructType) -> None:
+    """Reject non-orderable column types (MapType anywhere in a field)
+    with a clear error instead of poisoning the dedup/read path with an
+    analysis failure deep inside the LWW comparator. Shared by table
+    CREATION and schema EVOLUTION — both paths admit payload columns."""
+    bad = [f for f in schema.fields if not _orderable(f.dataType)]
+    if bad:
+        names = ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in bad)
+        raise ValueError(
+            f"non-orderable column(s) [{names}]: CDC LWW dedup orders rows "
+            "by a struct of every payload column and Spark cannot order "
+            "MapType — encode maps as JSON strings or structs"
+        )
+
+
 def evolve_schema(target: T.StructType, incoming: T.StructType) -> T.StructType:
     """Additive evolution: target schema plus any new incoming fields
-    (appended, forced nullable). Never drops or retypes existing fields.
-
-    Non-orderable column types (MapType anywhere in the field) are rejected
-    with a clear error instead of poisoning the whole dedup/read path with
-    an analysis failure deep inside the LWW comparator."""
+    (appended, forced nullable). Never drops or retypes existing fields."""
     known = {f.name.lower() for f in target.fields}
     extra = [
         T.StructField(f.name, f.dataType, True)
         for f in incoming.fields
         if f.name.lower() not in known
     ]
-    bad = [f for f in extra if not _orderable(f.dataType)]
-    if bad:
-        names = ", ".join(f"{f.name}: {f.dataType.simpleString()}" for f in bad)
-        raise ValueError(
-            f"cannot evolve schema with non-orderable column(s) [{names}]: "
-            "CDC LWW dedup orders rows by a struct of every payload column "
-            "and Spark cannot order MapType — encode maps as JSON strings "
-            "or structs"
-        )
+    assert_orderable_schema(T.StructType(extra))
     return T.StructType(list(target.fields) + extra)
 
 

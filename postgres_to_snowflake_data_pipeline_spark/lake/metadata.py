@@ -28,11 +28,12 @@ multi-writer safety.
 Idempotency: "was this epoch already applied?" must not require a
 cumulative key list (at 10^3-10^4 epochs that list itself becomes the
 quadratic-metadata problem). Epoch-shaped keys (``epoch:{n}``) are
-compressed to a **high-watermark**: ``epoch_watermark = w`` means every
-epoch ≤ w is committed; only out-of-order epochs and non-epoch keys remain
-in the residual ``commit_keys`` list — O(1) state for the common
-contiguous-epoch replay, with ``commit_count`` preserving the total for
-observability.
+compressed to a **watermark range**: every epoch in
+``[epoch_base, epoch_watermark]`` is committed (base anchors at the first
+epoch ever seen, so checkpoints that resume at batch N>0 still compress);
+only out-of-range epochs and non-epoch keys remain in the residual
+``commit_keys`` list — O(1) state for the common contiguous-epoch replay,
+with ``commit_count`` preserving the total for observability.
 """
 
 from __future__ import annotations
@@ -58,20 +59,36 @@ def epoch_of(key: str) -> int | None:
 
 
 def fold_commit_keys(
-    watermark: int, residual: list[str], new_key: str | None
-) -> tuple[int, list[str]]:
+    base: int | None,
+    watermark: int,
+    residual: list[str],
+    new_key: str | None,
+) -> tuple[int | None, int, list[str]]:
     """Advance the epoch high-watermark with ``new_key`` folded in; return
-    (new_watermark, new_residual). Contiguous epochs collapse into the
-    watermark; gaps and non-epoch keys stay listed explicitly."""
+    (new_base, new_watermark, new_residual). The committed range is
+    [base, watermark]: contiguous epochs collapse into it, gaps and
+    non-epoch keys stay listed explicitly. ``base`` anchors at the FIRST
+    epoch ever committed — a stream whose batch ids resume at N>0 (resumed
+    checkpoint, table added to a fleet mid-stream) still compresses, and
+    epochs below base are correctly reported as not-committed."""
     keys = set(residual)
     if new_key is not None:
         keys.add(new_key)
+    epochs = sorted(e for e in (epoch_of(k) for k in keys) if e is not None)
+    if base is None and epochs:
+        base = epochs[0]
+        watermark = base - 1
     w = watermark
-    for e in sorted(e for e in (epoch_of(k) for k in keys) if e is not None):
+    for e in epochs:
         if e == w + 1:
             w = e
-    keep = sorted(k for k in keys if (epoch_of(k) is None or epoch_of(k) > w))
-    return w, keep
+
+    def _covered(k: str) -> bool:
+        e = epoch_of(k)
+        return e is not None and base is not None and base <= e <= w
+
+    keep = sorted(k for k in keys if not _covered(k))
+    return base, w, keep
 
 
 @dataclass
@@ -85,10 +102,12 @@ class Snapshot:
     #: "buckets": [str, ...]} — folded in order to reconstruct the file map
     manifests: list[dict[str, Any]] = field(default_factory=list)
     summary: dict[str, Any] = field(default_factory=dict)
-    #: residual keys only (epochs above the watermark, non-epoch keys)
+    #: residual keys only (epochs outside [base, watermark], non-epoch keys)
     commit_keys: list[str] = field(default_factory=list)
-    #: every epoch ≤ watermark is committed (-1 = none)
+    #: every epoch in [epoch_base, epoch_watermark] is committed
+    #: (base None = no epochs committed yet)
     epoch_watermark: int = -1
+    epoch_base: int | None = None
     #: total commit keys ever folded in (observability; the cumulative count)
     commit_count: int = 0
     #: resolved bucket -> file-entry list; lazily folded from manifests
@@ -112,7 +131,11 @@ class Snapshot:
 
     def has_commit_key(self, key: str) -> bool:
         e = epoch_of(key)
-        if e is not None and e <= self.epoch_watermark:
+        if (
+            e is not None
+            and self.epoch_base is not None
+            and self.epoch_base <= e <= self.epoch_watermark
+        ):
             return True
         return key in self.commit_keys
 
@@ -128,6 +151,7 @@ class Snapshot:
             "summary": self.summary,
             "commit_keys": self.commit_keys,
             "epoch_watermark": self.epoch_watermark,
+            "epoch_base": self.epoch_base,
             "commit_count": self.commit_count,
         }
 
@@ -143,10 +167,12 @@ class Snapshot:
             summary=d.get("summary", {}),
             commit_keys=d.get("commit_keys", []),
             epoch_watermark=d.get("epoch_watermark", -1),
+            epoch_base=d.get("epoch_base"),
             commit_count=d.get("commit_count", len(d.get("commit_keys", []))),
         )
         if "files" in d:  # format v1: inline cumulative file map
             snap._files = d["files"]
+            snap._legacy_inline_files = True
         return snap
 
 
@@ -213,13 +239,24 @@ class MetadataLog:
                     files.setdefault(b, []).extend(es)
         return files
 
+    #: cap on cached snapshots — each may hold a resolved O(table-files)
+    #: file map, so an unbounded cache grows O(commits x files) in driver
+    #: memory over a 10^4-epoch stream even though disk metadata is
+    #: O(batch). FIFO eviction; evicted snapshots simply re-load/re-resolve.
+    SNAP_CACHE_MAX = 64
+
+    def _cache_snap(self, snap: Snapshot) -> None:
+        self._snap_cache[snap.snapshot_id] = snap
+        while len(self._snap_cache) > self.SNAP_CACHE_MAX:
+            self._snap_cache.pop(next(iter(self._snap_cache)))
+
     def load(self, sid: int) -> Snapshot:
         snap = self._snap_cache.get(sid)
         if snap is None:
             with open(self._snap_path(sid)) as f:
                 snap = Snapshot.from_json(json.load(f))
             snap._resolver = self.resolve_files
-            self._snap_cache[sid] = snap
+            self._cache_snap(snap)
         return snap
 
     def current(self) -> Snapshot | None:
@@ -289,4 +326,4 @@ class MetadataLog:
         snap._resolver = self.resolve_files
         self._atomic_write(self._snap_path(snap.snapshot_id), json.dumps(snap.to_json()))
         self._atomic_write(self._current_path(), str(snap.snapshot_id))
-        self._snap_cache[snap.snapshot_id] = snap
+        self._cache_snap(snap)

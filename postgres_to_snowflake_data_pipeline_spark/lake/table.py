@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from postgres_to_snowflake_data_pipeline_spark.cdc.normalize import assert_orderable_schema
 from postgres_to_snowflake_data_pipeline_spark.lake.metadata import (
     MetadataLog,
     Snapshot,
@@ -83,6 +84,9 @@ class LakeTable:
         t = cls(spark, root)
         if t.log.exists():
             raise ValueError(f"table already exists at {root}")
+        # same orderability contract as schema evolution: a MapType payload
+        # column would poison the LWW comparator at first merge/read
+        assert_orderable_schema(schema)
         os.makedirs(root, exist_ok=True)
         snap = Snapshot(
             snapshot_id=0,
@@ -365,29 +369,28 @@ class LakeTable:
         """Per-bucket (rows, lsn min/max) of the files under ``out`` via the
         V2 parquet source with aggregate pushdown: the COUNT/MIN/MAX grouped
         by the partition column are answered from row-group statistics in
-        executor tasks — a distributed footer read, no row data scanned."""
-        conf = self.spark.conf
-        v1_list = conf.get("spark.sql.sources.useV1SourceList")
-        agg_pd = conf.get("spark.sql.parquet.aggregatePushDown", "false")
-        try:
-            conf.set(
-                "spark.sql.sources.useV1SourceList",
-                ",".join(s for s in v1_list.split(",") if s != "parquet"),
+        executor tasks — a distributed footer read, no row data scanned.
+
+        Runs in a CHILD session (``newSession``: shared SparkContext,
+        isolated SQLConf) so flipping the V2-source/pushdown confs can
+        never race concurrent queries planned on the main session."""
+        s = self.spark.newSession()
+        v1_list = s.conf.get("spark.sql.sources.useV1SourceList")
+        s.conf.set(
+            "spark.sql.sources.useV1SourceList",
+            ",".join(x for x in v1_list.split(",") if x != "parquet"),
+        )
+        s.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+        return (
+            s.read.parquet(out)
+            .groupBy("_bdir")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("_lsn").alias("lsn_min"),
+                F.max("_lsn").alias("lsn_max"),
             )
-            conf.set("spark.sql.parquet.aggregatePushDown", "true")
-            return (
-                self.spark.read.parquet(out)
-                .groupBy("_bdir")
-                .agg(
-                    F.count(F.lit(1)).alias("rows"),
-                    F.min("_lsn").alias("lsn_min"),
-                    F.max("_lsn").alias("lsn_max"),
-                )
-                .collect()
-            )
-        finally:
-            conf.set("spark.sql.sources.useV1SourceList", v1_list)
-            conf.set("spark.sql.parquet.aggregatePushDown", agg_pd)
+            .collect()
+        )
 
     def _next_commit(
         self,
@@ -407,29 +410,42 @@ class LakeTable:
                 files[b] = list(fs)
             else:
                 files.setdefault(b, []).extend(fs)
-        if replace_buckets:
-            # a replace commit supersedes every parent manifest whose
-            # buckets it fully covers — the pruning that keeps the manifest
-            # list O(commits since last compaction)
-            covered = set(new_files)
-            manifests = [
-                m for m in parent.manifests if not set(m["buckets"]) <= covered
-            ]
-        else:
-            manifests = list(parent.manifests)
-        new_manifest = None
-        if new_files:
+        if getattr(parent, "_legacy_inline_files", False):
+            # upgrade commit atop a format-v1 snapshot (inline cumulative
+            # file map, no manifests): persist the ENTIRE merged map as one
+            # replace manifest so the manifest chain is self-contained —
+            # without this, a restart would resolve only the post-upgrade
+            # deltas and expire_snapshots would GC the pre-upgrade data
             name = f"m{sid}.json"
-            manifests = manifests + [
-                {
-                    "path": name,
-                    "op": "replace" if replace_buckets else "append",
-                    "buckets": sorted(new_files),
-                }
+            manifests = [
+                {"path": name, "op": "replace", "buckets": sorted(files)}
             ]
-            new_manifest = (name, new_files)
-        watermark, residual = fold_commit_keys(
-            parent.epoch_watermark, parent.commit_keys, commit_key
+            new_manifest = (name, files)
+        else:
+            if replace_buckets:
+                # a replace commit supersedes every parent manifest whose
+                # buckets it fully covers — the pruning that keeps the
+                # manifest list O(commits since last compaction)
+                covered = set(new_files)
+                manifests = [
+                    m for m in parent.manifests if not set(m["buckets"]) <= covered
+                ]
+            else:
+                manifests = list(parent.manifests)
+            new_manifest = None
+            if new_files:
+                name = f"m{sid}.json"
+                manifests = manifests + [
+                    {
+                        "path": name,
+                        "op": "replace" if replace_buckets else "append",
+                        "buckets": sorted(new_files),
+                    }
+                ]
+                new_manifest = (name, new_files)
+        base, watermark, residual = fold_commit_keys(
+            parent.epoch_base, parent.epoch_watermark, parent.commit_keys,
+            commit_key,
         )
         snap = Snapshot(
             snapshot_id=sid,
@@ -441,6 +457,7 @@ class LakeTable:
             summary=dict(summary, committed_at_unix=time.time()),
             commit_keys=residual,
             epoch_watermark=watermark,
+            epoch_base=base,
             commit_count=parent.commit_count + (commit_key is not None),
         )
         snap._files = files

@@ -78,13 +78,38 @@ def test_commit_key_watermark_handles_out_of_order_epochs(spark, tmp_path):
 
 
 def test_fold_commit_keys_pure():
-    assert fold_commit_keys(-1, [], "epoch:0") == (0, [])
-    assert fold_commit_keys(0, [], "epoch:5") == (0, ["epoch:5"])
-    assert fold_commit_keys(0, ["epoch:5"], "epoch:1") == (1, ["epoch:5"])
+    assert fold_commit_keys(None, -1, [], "epoch:0") == (0, 0, [])
+    assert fold_commit_keys(0, 0, [], "epoch:5") == (0, 0, ["epoch:5"])
+    assert fold_commit_keys(0, 0, ["epoch:5"], "epoch:1") == (0, 1, ["epoch:5"])
     # chain absorption: 2,3,4 queued then 1 arrives
-    assert fold_commit_keys(0, ["epoch:2", "epoch:3", "epoch:4"], "epoch:1") == (4, [])
+    assert fold_commit_keys(0, 0, ["epoch:2", "epoch:3", "epoch:4"], "epoch:1") == (0, 4, [])
     # non-epoch keys never compress
-    assert fold_commit_keys(3, [], "manual:x") == (3, ["manual:x"])
+    assert fold_commit_keys(0, 3, [], "manual:x") == (0, 3, ["manual:x"])
+    # base anchors at the FIRST epoch — resumed checkpoints (batch ids
+    # starting at N>0) still compress, and epochs below base stay unknown
+    assert fold_commit_keys(None, -1, [], "epoch:50") == (50, 50, [])
+    assert fold_commit_keys(50, 50, [], "epoch:51") == (50, 51, [])
+    # an epoch below base stays residual (never falsely "committed")
+    assert fold_commit_keys(50, 51, [], "epoch:10") == (50, 51, ["epoch:10"])
+
+
+def test_watermark_compresses_for_nonzero_first_epoch(spark, tmp_path):
+    """A table added to a fleet mid-stream (first commit at epoch 50) must
+    still compress contiguous epochs AND report pre-base epochs as not
+    committed."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+        n_buckets=4,
+    )
+    ev = change_events(spark, 200, n_convs=10)
+    for e in (50, 51, 52):
+        apply_batch(spark, table, ev, epoch=e)
+    snap = table.current()
+    assert snap.epoch_base == 50 and snap.epoch_watermark == 52
+    assert snap.commit_keys == []
+    assert table.has_commit_key("epoch:51")
+    assert not table.has_commit_key("epoch:0")
+    assert not table.has_commit_key("epoch:49")
 
 
 def test_expire_gcs_unreferenced_manifests(spark, tmp_path):
@@ -119,3 +144,48 @@ def test_driver_and_distributed_stats_paths_agree(spark, tmp_path):
         apply_batch(spark, table, ev, epoch=0)
         lineages.append(table.current().summary["bucket_lineage"])
     assert lineages[0] == lineages[1]
+
+
+def test_commit_atop_v1_snapshot_preserves_old_data(spark, tmp_path):
+    """Upgrade path: the first commit on top of a format-v1 snapshot
+    (inline cumulative file map, no manifests) must persist a
+    self-contained manifest chain — after a process restart the old data
+    is still visible and GC must not delete it."""
+    import json
+    import os
+
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable as LT
+
+    root = str(tmp_path / "t")
+    table = LT.create(spark, root, TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+                      n_buckets=4)
+    apply_batch(spark, table, change_events(spark, 500, n_convs=30, seed=1), epoch=0)
+    apply_batch(spark, table, change_events(spark, 500, n_convs=30, seed=2), epoch=1)
+    rows_before = table.read().count()
+
+    # rewrite the current snapshot as format v1 and drop its manifests,
+    # simulating a table written by round-1 code
+    snap = table.current()
+    d = snap.to_json()
+    del d["manifests"], d["epoch_watermark"], d["epoch_base"], d["commit_count"]
+    d["format_version"] = 1
+    d["files"] = snap.files
+    d["commit_keys"] = ["epoch:0", "epoch:1"]
+    with open(os.path.join(root, "_meta", f"v{snap.snapshot_id}.json"), "w") as f:
+        json.dump(d, f)
+    for m in table.log.list_manifests():
+        table.log.delete_manifest(m)
+
+    # fresh handle (fresh caches) = new process; commit one more epoch
+    t2 = LT.load(spark, root)
+    assert t2.has_commit_key("epoch:1")  # v1 cumulative keys still honored
+    apply_batch(spark, t2, change_events(spark, 500, n_convs=30, seed=3), epoch=2)
+
+    # another fresh handle: everything must resolve from persisted manifests
+    t3 = LT.load(spark, root)
+    assert t3.read().count() >= rows_before
+    assert t3.read().filter("conv_id is not null").count() == t3.read().count()
+    gc = t3.expire_snapshots(keep_last=1)
+    # GC kept every referenced pre-upgrade file: table still fully readable
+    assert t3.read().count() >= rows_before
+    assert gc["deleted_files"] >= 0

@@ -66,3 +66,23 @@ def test_per_table_idempotency_and_epoch_pinning(spark, tmp_path):
         sid = snapshot_for_epoch(table, 0)
         assert sid is not None
         assert table.read(snapshot_id=sid).count() > 0
+
+
+def test_null_table_tag_is_counted_not_silently_dropped(spark, tmp_path):
+    """A NULL _table must land in unknown_rows — ~isin() alone evaluates
+    to NULL for NULL tags and filter() would silently drop them."""
+    ev = change_events(spark, 500, n_convs=40)
+    feed = ev.withColumn(
+        "_table",
+        F.when(F.col("lsn") % 3 == 0, F.lit(None).cast("string")).otherwise("ta"),
+    )
+    tables = {
+        "ta": LakeTable.create(
+            spark, str(tmp_path / "ta"), TRANSCRIPT_SCHEMA,
+            ("conv_id", "turn_idx"), n_buckets=4,
+        )
+    }
+    res = apply_multi_table(spark, tables, feed, epoch=0)
+    n_null = feed.filter("_table IS NULL").count()
+    assert n_null > 0
+    assert res.unknown_rows == n_null
