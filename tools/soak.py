@@ -59,9 +59,20 @@ def main() -> None:
         key_cols=("conv_id", "turn_idx"), n_buckets=32,
     )
 
+    # stream-side lineage listener rides the whole soak (source offsets
+    # per micro-batch, reconciled against the feed at the end)
+    from postgres_to_snowflake_data_pipeline_spark.streaming.listener import (
+        attach_progress_listener,
+        read_progress,
+    )
+
+    progress_path = os.path.join(work, "progress.jsonl")
+    listener = attach_progress_listener(spark, progress_path)
+
     t0 = time.perf_counter()
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
-                   max_files_per_trigger=2, compact_every=4, available_now=False)
+                   max_files_per_trigger=2, compact_every=4,
+                   compact_max_files=6, available_now=False)
     killed = False
     for s in range(n_slices):
         lo, hi = s * step, (s + 1) * step
@@ -73,15 +84,18 @@ def main() -> None:
             killed = True
             q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                            max_files_per_trigger=2, compact_every=4,
-                           available_now=False)
+                           compact_max_files=6, available_now=False)
         time.sleep(0.5)
     q.stop()
     q.awaitTermination(60)
     # catch-up drain of anything unprocessed
     q2 = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
-                    max_files_per_trigger=4, compact_every=4)
+                    max_files_per_trigger=4, compact_every=4,
+                    compact_max_files=6)
     q2.awaitTermination(300)
     wall = time.perf_counter() - t0
+    spark.streams.removeListener(listener)
+    worst_bucket_files = max(len(fs) for fs in table.current().files.values())
 
     # materialize the lineage mirror BEFORE retention prunes the snapshot
     # log (the operational ordering: metrics outlive expired snapshots)
@@ -123,15 +137,24 @@ def main() -> None:
     lin = spark.read.parquet(lineage_path)
     rows_in = lin.agg(F.sum("rows_in")).first()[0]
     feed_rows = spark.read.parquet(feed).count()
+    # stream-side lineage: listener-recorded input rows across all batches
+    # (both stream phases + the drain) must cover the whole feed; >= not ==
+    # because a batch in flight at the kill is re-delivered and the
+    # listener counts both deliveries (at-least-once on the stream side —
+    # exactly-once lives at the commit, checked via rows_in above)
+    stream_rows = sum(r["num_input_rows"] or 0 for r in read_progress(progress_path))
 
-    ok = mismatch == 0 and rows_in == feed_rows and meta_bounded
+    ok = (mismatch == 0 and rows_in == feed_rows and meta_bounded
+          and stream_rows >= feed_rows)
     print(json.dumps({
         "soak_events": n_events, "slices": n_slices, "killed_and_restarted": killed,
         "wall_sec": round(wall, 1), "final_rows": n_state,
         "state_mismatch_rows": mismatch,
         "lineage_rows_in": rows_in, "feed_rows": feed_rows,
+        "listener_rows_in": stream_rows,
         "meta_bytes_early_peak": early_peak, "meta_bytes_late_peak": late_peak,
         "meta_bounded": meta_bounded,
+        "worst_bucket_files": worst_bucket_files,
         "gc": gc, "snapshots_retained": len(table.snapshots()),
         "ok": ok,
     }))
