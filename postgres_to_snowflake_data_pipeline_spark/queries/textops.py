@@ -699,3 +699,86 @@ SELECT doc_id, CAST(len(bases) AS INTEGER) AS n_tokens,
        END AS rolling_fp
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# t15 — corpus curation pipeline: the composite a training-data pipeline
+# actually runs — language gate (t03's argmax), quality gate (t02's
+# score), length gate (t01), then exact dedup on the normalized-text
+# fingerprint (t04/t05) keeping the lowest doc_id. One narrow projection
+# per doc, one shuffle on the 16-byte fingerprint; the text column never
+# moves. All gates are the already-oracled expressions composed verbatim.
+# ---------------------------------------------------------------------------
+MIN_TOKENS = 15
+MIN_QUALITY = 0.58
+
+
+def t15_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    hits = {
+        lang: F.size(F.expr(f"filter(toks, t -> t IN {stops})"))
+        for lang, stops in [
+            ("en", _STOP_EN), ("es", _STOP_ES), ("de", _STOP_DE),
+            ("fr", _STOP_FR), ("zh", _STOP_ZH),
+        ]
+    }
+    en, es, de, fr, zh = (hits[k] for k in ("en", "es", "de", "fr", "zh"))
+    # >= 1 hit required: a doc with zero stopword hits in every language
+    # must not default into the English bucket via the argmax tie-break
+    is_en = (en >= 1) & (en >= es) & (en >= de) & (en >= fr) & (en >= zh)
+    n = F.size("toks")
+    nd = n.cast("double")
+    distinct_ratio = F.round(F.size(F.array_distinct("toks")) / nd, 6)
+    stop_ratio = F.round(
+        F.size(F.expr(f"filter(toks, t -> t IN {_STOP_EN})")) / nd, 6
+    )
+    quality = F.round(0.6 * distinct_ratio + 0.4 * (1 - stop_ratio), 6)
+    gated = (
+        d.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            quality.alias("quality"),
+            F.md5(F.expr(_NORM)).alias("fp"),
+            is_en.alias("is_en"),
+        )
+        .filter(
+            F.col("is_en")
+            & (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("quality") >= MIN_QUALITY)
+        )
+    )
+    return (
+        gated.groupBy("fp")
+        .agg(F.min(F.struct("doc_id", "n_tokens", "quality")).alias("_w"))
+        .select("_w.doc_id", "_w.n_tokens", "_w.quality")
+    )
+
+
+T15_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len({_D_TOKS}) AS INTEGER) AS n_tokens,
+         round(0.6 * round(len(list_distinct({_D_TOKS}))
+                           / CAST(len({_D_TOKS}) AS DOUBLE), 6)
+               + 0.4 * (1 - round(len(list_filter({_D_TOKS}, t -> t IN {_STOP_EN}))
+                                  / CAST(len({_D_TOKS}) AS DOUBLE), 6)), 6)
+             AS quality,
+         md5({_D_NORM}) AS fp,
+         ({_d_hits(_STOP_EN)} >= 1
+          AND {_d_hits(_STOP_EN)} >= {_d_hits(_STOP_ES)}
+          AND {_d_hits(_STOP_EN)} >= {_d_hits(_STOP_DE)}
+          AND {_d_hits(_STOP_EN)} >= {_d_hits(_STOP_FR)}
+          AND {_d_hits(_STOP_EN)} >= {_d_hits(_STOP_ZH)}) AS is_en
+  FROM documents
+),
+gated AS (
+  SELECT * FROM m
+  WHERE is_en AND n_tokens >= {MIN_TOKENS} AND quality >= {MIN_QUALITY}
+)
+SELECT doc_id, n_tokens, quality
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM gated
+)
+WHERE rn = 1
+"""
