@@ -79,9 +79,20 @@ def fold_commit_keys(
         base = epochs[0]
         watermark = base - 1
     w = watermark
-    for e in epochs:
-        if e == w + 1:
-            w = e
+    # absorb in BOTH directions until fixpoint: the range grows upward from
+    # the watermark and downward from the base (an epoch arriving just
+    # below the anchor must compress too, or the residual grows unboundedly
+    # for streams that ever emit a lower batch id)
+    changed = True
+    while changed:
+        changed = False
+        for e in epochs:
+            if base is not None and e == base - 1:
+                base = e
+                changed = True
+            elif e == w + 1:
+                w = e
+                changed = True
 
     def _covered(k: str) -> bool:
         e = epoch_of(k)
@@ -167,7 +178,13 @@ class Snapshot:
             summary=d.get("summary", {}),
             commit_keys=d.get("commit_keys", []),
             epoch_watermark=d.get("epoch_watermark", -1),
-            epoch_base=d.get("epoch_base"),
+            # snapshots written before the base anchor existed carry a
+            # watermark whose implied semantics were "every epoch <= w is
+            # committed" — default their base to 0, or the whole committed
+            # range would read as uncommitted and be re-applied on replay
+            epoch_base=d.get(
+                "epoch_base", 0 if d.get("epoch_watermark", -1) >= 0 else None
+            ),
             commit_count=d.get("commit_count", len(d.get("commit_keys", []))),
         )
         if "files" in d:  # format v1: inline cumulative file map

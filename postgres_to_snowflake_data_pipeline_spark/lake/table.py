@@ -373,14 +373,20 @@ class LakeTable:
 
         Runs in a CHILD session (``newSession``: shared SparkContext,
         isolated SQLConf) so flipping the V2-source/pushdown confs can
-        never race concurrent queries planned on the main session."""
-        s = self.spark.newSession()
-        v1_list = s.conf.get("spark.sql.sources.useV1SourceList")
-        s.conf.set(
-            "spark.sql.sources.useV1SourceList",
-            ",".join(x for x in v1_list.split(",") if x != "parquet"),
-        )
-        s.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+        never race concurrent queries planned on the main session. The
+        child is created once and reused — its conf flip is deterministic,
+        and building a JVM SessionState per commit would add per-epoch
+        overhead on long streams."""
+        s = getattr(self, "_stats_session", None)
+        if s is None:
+            s = self.spark.newSession()
+            v1_list = s.conf.get("spark.sql.sources.useV1SourceList")
+            s.conf.set(
+                "spark.sql.sources.useV1SourceList",
+                ",".join(x for x in v1_list.split(",") if x != "parquet"),
+            )
+            s.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+            self._stats_session = s
         return (
             s.read.parquet(out)
             .groupBy("_bdir")

@@ -52,9 +52,46 @@ _STOP_DE = "('der','die','das','und','ist','nicht','ein')"
 _STOP_FR = "('le','là','de','et','les','des','un')"
 _STOP_ZH = "('的','是','不','了','在','人','我')"
 
+#: DuckDB twin of _quality_exprs()'s composite score — single source for
+#: T02_SQL and T15_SQL
+_D_QUALITY = (
+    f"round(0.6 * round(len(list_distinct({_D_TOKS})) / "
+    f"CAST(len({_D_TOKS}) AS DOUBLE), 6) "
+    f"+ 0.4 * (1 - round(len(list_filter({_D_TOKS}, t -> t IN {_STOP_EN})) "
+    f"/ CAST(len({_D_TOKS}) AS DOUBLE), 6)), 6)"
+)
+
+
 
 def _with_tokens(df: DataFrame) -> DataFrame:
     return df.withColumn("toks", F.expr(_TOKS))
+
+
+_LANGS = [
+    ("en", _STOP_EN), ("es", _STOP_ES), ("de", _STOP_DE),
+    ("fr", _STOP_FR), ("zh", _STOP_ZH),
+]
+
+
+def _lang_hits() -> dict[str, F.Column]:
+    """Per-language stopword hit counts over the ``toks`` column — the one
+    definition shared by t03 (language ID) and t15 (curation gate)."""
+    return {
+        lang: F.size(F.expr(f"filter(toks, t -> t IN {stops})"))
+        for lang, stops in _LANGS
+    }
+
+
+def _quality_exprs() -> tuple[F.Column, F.Column, F.Column]:
+    """(distinct_ratio, stopword_ratio, quality) over ``toks`` — the one
+    scoring definition shared by t02 and t15."""
+    n = F.size("toks").cast("double")
+    distinct_ratio = F.round(F.size(F.array_distinct("toks")) / n, 6)
+    stop_ratio = F.round(
+        F.size(F.expr(f"filter(toks, t -> t IN {_STOP_EN})")) / n, 6
+    )
+    quality = F.round(0.6 * distinct_ratio + 0.4 * (1 - stop_ratio), 6)
+    return distinct_ratio, stop_ratio, quality
 
 
 # ---------------------------------------------------------------------------
@@ -88,11 +125,7 @@ FROM documents
 # ---------------------------------------------------------------------------
 def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_tokens(load(spark, sf_dir, "documents"))
-    n = F.size("toks").cast("double")
-    distinct_ratio = F.round(F.size(F.array_distinct("toks")) / n, 6)
-    stop_ratio = F.round(
-        F.size(F.expr(f"filter(toks, t -> t IN {_STOP_EN})")) / n, 6
-    )
+    distinct_ratio, stop_ratio, quality = _quality_exprs()
     punct_ratio = F.round(
         F.size(F.expr("regexp_extract_all(text, '[.,!?;:]', 0)"))
         / F.length("text").cast("double"),
@@ -103,7 +136,7 @@ def t02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct_ratio.alias("distinct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         punct_ratio.alias("punct_ratio"),
-        F.round(0.6 * distinct_ratio + 0.4 * (1 - stop_ratio), 6).alias("quality"),
+        quality.alias("quality"),
     )
 
 
@@ -115,9 +148,7 @@ SELECT doc_id,
              / CAST(len({_D_TOKS}) AS DOUBLE), 6) AS stopword_ratio,
        round(len(regexp_extract_all(text, '[.,!?;:]', 0))
              / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
-       round(0.6 * round(len(list_distinct({_D_TOKS})) / CAST(len({_D_TOKS}) AS DOUBLE), 6)
-             + 0.4 * (1 - round(len(list_filter({_D_TOKS}, t -> t IN {_STOP_EN}))
-                                / CAST(len({_D_TOKS}) AS DOUBLE), 6)), 6) AS quality
+       {_D_QUALITY} AS quality
 FROM documents
 """
 
@@ -128,16 +159,7 @@ FROM documents
 # ---------------------------------------------------------------------------
 def t03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_tokens(load(spark, sf_dir, "documents"))
-    hits = {
-        lang: F.size(F.expr(f"filter(toks, t -> t IN {stops})"))
-        for lang, stops in [
-            ("en", _STOP_EN),
-            ("es", _STOP_ES),
-            ("de", _STOP_DE),
-            ("fr", _STOP_FR),
-            ("zh", _STOP_ZH),
-        ]
-    }
+    hits = _lang_hits()
     en, es, de, fr, zh = (hits[k] for k in ("en", "es", "de", "fr", "zh"))
     pred = (
         F.when((en >= es) & (en >= de) & (en >= fr) & (en >= zh), "en")
@@ -715,24 +737,13 @@ MIN_QUALITY = 0.58
 
 def t15_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _with_tokens(load(spark, sf_dir, "documents"))
-    hits = {
-        lang: F.size(F.expr(f"filter(toks, t -> t IN {stops})"))
-        for lang, stops in [
-            ("en", _STOP_EN), ("es", _STOP_ES), ("de", _STOP_DE),
-            ("fr", _STOP_FR), ("zh", _STOP_ZH),
-        ]
-    }
+    hits = _lang_hits()
     en, es, de, fr, zh = (hits[k] for k in ("en", "es", "de", "fr", "zh"))
     # >= 1 hit required: a doc with zero stopword hits in every language
     # must not default into the English bucket via the argmax tie-break
     is_en = (en >= 1) & (en >= es) & (en >= de) & (en >= fr) & (en >= zh)
     n = F.size("toks")
-    nd = n.cast("double")
-    distinct_ratio = F.round(F.size(F.array_distinct("toks")) / nd, 6)
-    stop_ratio = F.round(
-        F.size(F.expr(f"filter(toks, t -> t IN {_STOP_EN})")) / nd, 6
-    )
-    quality = F.round(0.6 * distinct_ratio + 0.4 * (1 - stop_ratio), 6)
+    _distinct_ratio, _stop_ratio, quality = _quality_exprs()
     gated = (
         d.select(
             "doc_id",
@@ -758,11 +769,7 @@ T15_SQL = f"""
 WITH m AS (
   SELECT doc_id,
          CAST(len({_D_TOKS}) AS INTEGER) AS n_tokens,
-         round(0.6 * round(len(list_distinct({_D_TOKS}))
-                           / CAST(len({_D_TOKS}) AS DOUBLE), 6)
-               + 0.4 * (1 - round(len(list_filter({_D_TOKS}, t -> t IN {_STOP_EN}))
-                                  / CAST(len({_D_TOKS}) AS DOUBLE), 6)), 6)
-             AS quality,
+         {_D_QUALITY} AS quality,
          md5({_D_NORM}) AS fp,
          ({_d_hits(_STOP_EN)} >= 1
           AND {_d_hits(_STOP_EN)} >= {_d_hits(_STOP_ES)}
