@@ -95,7 +95,7 @@ class LakeTable:
             n_buckets=n_buckets,
             key_cols=list(key_cols),
             manifests=[],
-            summary={"operation": "create"},
+            summary={"operation": "create", "committed_at_unix": time.time()},
         )
         snap._files = {}
         t.log.commit(snap)
@@ -229,6 +229,27 @@ class LakeTable:
         return self.read(snapshot_id=snapshot_id, buckets=[int(bucket)]).filter(
             F.col(snap.key_cols[0]) == conv_id
         )
+
+    def snapshot_as_of(self, ts_unix: float) -> Snapshot:
+        """Time travel by wall clock: the last snapshot committed at or
+        before ``ts_unix`` (Iceberg's TIMESTAMP AS OF). Raises if the
+        table did not exist yet (or history before the horizon expired)."""
+        best: Snapshot | None = None
+        for s in self.log.history():
+            committed = s.summary.get("committed_at_unix", 0.0)
+            if committed <= ts_unix:
+                best = s
+        if best is None:
+            raise ValueError(
+                f"no snapshot committed at or before {ts_unix} "
+                "(table younger, or history expired)"
+            )
+        return best
+
+    def read_as_of(self, ts_unix: float, **kwargs) -> DataFrame:
+        """``read()`` pinned to the snapshot current at ``ts_unix``."""
+        return self.read(snapshot_id=self.snapshot_as_of(ts_unix).snapshot_id,
+                         **kwargs)
 
     def changes(self, since_snapshot_id: int) -> DataFrame:
         """Incremental read: the change rows committed AFTER the given
@@ -521,17 +542,32 @@ class LakeTable:
             replace_buckets=False,
         )
 
-    def expire_snapshots(self, keep_last: int = 3) -> dict[str, int]:
+    def expire_snapshots(
+        self, keep_last: int = 3, older_than_unix: float | None = None
+    ) -> dict[str, int]:
         """Retention: drop snapshot metadata older than the last
         ``keep_last`` commits and physically delete data files no kept
         snapshot references (orphans from expired commits + compacted-away
-        deltas). Safe under the table's single-writer model; kept
-        snapshots remain fully readable (time travel + ``changes()``).
-        Returns counts: expired snapshots, deleted files, freed bytes."""
+        deltas). With ``older_than_unix`` set (Iceberg's expire-by-age),
+        only snapshots committed BEFORE that time are eligible — recent
+        history survives even beyond ``keep_last``. Safe under the table's
+        single-writer model; kept snapshots remain fully readable (time
+        travel + ``changes()``). Returns counts: expired snapshots,
+        deleted files, freed bytes."""
         snaps = self.snapshots()
         if keep_last < 1 or len(snaps) <= keep_last:
             return {"expired_snapshots": 0, "deleted_files": 0, "freed_bytes": 0}
         keep, expired = snaps[-keep_last:], snaps[:-keep_last]
+        if older_than_unix is not None:
+            young = [
+                s for s in expired
+                if s.summary.get("committed_at_unix", 0.0) >= older_than_unix
+            ]
+            keep = young + keep
+            expired = [s for s in expired if s not in young]
+            if not expired:
+                return {"expired_snapshots": 0, "deleted_files": 0,
+                        "freed_bytes": 0}
         referenced = {
             e["path"] for s in keep for es in s.files.values() for e in es
         }

@@ -111,3 +111,39 @@ def test_expire_cleans_orphans_from_failed_commits(spark, tmp_path):
     assert remaining == [], "orphan parquet files must be GC'd"
     assert stats["deleted_files"] >= 1
     assert table.read().count() == state_before
+
+
+def test_time_travel_by_timestamp_and_expire_by_age(spark, tmp_path):
+    """Iceberg-parity: TIMESTAMP AS OF reads and expire-by-age retention."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "t5"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+        n_buckets=4,
+    )
+    marks = []
+    for e in range(4):
+        apply_batch(spark, table, change_events(spark, 300, n_convs=20, seed=e),
+                    epoch=e)
+        marks.append((time.time(), table.current().snapshot_id,
+                      table.read().count()))
+        time.sleep(0.05)
+    # as-of each mark resolves to that snapshot and its row count
+    for ts, sid, n in marks:
+        snap = table.snapshot_as_of(ts)
+        assert snap.snapshot_id == sid
+        assert table.read_as_of(ts).count() == n
+    # before the table existed -> error
+    import pytest
+    with pytest.raises(ValueError):
+        table.snapshot_as_of(marks[0][0] - 3600)
+    # age-based expiry: everything is younger than 1h -> nothing expires
+    gc = table.expire_snapshots(keep_last=1,
+                                older_than_unix=marks[0][0] - 3600)
+    assert gc["expired_snapshots"] == 0
+    # cutoff between mark 1 and 2 -> exactly the older snapshots expire,
+    # younger history (beyond keep_last) survives
+    cutoff = marks[1][0] + 0.01
+    gc = table.expire_snapshots(keep_last=1, older_than_unix=cutoff)
+    assert gc["expired_snapshots"] > 0
+    remaining = [s.snapshot_id for s in table.snapshots()]
+    assert marks[2][1] in remaining and marks[3][1] in remaining
+    assert table.read().count() == marks[3][2]
