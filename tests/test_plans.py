@@ -161,3 +161,21 @@ def test_projected_read_prunes_scan_through_lww(spark, tmp_path):
     full = table.read().select("conv_id", "turn_idx", "role")
     assert narrow.exceptAll(full).count() == 0
     assert full.exceptAll(narrow).count() == 0
+
+
+def test_t15_curation_scans_narrow_and_shuffles_once(spark, sf_dir):
+    """The curation composite must read only (doc_id, text) — every gate
+    derives from the text column — and reach the dedup agg with ONE
+    exchange on the 16-byte fingerprint (all gates are pre-shuffle maps)."""
+    df = textops.t15_curation_pipeline(spark, sf_dir)
+    (scan,) = read_schema_columns(df)
+    assert set(scan) == {"doc_id", "text"}, scan
+    assert n_exchanges(df) == 1, explain_str(df)
+
+
+def test_q19_percentiles_single_scan_single_exchange(spark, sf_dir):
+    """Grouped exact percentiles: one pruned scan of (priority, price), one
+    exchange on the 5-value grouping key (sort-agg handles the rest)."""
+    df = reference.q19_percentile_stats(spark, sf_dir)
+    (scan,) = read_schema_columns(df)
+    assert set(scan) == {"o_orderpriority", "o_totalprice"}, scan
