@@ -88,6 +88,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         textops.t15_curation_pipeline,
         textops.T15_SQL,
     ),
+    "t16_stratified_sample": (
+        textops.t16_stratified_sample,
+        textops.T16_SQL,
+    ),
     # scale-path twins (multiply-mod hash family — 1 md5/shingle, full oracle)
     "t10_minhash_bands_fast": (textops.t10_minhash_bands_fast, textops.T10_SQL),
     "t11_minhash_candidates_fast": (

@@ -789,3 +789,42 @@ FROM (
 )
 WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# t16 — stratified deterministic sample: k docs per stratum (source),
+# selected by smallest md5(doc_id) — the distributed "hash sampling"
+# pattern (cf. stratified sampling over streaming/stored data, EDBT'19):
+# seed-free, replayable, and independent of row order, so the same sample
+# comes back at any parallelism or scale-out. Catalyst plans the rank
+# filter as WindowGroupLimit (partial per-partition top-k BEFORE the
+# shuffle — pinned in tests/test_plans.py), so each stratum moves only
+# ~k rows per input partition, never the whole stratum.
+# ---------------------------------------------------------------------------
+SAMPLE_K = 5
+
+
+def t16_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("source", "doc_id", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+T16_SQL = f"""
+SELECT source, doc_id, CAST(rk AS INTEGER) AS rk
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+WHERE rk <= {SAMPLE_K}
+"""

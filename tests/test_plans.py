@@ -179,3 +179,14 @@ def test_q19_percentiles_single_scan_single_exchange(spark, sf_dir):
     df = reference.q19_percentile_stats(spark, sf_dir)
     (scan,) = read_schema_columns(df)
     assert set(scan) == {"o_orderpriority", "o_totalprice"}, scan
+
+
+def test_t16_sample_pushes_group_limit_below_shuffle(spark, sf_dir):
+    """Stratified sampling must not move whole strata: Catalyst's
+    WindowGroupLimit takes the per-partition top-k BEFORE the exchange, so
+    each stratum ships ~k rows per input partition."""
+    df = textops.t16_stratified_sample(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "WindowGroupLimit" in plan, plan
+    (scan,) = read_schema_columns(df)
+    assert set(scan) == {"doc_id", "source"}, scan
