@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from postgres_to_snowflake_data_pipeline_spark.queries import (
     cdcq,
+    corpusops,
     multimodal,
     reference,
     simops,
@@ -92,6 +93,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         textops.t16_stratified_sample,
         textops.T16_SQL,
     ),
+    # corpus assembly: iterative dup-graph closure, survivor pick, packing
+    "t17_dup_clusters": (corpusops.t17_dup_clusters, corpusops.T17_SQL),
+    "t18_dedup_survivors": (
+        corpusops.t18_dedup_survivors,
+        corpusops.T18_SQL,
+    ),
+    "t19_sequence_pack": (corpusops.t19_sequence_pack, corpusops.T19_SQL),
     # scale-path twins (multiply-mod hash family — 1 md5/shingle, full oracle)
     "t10_minhash_bands_fast": (textops.t10_minhash_bands_fast, textops.T10_SQL),
     "t11_minhash_candidates_fast": (
