@@ -201,7 +201,11 @@ def apply_batch(
         summary={"epoch": epoch},
         summary_fn=_obs_metrics,
     )
-    assert snap is not None  # key was checked above; single writer
+    if snap is None:
+        # a concurrent writer applied this epoch between our pre-check and
+        # the commit CAS — exactly-once holds across writers; our orphaned
+        # delta files are unreferenced and get GC'd by expire_snapshots
+        return ApplyResult(epoch, True, 0, 0, None)
     rows_in = snap.summary.get("rows_in") or 0
     rows_deduped = sum(r["rows_merged"] for r in snap.summary.get("bucket_lineage", []))
 

@@ -2,10 +2,15 @@
 
 Layout (all under the table root):
 
-    _meta/v{N}.json   -- immutable snapshot N (schema, manifest list, summary)
-    _meta/m{N}.json   -- immutable manifest: the file entries ADDED (or the
-                         bucket file-lists REPLACED) by commit N
-    _meta/_current    -- single line: latest committed snapshot number
+    _meta/v{N}.json        -- immutable snapshot N (schema, manifest list,
+                              summary); CAS-created, so exactly one writer
+                              ever owns snapshot id N
+    _meta/m{N}-{tok}.json  -- immutable manifest: the file entries ADDED (or
+                              the bucket file-lists REPLACED) by commit N
+                              (tok = per-attempt token; legacy m{N}.json
+                              names from v1 tables still resolve)
+    _meta/_current         -- advisory hint: latest snapshot number (truth
+                              is the highest v{N}.json; see current_id)
     data/...          -- immutable parquet data files referenced by manifests
 
 Manifest-list indirection (Iceberg-style): a snapshot does NOT re-serialize
@@ -17,13 +22,19 @@ compaction commit PRUNES every parent manifest whose buckets it fully
 replaces — so the manifest list stays O(commits since last compaction)
 rather than O(all commits). Manifests are immutable and cached in memory.
 
-Commit protocol: write the manifest, then ``v{N}.json``, then the new
-``_current`` via write-temp-then-``os.rename`` — atomic on POSIX, so a
-reader never observes a partial snapshot and a crashed writer leaves at
-most unreferenced temp/manifest files (never a corrupt log). Single-writer
-by design (one streaming query owns a table); a production deployment swaps
-this module for an Iceberg catalog whose compare-and-swap commit provides
-multi-writer safety.
+Commit protocol (optimistic concurrency, Iceberg HadoopTableOperations
+style): write the (uniquely-named) manifest, then CAS-create ``v{N}.json``
+via write-temp-then-``os.link`` — the link fails with EEXIST if another
+writer already owns snapshot N, which raises ``CommitConflictError`` so the
+caller can rebase onto the new current and retry; finally update
+``_current``. ``_current`` is an advisory HINT, not the source of truth:
+``current_id`` probes forward from it for newer ``v{N}.json`` files, so a
+lost or stale hint write can never hide (or roll back) a committed
+snapshot. A reader never observes a partial snapshot — the snapshot file
+lands only after its manifest — and a crashed writer leaves at most
+unreferenced temp/manifest/data files, garbage-collected by
+``expire_snapshots``. A production deployment swaps this module for an
+Iceberg catalog whose metastore CAS provides the same contract.
 
 Idempotency: "was this epoch already applied?" must not require a
 cumulative key list (at 10^3-10^4 epochs that list itself becomes the
@@ -48,6 +59,15 @@ from typing import Any, Callable
 from pyspark.sql import types as T
 
 FORMAT_VERSION = 2
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the snapshot id this commit targeted.
+
+    The caller's data/manifest writes remain valid (merge deltas are pure
+    appends under unique names); rebuild the snapshot metadata against the
+    new current and retry — ``LakeTable._next_commit`` does exactly that.
+    """
 
 _EPOCH_RE = re.compile(r"^epoch:(\d+)$")
 
@@ -215,11 +235,19 @@ class MetadataLog:
         return os.path.exists(self._current_path())
 
     def current_id(self) -> int | None:
+        """Latest committed snapshot id. ``_current`` is only a hint (a
+        racer's hint write can be lost or land out of order); the truth is
+        the highest existing ``v{N}.json``, found by probing forward from
+        the hint — O(commits since the hint was written), normally 0-1
+        stat calls."""
         try:
             with open(self._current_path()) as f:
-                return int(f.read().strip())
+                sid = int(f.read().strip())
         except FileNotFoundError:
             return None
+        while os.path.exists(self._snap_path(sid + 1)):
+            sid += 1
+        return sid
 
     def _load_manifest(self, name: str) -> dict[str, list[dict[str, Any]]]:
         m = self._manifest_cache.get(name)
@@ -233,11 +261,32 @@ class MetadataLog:
         """The delta manifest written BY commit ``sid`` (bucket -> entries
         added in that commit), or None if the commit added no files. The
         incremental-read primitive: a changefeed consumer asks exactly
-        'what did commit N add?' without reconstructing any file map."""
+        'what did commit N add?' without reconstructing any file map.
+
+        Manifest names carry a per-attempt token (``m{sid}-{token}.json``)
+        so concurrent committers can never clobber each other's files; the
+        name of the manifest commit ``sid`` introduced is recovered from
+        snapshot ``sid``'s own manifest list (legacy ``m{sid}.json`` names
+        from pre-concurrency tables still resolve)."""
         try:
-            return self._load_manifest(f"m{sid}.json")
+            snap = self.load(sid)
         except FileNotFoundError:
-            return None
+            snap = None
+        if snap is not None:
+            legacy, prefix = f"m{sid}.json", f"m{sid}-"
+            names = [
+                m["path"]
+                for m in snap.manifests
+                if m["path"] == legacy or m["path"].startswith(prefix)
+            ]
+        else:  # expired snapshot: only the legacy deterministic name is known
+            names = [f"m{sid}.json"]
+        for name in names:
+            try:
+                return self._load_manifest(name)
+            except FileNotFoundError:
+                continue
+        return None
 
     def resolve_files(
         self, manifests: list[dict[str, Any]]
@@ -324,6 +373,23 @@ class MetadataLog:
             os.fsync(f.fileno())
         os.rename(tmp, path)
 
+    def _cas_create(self, path: str, payload: str) -> bool:
+        """Create ``path`` with ``payload`` iff it does not exist (atomic
+        compare-and-swap via ``os.link``, which fails with EEXIST instead
+        of overwriting). Returns False on a lost race."""
+        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
     def commit(
         self,
         snap: Snapshot,
@@ -331,8 +397,11 @@ class MetadataLog:
     ) -> None:
         """Commit a snapshot; ``new_manifest`` = (name, bucket->entries) is
         the delta this commit introduces (None for metadata-only commits).
-        Manifest first, then snapshot, then the _current pointer — each
-        atomic, so a crash at any point leaves a readable table."""
+        Manifest first, then the snapshot via CAS-create, then the _current
+        hint — each atomic, so a crash at any point leaves a readable
+        table. If another writer won the race for this snapshot id, the
+        just-written manifest is removed and ``CommitConflictError`` is
+        raised so the caller can rebase and retry."""
         os.makedirs(self.meta_dir, exist_ok=True)
         if new_manifest is not None:
             name, files = new_manifest
@@ -341,6 +410,13 @@ class MetadataLog:
             )
             self._manifest_cache[name] = files
         snap._resolver = self.resolve_files
-        self._atomic_write(self._snap_path(snap.snapshot_id), json.dumps(snap.to_json()))
+        if not self._cas_create(
+            self._snap_path(snap.snapshot_id), json.dumps(snap.to_json())
+        ):
+            if new_manifest is not None:
+                self.delete_manifest(new_manifest[0])
+            raise CommitConflictError(
+                f"snapshot {snap.snapshot_id} was committed by another writer"
+            )
         self._atomic_write(self._current_path(), str(snap.snapshot_id))
         self._cache_snap(snap)

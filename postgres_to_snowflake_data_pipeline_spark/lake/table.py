@@ -9,6 +9,11 @@ only, the slice of Iceberg the north rule relies on:
   a 1000-executor cluster spreads buckets across executors.
 - **Atomic snapshot commits** (see ``metadata.MetadataLog``): readers see
   either the old or the new table, never a mix; time travel by snapshot id.
+  Commits use optimistic concurrency (CAS on the snapshot file): a lost
+  race raises internally and ``_next_commit`` rebases onto the winner and
+  retries — metadata-only, the batch's delta files are already valid — so
+  independent writers (e.g. a streaming apply racing a table-maintenance
+  compaction) compose without locks.
 - **Idempotent commit keys**: a commit tagged ``epoch:{id}`` is a no-op if
   that key is already in the current snapshot's cumulative key set — the
   exactly-once guarantee for ``foreachBatch`` replays after a crash.
@@ -35,14 +40,19 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from postgres_to_snowflake_data_pipeline_spark.cdc.normalize import assert_orderable_schema
+from postgres_to_snowflake_data_pipeline_spark.cdc.normalize import (
+    assert_orderable_schema,
+    evolve_schema,
+)
 from postgres_to_snowflake_data_pipeline_spark.lake.metadata import (
+    CommitConflictError,
     MetadataLog,
     Snapshot,
     fold_commit_keys,
@@ -419,6 +429,38 @@ class LakeTable:
             .collect()
         )
 
+    #: optimistic-concurrency retry bound — each retry is metadata-only
+    #: (the batch's data files are already written and stay valid), so the
+    #: cost of a lost race is one snapshot-JSON rebuild, not a re-merge
+    MAX_COMMIT_ATTEMPTS = 16
+
+    def _rebase_replace(
+        self,
+        new_files: dict[str, list[dict[str, Any]]],
+        base_sid: int,
+        parent: Snapshot,
+    ) -> dict[str, list[dict[str, Any]]]:
+        """Rebase a replace (compaction) commit computed against snapshot
+        ``base_sid`` onto ``parent``: re-append, per covered bucket, every
+        delta that merge commits in ``(base_sid, parent]`` added — those
+        rows are NOT in our compacted base (it folded state as of
+        ``base_sid``) and our replace would otherwise clobber them out of
+        the file map. LWW read semantics make the result exact: the late
+        deltas still override the compacted base by ``max(_lsn)``."""
+        out = {b: list(es) for b, es in new_files.items()}
+        for s in self.log.history():
+            if s.snapshot_id <= base_sid or s.snapshot_id > parent.snapshot_id:
+                continue
+            if s.summary.get("operation") != "merge":
+                continue  # a racing compaction folded rows we already have
+            added = self.log.manifest_of(s.snapshot_id)
+            if not added:
+                continue
+            for b, es in added.items():
+                if b in out:
+                    out[b].extend(dict(e) for e in es)
+        return out
+
     def _next_commit(
         self,
         new_files: dict[str, list[dict[str, Any]]],
@@ -426,70 +468,108 @@ class LakeTable:
         summary: dict[str, Any],
         commit_key: str | None,
         replace_buckets: bool,
-    ) -> Snapshot:
-        parent = self.current()
-        sid = parent.snapshot_id + 1
-        # in-memory full map for this snapshot's readers (commit itself only
-        # persists the delta manifest — O(batch) metadata per commit)
-        files = {b: list(fs) for b, fs in parent.files.items()}
-        for b, fs in new_files.items():
-            if replace_buckets:
-                files[b] = list(fs)
-            else:
-                files.setdefault(b, []).extend(fs)
-        if getattr(parent, "_legacy_inline_files", False):
-            # upgrade commit atop a format-v1 snapshot (inline cumulative
-            # file map, no manifests): persist the ENTIRE merged map as one
-            # replace manifest so the manifest chain is self-contained —
-            # without this, a restart would resolve only the post-upgrade
-            # deltas and expire_snapshots would GC the pre-upgrade data
-            name = f"m{sid}.json"
-            manifests = [
-                {"path": name, "op": "replace", "buckets": sorted(files)}
-            ]
-            new_manifest = (name, files)
-        else:
-            if replace_buckets:
-                # a replace commit supersedes every parent manifest whose
-                # buckets it fully covers — the pruning that keeps the
-                # manifest list O(commits since last compaction)
-                covered = set(new_files)
+        base_snapshot_id: int | None = None,
+    ) -> Snapshot | None:
+        """Build and CAS-commit the next snapshot, retrying on commit
+        conflicts (optimistic concurrency). Retries are metadata-only. On
+        retry the commit is rebased onto the racer's snapshot: append
+        commits just re-extend the new parent's file map (appends commute);
+        replace commits re-attach late deltas via ``_rebase_replace``; the
+        schema is unioned with the parent's so concurrent additive
+        evolutions compose. Returns None iff a racer already applied this
+        ``commit_key`` (cross-writer idempotency, same contract as the
+        single-writer pre-check)."""
+        last_exc: CommitConflictError | None = None
+        for attempt in range(self.MAX_COMMIT_ATTEMPTS):
+            parent = self.current()
+            if commit_key is not None and parent.has_commit_key(commit_key):
+                return None
+            target_schema = evolve_schema(parent.schema, schema)
+            sid = parent.snapshot_id + 1
+            eff_files = new_files
+            if (
+                replace_buckets
+                and base_snapshot_id is not None
+                and parent.snapshot_id != base_snapshot_id
+            ):
+                eff_files = self._rebase_replace(new_files, base_snapshot_id, parent)
+            # in-memory full map for this snapshot's readers (commit itself
+            # only persists the delta manifest — O(batch) metadata/commit)
+            files = {b: list(fs) for b, fs in parent.files.items()}
+            for b, fs in eff_files.items():
+                if replace_buckets:
+                    files[b] = list(fs)
+                else:
+                    files.setdefault(b, []).extend(fs)
+            if getattr(parent, "_legacy_inline_files", False):
+                # upgrade commit atop a format-v1 snapshot (inline cumulative
+                # file map, no manifests): persist the ENTIRE merged map as
+                # one replace manifest so the manifest chain is self-
+                # contained — without this, a restart would resolve only the
+                # post-upgrade deltas and expire_snapshots would GC the
+                # pre-upgrade data
+                name = self._manifest_name(sid)
                 manifests = [
-                    m for m in parent.manifests if not set(m["buckets"]) <= covered
+                    {"path": name, "op": "replace", "buckets": sorted(files)}
                 ]
+                new_manifest = (name, files)
             else:
-                manifests = list(parent.manifests)
-            new_manifest = None
-            if new_files:
-                name = f"m{sid}.json"
-                manifests = manifests + [
-                    {
-                        "path": name,
-                        "op": "replace" if replace_buckets else "append",
-                        "buckets": sorted(new_files),
-                    }
-                ]
-                new_manifest = (name, new_files)
-        base, watermark, residual = fold_commit_keys(
-            parent.epoch_base, parent.epoch_watermark, parent.commit_keys,
-            commit_key,
-        )
-        snap = Snapshot(
-            snapshot_id=sid,
-            parent_id=parent.snapshot_id,
-            schema_json=schema.jsonValue(),
-            n_buckets=parent.n_buckets,
-            key_cols=parent.key_cols,
-            manifests=manifests,
-            summary=dict(summary, committed_at_unix=time.time()),
-            commit_keys=residual,
-            epoch_watermark=watermark,
-            epoch_base=base,
-            commit_count=parent.commit_count + (commit_key is not None),
-        )
-        snap._files = files
-        self.log.commit(snap, new_manifest=new_manifest)
-        return snap
+                if replace_buckets:
+                    # a replace commit supersedes every parent manifest whose
+                    # buckets it fully covers — the pruning that keeps the
+                    # manifest list O(commits since last compaction)
+                    covered = set(eff_files)
+                    manifests = [
+                        m
+                        for m in parent.manifests
+                        if not set(m["buckets"]) <= covered
+                    ]
+                else:
+                    manifests = list(parent.manifests)
+                new_manifest = None
+                if eff_files:
+                    name = self._manifest_name(sid)
+                    manifests = manifests + [
+                        {
+                            "path": name,
+                            "op": "replace" if replace_buckets else "append",
+                            "buckets": sorted(eff_files),
+                        }
+                    ]
+                    new_manifest = (name, eff_files)
+            base, watermark, residual = fold_commit_keys(
+                parent.epoch_base, parent.epoch_watermark, parent.commit_keys,
+                commit_key,
+            )
+            snap = Snapshot(
+                snapshot_id=sid,
+                parent_id=parent.snapshot_id,
+                schema_json=target_schema.jsonValue(),
+                n_buckets=parent.n_buckets,
+                key_cols=parent.key_cols,
+                manifests=manifests,
+                summary=dict(summary, committed_at_unix=time.time()),
+                commit_keys=residual,
+                epoch_watermark=watermark,
+                epoch_base=base,
+                commit_count=parent.commit_count + (commit_key is not None),
+            )
+            snap._files = files
+            try:
+                self.log.commit(snap, new_manifest=new_manifest)
+                return snap
+            except CommitConflictError as exc:
+                last_exc = exc
+                time.sleep(0.002 * (attempt + 1))  # tiny linear backoff
+        raise CommitConflictError(
+            f"gave up after {self.MAX_COMMIT_ATTEMPTS} commit attempts"
+        ) from last_exc
+
+    @staticmethod
+    def _manifest_name(sid: int) -> str:
+        """Per-attempt-unique manifest name: racers targeting the same
+        snapshot id can never overwrite each other's manifest files."""
+        return f"m{sid}-{uuid.uuid4().hex[:8]}.json"
 
     def merge(
         self,
@@ -505,7 +585,9 @@ class LakeTable:
         the internal columns ``_lsn``/``_deleted`` plus the payload columns
         of ``schema`` (defaults to the table schema; pass a widened schema
         to evolve). Returns the committed snapshot, or None if ``commit_key``
-        was already applied (idempotent replay).
+        was already applied (idempotent replay — including by a concurrent
+        writer detected at the commit CAS; the loser's delta files stay
+        unreferenced and are GC'd by ``expire_snapshots``).
 
         ``summary_fn``, if given, is called after the data write and before
         the metadata commit with the total rows just written; its dict is
@@ -529,7 +611,11 @@ class LakeTable:
             # co-locate each bucket in one task -> exactly one delta file per
             # affected bucket per commit (no small-file explosion across epochs)
             df = df.select(*ordered).repartition(F.col("_bucket"))
-        commit_dir = os.path.join("data", f"commit-{snap.snapshot_id + 1}")
+        # unique per attempt: a concurrent writer guessing the same next
+        # snapshot id must never overwrite (mode=overwrite!) our data dir
+        commit_dir = os.path.join(
+            "data", f"commit-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
+        )
         raw, bucket_lineage = self._write_data(df, commit_dir)
         new_files = {b: [dict(e, kind="delta") for e in es] for b, es in raw.items()}
         total_rows = sum(b["rows_merged"] for b in bucket_lineage)
@@ -626,15 +712,20 @@ class LakeTable:
         df = df.repartition(max(len(todo) // 4, 1), "_bucket").sortWithinPartitions(
             "_bucket", *snap.key_cols
         )
-        commit_dir = os.path.join("data", f"compact-{snap.snapshot_id + 1}")
+        commit_dir = os.path.join(
+            "data", f"compact-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
+        )
         raw, _stats = self._write_data(df, commit_dir)
         new_files = {b: [dict(e, kind="base") for e in es] for b, es in raw.items()}
         for b in todo:  # buckets whose rows were all... always rewritten
             new_files.setdefault(str(b), [])
-        return self._next_commit(
+        out = self._next_commit(
             new_files,
             snap.schema,
             {"operation": "compact", "buckets": todo},
             commit_key=None,
             replace_buckets=True,
+            base_snapshot_id=snap.snapshot_id,
         )
+        assert out is not None  # no commit_key -> never the racer-applied path
+        return out
