@@ -1,0 +1,184 @@
+"""Incrementally-maintained aggregate views over a LakeTable changefeed.
+
+The CDC-consumer half of the engine: downstream marts (the reference's
+silver/gold reports, /root/reference/dags/silver_layer_dag.py) should not
+recompute a 100 TB table every epoch. ``IncrementalAggView`` maintains a
+grouped aggregate by *dirty-group recompute*:
+
+1. ``source.changes(last_refreshed)`` — only the delta files committed
+   since the last refresh are scanned (manifest-indirected, O(batch)).
+2. The distinct group keys in the delta are the *dirty groups*; the
+   buckets they hash into (≤ n_buckets integers — bounded driver state,
+   never a key list) prune the source read.
+3. The aggregate is recomputed for dirty groups ONLY — a bucket-pruned
+   scan semi-joined on the dirty keys — and upserted into the view, which
+   is itself a LakeTable keyed by the group columns. Groups whose rows all
+   disappeared (full-conversation delete) get tombstones.
+
+Cost per refresh ∝ data of the groups that changed, not table size: at
+10^10 events in 10^3 epochs, each refresh touches ~10^7 events' worth of
+conversations instead of re-aggregating 10^10 rows — and because the group
+key shares a prefix with the source's bucket key, the recompute scan reads
+only the dirty buckets.
+
+Exactly-once: each refresh commits with ``commit_key=src:{snapshot}``, so
+a crashed-and-replayed refresh is the same idempotent no-op as a replayed
+CDC epoch, and the view's position in the source history rides in the
+commit summary (``source_snapshot``) — resumable from the view alone, no
+side-channel offset file. Works with arbitrary non-decomposable aggregates
+(max, percentile, count-distinct) because dirty groups are recomputed from
+base data, not patched via retractions.
+
+This is the engine's analog of the reference's recomputed silver layer
+(DELETE + re-INSERT of report rows per run, silver_layer_dag.py:82-127),
+upgraded to incremental maintenance with exactly-once refresh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable, bucket_expr
+
+
+class IncrementalAggView:
+    """A grouped-aggregate view of ``source``, stored as its own LakeTable
+    and refreshed incrementally from the source changefeed.
+
+    ``agg_fn(rows) -> DataFrame`` receives payload rows (current state,
+    tombstones excluded) and must return exactly one row per group with
+    the ``group_cols`` plus the aggregate columns. It is re-applied only
+    to dirty groups, so it may use any aggregate — including ones with no
+    retraction rule.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        source: LakeTable,
+        group_cols: tuple[str, ...],
+        agg_fn: Callable[[DataFrame], DataFrame],
+        n_buckets: int = 16,
+    ):
+        self.spark = spark
+        self.root = root
+        self.source = source
+        self.group_cols = tuple(group_cols)
+        self.agg_fn = agg_fn
+        self.n_buckets = n_buckets
+        self._table: LakeTable | None = None
+        try:
+            self._table = LakeTable.load(spark, root)
+        except FileNotFoundError:
+            pass  # created lazily on first refresh (schema comes from agg_fn)
+
+    # ------------------------------------------------------------------
+    def last_source_snapshot(self) -> int:
+        """The source snapshot id this view reflects — recovered from the
+        view's own commit log (newest refresh summary), no offset file."""
+        if self._table is None:
+            return 0
+        for snap in reversed(self._table.snapshots()):
+            if "source_snapshot" in snap.summary:
+                return int(snap.summary["source_snapshot"])
+        return 0
+
+    def read(self) -> DataFrame:
+        if self._table is None:
+            raise FileNotFoundError(f"view at {self.root} has never refreshed")
+        return self._table.read()
+
+    # ------------------------------------------------------------------
+    def _view_schema(self, agg_df: DataFrame) -> T.StructType:
+        """View table schema from the aggregate output: group columns keep
+        their types; aggregate columns are forced nullable (tombstoned
+        group rows carry NULLs)."""
+        fields = []
+        for f in agg_df.schema.fields:
+            nullable = f.nullable or f.name not in self.group_cols
+            fields.append(T.StructField(f.name, f.dataType, nullable))
+        return T.StructType(fields)
+
+    def refresh(self) -> dict[str, Any] | None:
+        """Bring the view up to the source's current snapshot. Returns a
+        stats dict, or None if already current. Idempotent per source
+        snapshot (commit-keyed); safe to re-run after a crash."""
+        src_snap = self.source.current()
+        src_sid = src_snap.snapshot_id
+        last = self.last_source_snapshot()
+        if src_sid <= last:
+            return None
+
+        delta = self.source.changes(last)
+        gcol0 = self.group_cols[0]
+        # dirty buckets: a bounded (≤ n_buckets) driver-side list — the
+        # pruning handle for the recompute scan. Never collect group keys.
+        dirty_buckets = sorted(
+            r["b"]
+            for r in delta.select(
+                bucket_expr(gcol0, src_snap.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        dirty = delta.select(*self.group_cols).distinct()
+        rows = self.source.read(buckets=dirty_buckets).join(
+            dirty, on=list(self.group_cols), how="left_semi"
+        )
+        agg = self.agg_fn(rows)
+        missing = [c for c in self.group_cols if c not in agg.columns]
+        if missing:
+            raise ValueError(f"agg_fn output lacks group columns {missing}")
+
+        if self._table is None:
+            schema = self._view_schema(agg)
+            self._table = LakeTable.create(
+                self.spark, self.root, schema,
+                key_cols=self.group_cols, n_buckets=self.n_buckets,
+            )
+        schema = self._table.schema()
+        agg_cols = [f.name for f in schema.fields if f.name not in self.group_cols]
+
+        # groups that vanished since the last refresh (every row deleted):
+        # dirty but absent from the recomputed aggregate -> tombstones
+        gone = dirty.join(
+            agg.select(*self.group_cols), on=list(self.group_cols), how="left_anti"
+        )
+        live = agg.select(
+            *self.group_cols,
+            *[F.col(c) for c in agg_cols],
+            F.lit(False).alias("_deleted"),
+        )
+        dead = gone.select(
+            *self.group_cols,
+            *[
+                F.lit(None).cast(schema[c].dataType).alias(c)
+                for c in agg_cols
+            ],
+            F.lit(True).alias("_deleted"),
+        )
+        # source snapshot id as the view LSN: monotone across refreshes, so
+        # view-level LWW resolves replays/races exactly like CDC rows. No
+        # _bucket column here — merge assigns buckets and owns the single
+        # bucket-clustering exchange (one delta file per bucket).
+        winners = live.unionByName(dead).select(
+            "*", F.lit(src_sid).cast("long").alias("_lsn")
+        )
+        snap = self._table.merge(
+            winners,
+            commit_key=f"src:{src_sid}",
+            summary={"source_snapshot": src_sid, "since_snapshot": last},
+        )
+        if snap is None:  # racer refreshed to the same snapshot first
+            return None
+        return {
+            "source_snapshot": src_sid,
+            "since_snapshot": last,
+            "dirty_buckets": len(dirty_buckets),
+            "view_snapshot": snap.snapshot_id,
+        }

@@ -26,6 +26,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # CDC engine end-to-end (flagship)
     "c01_cdc_replay_state": (cdcq.c01_cdc_replay_state, cdcq.C01_SQL),
+    # incremental materialized view maintained from the table changefeed,
+    # refreshed after every epoch; oracle = full recompute over LWW state
+    "c02_incremental_view": (cdcq.c02_incremental_view, cdcq.C02_SQL),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),

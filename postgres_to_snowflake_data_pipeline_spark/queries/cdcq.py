@@ -78,6 +78,83 @@ def c01_cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("conv_id", "turn_idx", "role", "text", "ts")
 
 
+def c02_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the feed in 4 epochs, refreshing an incrementally-maintained
+    per-conversation aggregate view after EVERY epoch (dirty-group
+    recompute over the changefeed, lake/view.py); return the final view.
+
+    The oracle recomputes the same aggregate from scratch over the LWW
+    state — so the value-hash check proves 4 rounds of incremental
+    maintenance (including tombstoned groups) converge to the exact
+    full-recompute answer."""
+    from postgres_to_snowflake_data_pipeline_spark.lake.view import IncrementalAggView
+
+    work = os.path.join(
+        tempfile.gettempdir(), "cdcv-" + sf_dir.strip("/").replace("/", "-")
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    view = IncrementalAggView(
+        spark,
+        os.path.join(work, "view"),
+        table,
+        group_cols=("conv_id",),
+        agg_fn=lambda rows: rows.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max("ts").alias("last_ts"),
+            F.sum(F.length("text")).alias("chars"),
+        ),
+        n_buckets=4,
+    )
+    feed = spark.read.parquet(feed_path)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    step = max((hi - lo + 1) // 4, 1)
+    for e in range(4):
+        a = lo + e * step
+        b = hi + 1 if e == 3 else lo + (e + 1) * step
+        from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+
+        apply_batch(
+            spark, table, feed.filter((F.col("lsn") >= a) & (F.col("lsn") < b)),
+            epoch=e,
+        )
+        view.refresh()
+    return view.read().select("conv_id", "n_turns", "last_ts", "chars")
+
+
+C02_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text, ts
+  FROM events
+),
+w AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(text, lsn) AS text,
+         arg_max(ts, lsn) AS ts
+  FROM feed GROUP BY 1, 2
+),
+state AS (SELECT conv_id, text, ts FROM w WHERE op <> 'delete')
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       max(ts) AS last_ts,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM state GROUP BY conv_id
+"""
+
+
 C01_SQL = f"""
 WITH feed AS (
   SELECT event_id AS lsn,

@@ -1,0 +1,128 @@
+"""IncrementalAggView: dirty-group maintenance vs full recompute.
+
+Invariant: after any sequence of (apply epochs, refresh) interleavings,
+``view.read()`` equals the aggregate recomputed from scratch over the
+source's current state — including groups that vanish via deletes — and a
+replayed refresh is an exactly-once no-op.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events
+from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+from postgres_to_snowflake_data_pipeline_spark.lake.view import IncrementalAggView
+
+
+def _agg(rows):
+    return rows.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("ts").alias("last_ts"),
+        F.sum(F.length("text")).alias("chars"),
+    )
+
+
+@pytest.fixture()
+def source(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "src"), TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"), n_buckets=8,
+    )
+
+
+def _mk_view(spark, tmp_path, source):
+    return IncrementalAggView(
+        spark, str(tmp_path / "view"), source,
+        group_cols=("conv_id",), agg_fn=_agg, n_buckets=4,
+    )
+
+
+def _assert_view_exact(view, source):
+    got = view.read()
+    want = _agg(source.read())
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_incremental_equals_full_recompute_across_epochs(spark, tmp_path, source):
+    ev = change_events(spark, 6000, n_convs=300).localCheckpoint()
+    view = _mk_view(spark, tmp_path, source)
+    lo, hi = ev.select(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo + 1) // 3 + 1
+    for e in range(3):
+        batch = ev.filter(
+            (F.col("lsn") >= lo + e * step) & (F.col("lsn") < lo + (e + 1) * step)
+        )
+        apply_batch(spark, source, batch, epoch=e)
+        stats = view.refresh()
+        assert stats is not None
+        _assert_view_exact(view, source)
+    # dirty-bucket pruning actually engaged at least once (not all buckets)
+    # on the later, smaller deltas — only a sanity guard, the real pruning
+    # contract is pinned by read(buckets=) tests
+
+
+def test_refresh_is_idempotent_and_resumable(spark, tmp_path, source):
+    ev = change_events(spark, 2000, n_convs=100)
+    apply_batch(spark, source, ev, epoch=0)
+    view = _mk_view(spark, tmp_path, source)
+    s1 = view.refresh()
+    assert s1 is not None
+    assert view.refresh() is None  # already current
+    # a NEW handle recovers its position from the view's own commit log
+    view2 = _mk_view(spark, tmp_path, source)
+    assert view2.last_source_snapshot() == s1["source_snapshot"]
+    assert view2.refresh() is None
+    _assert_view_exact(view2, source)
+
+
+def test_deleted_group_disappears_from_view(spark, tmp_path, source):
+    rows = [(i, "insert", f"c{k}", t, "user", f"txt {k}/{t}", None)
+            for i, (k, t) in enumerate(
+                [(k, t) for k in range(6) for t in range(3)], start=1)]
+    df = spark.createDataFrame(
+        rows, "lsn long, op string, conv_id string, turn_idx int, "
+              "role string, text string, tool string"
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    apply_batch(spark, source, df, epoch=0)
+    view = _mk_view(spark, tmp_path, source)
+    view.refresh()
+    assert view.read().count() == 6
+    # delete EVERY turn of conv c2 -> its group row must vanish
+    dels = df.filter("conv_id = 'c2'").withColumn(
+        "lsn", F.col("lsn") + 1000
+    ).withColumn("op", F.lit("delete"))
+    apply_batch(spark, source, dels, epoch=1)
+    view.refresh()
+    _assert_view_exact(view, source)
+    assert view.read().filter("conv_id = 'c2'").isEmpty()
+    assert view.read().count() == 5
+
+
+def test_refresh_after_source_compaction(spark, tmp_path, source):
+    """Compaction commits carry no merge manifest — a refresh spanning one
+    must see exactly the merged deltas, not the rewritten base files."""
+    ev = change_events(spark, 3000, n_convs=150).localCheckpoint()
+    view = _mk_view(spark, tmp_path, source)
+    half = ev.filter(F.col("lsn") % 2 == 0)
+    apply_batch(spark, source, half, epoch=0)
+    view.refresh()
+    apply_batch(spark, source, ev.filter(F.col("lsn") % 2 == 1), epoch=1)
+    source.compact()
+    stats = view.refresh()
+    assert stats is not None
+    _assert_view_exact(view, source)
+
+
+def test_agg_fn_must_return_group_cols(spark, tmp_path, source):
+    ev = change_events(spark, 500, n_convs=20)
+    apply_batch(spark, source, ev, epoch=0)
+    bad = IncrementalAggView(
+        spark, str(tmp_path / "bad"), source, group_cols=("conv_id",),
+        agg_fn=lambda rows: rows.agg(F.count(F.lit(1)).alias("n")),
+    )
+    with pytest.raises(ValueError, match="group columns"):
+        bad.refresh()
