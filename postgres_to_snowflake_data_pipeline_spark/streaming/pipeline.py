@@ -61,6 +61,7 @@ def run_stream(
     salt_buckets: int | None = None,
     available_now: bool = True,
     watermark_delay: str | None = None,
+    views: list | None = None,
 ) -> StreamingQuery:
     """Start the streaming merge. With ``available_now=True`` the query
     drains everything currently in the feed and stops (deterministic tests /
@@ -83,7 +84,12 @@ def run_stream(
     compacts just the buckets whose file count exceeded the bound — the
     read-amplification guard when batch sizes vary wildly (a cadence-only
     trigger lets per-bucket file counts grow unbounded between firings when
-    many small batches arrive)."""
+    many small batches arrive).
+
+    ``views``: IncrementalAggViews (lake/view.py) refreshed after every
+    merge — each refresh is commit-keyed to the source snapshot, so a
+    re-delivered micro-batch re-fires an idempotent no-op refresh and the
+    downstream marts stay exactly-once along with the table."""
     events = read_feed_stream(spark, feed_path, event_schema, max_files_per_trigger)
     if watermark_delay is not None:
         events = events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
@@ -105,6 +111,8 @@ def run_stream(
             over = table.buckets_needing_compaction(compact_max_files)
             if over:
                 table.compact(buckets=over)
+        for v in views or ():
+            v.refresh()
 
     writer = events.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

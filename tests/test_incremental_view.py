@@ -117,6 +117,26 @@ def test_refresh_after_source_compaction(spark, tmp_path, source):
     _assert_view_exact(view, source)
 
 
+def test_streaming_pipeline_refreshes_view(spark, tmp_path, source):
+    """run_stream(views=[...]): the view tracks the table through a
+    multi-micro-batch drain and ends equal to the full recompute."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.generator import write_feed
+    from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import CHANGE_EVENT_SCHEMA
+    from postgres_to_snowflake_data_pipeline_spark.streaming.pipeline import run_stream
+
+    ev = change_events(spark, 4000, n_convs=200)
+    feed = str(tmp_path / "feed")
+    write_feed(ev, feed, n_files=4)
+    view = _mk_view(spark, tmp_path, source)
+    q = run_stream(
+        spark, source, feed, CHANGE_EVENT_SCHEMA, str(tmp_path / "ck"),
+        views=[view],
+    )
+    q.awaitTermination(300)
+    assert view.last_source_snapshot() == source.current().snapshot_id
+    _assert_view_exact(view, source)
+
+
 def test_agg_fn_must_return_group_cols(spark, tmp_path, source):
     ev = change_events(spark, 500, n_convs=20)
     apply_batch(spark, source, ev, epoch=0)
