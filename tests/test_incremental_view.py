@@ -137,6 +137,21 @@ def test_streaming_pipeline_refreshes_view(spark, tmp_path, source):
     _assert_view_exact(view, source)
 
 
+def test_refresh_prunes_to_dirty_buckets(spark, tmp_path, source):
+    """A single-conversation delta must recompute via exactly ONE source
+    bucket — the 100 TB cost model: refresh ∝ changed groups, not table."""
+    ev = change_events(spark, 3000, n_convs=150)
+    apply_batch(spark, source, ev, epoch=0)
+    view = _mk_view(spark, tmp_path, source)
+    s0 = view.refresh()
+    assert s0["dirty_buckets"] == source.current().n_buckets  # first = full
+    one = ev.limit(1).withColumn("lsn", F.col("lsn") + 10_000_000)
+    apply_batch(spark, source, one, epoch=1)
+    s1 = view.refresh()
+    assert s1["dirty_buckets"] == 1
+    _assert_view_exact(view, source)
+
+
 def test_agg_fn_must_return_group_cols(spark, tmp_path, source):
     ev = change_events(spark, 500, n_convs=20)
     apply_batch(spark, source, ev, epoch=0)

@@ -190,3 +190,27 @@ def test_t16_sample_pushes_group_limit_below_shuffle(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     (scan,) = read_schema_columns(df)
     assert set(scan) == {"doc_id", "source"}, scan
+
+
+def test_t19_pack_scans_narrow_single_window_exchange(spark, sf_dir):
+    """Sequence packing: one pruned scan of (doc_id, source, text) and one
+    exchange — the (source, shard) window partition key — so packing
+    parallelism scales with PACK_SHARDS and no reducer sorts a source."""
+    from postgres_to_snowflake_data_pipeline_spark.queries import corpusops
+
+    df = corpusops.t19_sequence_pack(spark, sf_dir)
+    (scan,) = read_schema_columns(df)
+    assert set(scan) == {"doc_id", "source", "text"}, scan
+    assert n_exchanges(df) == 1, explain_str(df)
+
+
+def test_t18_survivors_never_shuffle_text(spark, sf_dir):
+    """Survivor selection: quality is computed BEFORE the cluster join, so
+    no exchange in the plan carries the text column — only (doc_id,
+    cluster_id, quality) move."""
+    from postgres_to_snowflake_data_pipeline_spark.queries import corpusops
+
+    df = corpusops.t18_dedup_survivors(spark, sf_dir)
+    plan = explain_str(df, "formatted")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
