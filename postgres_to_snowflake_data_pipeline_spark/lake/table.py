@@ -240,6 +240,58 @@ class LakeTable:
             F.col(snap.key_cols[0]) == conv_id
         )
 
+    def key_history(self, conv_id: str) -> DataFrame:
+        """Audit trail: every stored version of one conversation's rows
+        across the retained merge commits, as (snapshot_id, epoch, lsn, op,
+        payload...), ordered by (turn_idx, lsn).
+
+        Cost is O(one bucket × retained merge commits): each commit's own
+        delta manifest names the files it added (no file-map work), only
+        the key's hash bucket is opened, and the residual conv_id filter
+        pushes into those scans. Versions folded away by compaction +
+        ``expire_snapshots`` are gone by design — the audit horizon IS the
+        retention horizon. The per-key complement of ``changes()`` (which
+        slices history by commit instead of by key)."""
+        snap = self.current()
+        bucket = str(
+            self.spark.range(1)
+            .select(bucket_expr(F.lit(conv_id), snap.n_buckets))
+            .first()[0]
+        )
+        parts: list[DataFrame] = []
+        for s in self.log.history():
+            if s.summary.get("operation") != "merge":
+                continue
+            added = self.log.manifest_of(s.snapshot_id)
+            if not added or bucket not in added:
+                continue
+            df = self._read_files(s, added[bucket])
+            if df is None:
+                continue
+            parts.append(
+                df.select(
+                    F.lit(s.snapshot_id).cast("long").alias("snapshot_id"),
+                    F.lit(s.summary.get("epoch")).cast("long").alias("epoch"),
+                    F.col("_lsn").alias("lsn"),
+                    F.when(F.col("_deleted"), "delete").otherwise("upsert").alias("op"),
+                    *[f.name for f in s.schema.fields],
+                )
+            )
+        key0 = snap.key_cols[0]
+        if not parts:
+            fields = [
+                T.StructField("snapshot_id", T.LongType(), False),
+                T.StructField("epoch", T.LongType(), True),
+                T.StructField("lsn", T.LongType(), False),
+                T.StructField("op", T.StringType(), False),
+            ] + list(snap.schema.fields)
+            return self.spark.createDataFrame([], T.StructType(fields))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        order = [c for c in snap.key_cols if c != key0] + ["lsn"]
+        return out.filter(F.col(key0) == conv_id).orderBy(*order)
+
     def snapshot_as_of(self, ts_unix: float) -> Snapshot:
         """Time travel by wall clock: the last snapshot committed at or
         before ``ts_unix`` (Iceberg's TIMESTAMP AS OF). Raises if the
