@@ -249,6 +249,24 @@ class MetadataLog:
             sid += 1
         return sid
 
+    def repair_hint(self) -> None:
+        """Recreate a missing ``_current`` hint from the snapshot files on
+        disk (crash between a CAS-created snapshot and its hint write).
+        No-op when the hint already exists — committed state never moves."""
+        if os.path.exists(self._current_path()):
+            return
+        try:
+            sids = [
+                int(f[1:-5])
+                for f in os.listdir(self.meta_dir)
+                if f.startswith("v") and f.endswith(".json")
+            ]
+        except FileNotFoundError:
+            return
+        if sids:
+            self._atomic_write(self._current_path(), str(min(sids)))
+            # forward probing in current_id() walks min -> max
+
     def _load_manifest(self, name: str) -> dict[str, list[dict[str, Any]]]:
         m = self._manifest_cache.get(name)
         if m is None:

@@ -108,7 +108,16 @@ class LakeTable:
             summary={"operation": "create", "committed_at_unix": time.time()},
         )
         snap._files = {}
-        t.log.commit(snap)
+        try:
+            t.log.commit(snap)
+        except CommitConflictError:
+            # v0.json exists but _current does not: either a concurrent
+            # create just won the CAS, or an earlier create crashed between
+            # the CAS and the hint write. Repair the hint so the existing
+            # table is loadable again (the pre-CAS code self-healed by
+            # overwriting; CAS must heal explicitly), then report exists.
+            t.log.repair_hint()
+            raise ValueError(f"table already exists at {root}") from None
         return t
 
     @classmethod
@@ -225,18 +234,24 @@ class LakeTable:
             df = df.select(*[f.name for f in want_fields])
         return df
 
+    def _bucket_of(self, key_value: str, n_buckets: int) -> int:
+        """The storage bucket one key value hashes into — evaluated through
+        the SAME Catalyst expression that assigns buckets at write time, so
+        lookup and layout can never drift apart."""
+        return int(
+            self.spark.range(1)
+            .select(bucket_expr(F.lit(key_value), n_buckets))
+            .first()[0]
+        )
+
     def read_key(self, conv_id: str, snapshot_id: int | None = None) -> DataFrame:
         """Point lookup: current rows for one conversation. Bucket pruning
         makes this O(one bucket) — only the files of the key's hash bucket
         are opened (1/n_buckets of the table), then the residual conv_id
         filter pushes into those parquet scans."""
         snap = self.current() if snapshot_id is None else self.log.load(snapshot_id)
-        bucket = (
-            self.spark.range(1)
-            .select(bucket_expr(F.lit(conv_id), snap.n_buckets))
-            .first()[0]
-        )
-        return self.read(snapshot_id=snapshot_id, buckets=[int(bucket)]).filter(
+        bucket = self._bucket_of(conv_id, snap.n_buckets)
+        return self.read(snapshot_id=snapshot_id, buckets=[bucket]).filter(
             F.col(snap.key_cols[0]) == conv_id
         )
 
@@ -253,14 +268,26 @@ class LakeTable:
         retention horizon. The per-key complement of ``changes()`` (which
         slices history by commit instead of by key)."""
         snap = self.current()
-        bucket = str(
-            self.spark.range(1)
-            .select(bucket_expr(F.lit(conv_id), snap.n_buckets))
-            .first()[0]
-        )
+        bucket = str(self._bucket_of(conv_id, snap.n_buckets))
         parts: list[DataFrame] = []
         for s in self.log.history():
             if s.summary.get("operation") != "merge":
+                continue
+            # a format-v1 upgrade commit persists the whole cumulative file
+            # map as one REPLACE manifest — treating it as "added by this
+            # commit" would attribute every pre-upgrade version to the
+            # upgrade's snapshot/epoch. Only genuine per-commit deltas
+            # (op=append) attribute correctly.
+            own = {
+                m["path"]
+                for m in s.manifests
+                if m["op"] == "append"
+                and (
+                    m["path"] == f"m{s.snapshot_id}.json"
+                    or m["path"].startswith(f"m{s.snapshot_id}-")
+                )
+            }
+            if not own:
                 continue
             added = self.log.manifest_of(s.snapshot_id)
             if not added or bucket not in added:
@@ -681,17 +708,28 @@ class LakeTable:
         )
 
     def expire_snapshots(
-        self, keep_last: int = 3, older_than_unix: float | None = None
+        self,
+        keep_last: int = 3,
+        older_than_unix: float | None = None,
+        orphan_grace_seconds: float = 600.0,
     ) -> dict[str, int]:
         """Retention: drop snapshot metadata older than the last
         ``keep_last`` commits and physically delete data files no kept
         snapshot references (orphans from expired commits + compacted-away
-        deltas). With ``older_than_unix`` set (Iceberg's expire-by-age),
-        only snapshots committed BEFORE that time are eligible — recent
-        history survives even beyond ``keep_last``. Safe under the table's
-        single-writer model; kept snapshots remain fully readable (time
-        travel + ``changes()``). Returns counts: expired snapshots,
-        deleted files, freed bytes."""
+        deltas + conflict-loser writes). With ``older_than_unix`` set
+        (Iceberg's expire-by-age), only snapshots committed BEFORE that
+        time are eligible — recent history survives even beyond
+        ``keep_last``. Kept snapshots remain fully readable (time travel +
+        ``changes()``).
+
+        Multi-writer safety: a concurrent committer's files are
+        snapshot-unreferenced between its data/manifest writes and its CAS
+        — indistinguishable from orphans by reference-counting alone. So
+        unreferenced files younger than ``orphan_grace_seconds`` are left
+        alone (Iceberg's orphan-file retention threshold, same reasoning);
+        a grace period far above any commit's write-to-CAS window makes
+        the race impossible in practice. Returns counts: expired
+        snapshots, deleted files, freed bytes."""
         snaps = self.snapshots()
         if keep_last < 1 or len(snaps) <= keep_last:
             return {"expired_snapshots": 0, "deleted_files": 0, "freed_bytes": 0}
@@ -710,12 +748,15 @@ class LakeTable:
             e["path"] for s in keep for es in s.files.values() for e in es
         }
         data_root = os.path.join(self.root, "data")
+        now = time.time()
         deleted = freed = 0
         for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
             for fn in filenames:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, self.root)
                 if fn.endswith(".parquet") and rel not in referenced:
+                    if now - os.path.getmtime(full) < orphan_grace_seconds:
+                        continue  # possibly an in-flight commit's write
                     freed += os.path.getsize(full)
                     os.remove(full)
                     deleted += 1
@@ -724,11 +765,17 @@ class LakeTable:
         for s in expired:
             self.log.delete_snapshot(s.snapshot_id)
         # manifest GC: a manifest written by an expired commit stays alive
-        # as long as any KEPT snapshot's manifest list points at it
+        # as long as any KEPT snapshot's manifest list points at it; young
+        # unreferenced manifests get the same in-flight-commit grace
         live_manifests = {m["path"] for s in keep for m in s.manifests}
         for name in self.log.list_manifests():
             if name not in live_manifests:
-                self.log.delete_manifest(name)
+                try:
+                    age = now - os.path.getmtime(self.log.manifest_path(name))
+                except FileNotFoundError:
+                    continue
+                if age >= orphan_grace_seconds:
+                    self.log.delete_manifest(name)
         return {
             "expired_snapshots": len(expired),
             "deleted_files": deleted,

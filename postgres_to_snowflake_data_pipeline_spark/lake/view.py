@@ -7,9 +7,11 @@ grouped aggregate by *dirty-group recompute*:
 
 1. ``source.changes(last_refreshed)`` — only the delta files committed
    since the last refresh are scanned (manifest-indirected, O(batch)).
-2. The distinct group keys in the delta are the *dirty groups*; the
-   buckets they hash into (≤ n_buckets integers — bounded driver state,
-   never a key list) prune the source read.
+2. The distinct group keys in the delta are the *dirty groups*; when the
+   leading group column IS the source's bucketing key, the buckets they
+   hash into (≤ n_buckets integers — bounded driver state, never a key
+   list) prune the source read (other groupings scan all buckets but
+   still aggregate only dirty groups via the semi-join).
 3. The aggregate is recomputed for dirty groups ONLY — a bucket-pruned
    scan semi-joined on the dirty keys — and upserted into the view, which
    is itself a LakeTable keyed by the group columns. Groups whose rows all
@@ -21,13 +23,16 @@ conversations instead of re-aggregating 10^10 rows — and because the group
 key shares a prefix with the source's bucket key, the recompute scan reads
 only the dirty buckets.
 
-Exactly-once: each refresh commits with ``commit_key=src:{snapshot}``, so
-a crashed-and-replayed refresh is the same idempotent no-op as a replayed
-CDC epoch, and the view's position in the source history rides in the
-commit summary (``source_snapshot``) — resumable from the view alone, no
-side-channel offset file. Works with arbitrary non-decomposable aggregates
-(max, percentile, count-distinct) because dirty groups are recomputed from
-base data, not patched via retractions.
+Exactly-once: the view's position in the source history rides in the
+commit summary (``source_snapshot``) — a monotone watermark, resumable
+from the view alone with no side-channel offset file; a crashed-and-
+replayed refresh re-checks it and no-ops (per-refresh commit *keys* are
+deliberately not used — they would grow view metadata O(refreshes); see
+``refresh``). If source history was expired past the view's position,
+refresh detects the gap and falls back to a full rebuild rather than
+silently missing expired commits. Works with arbitrary non-decomposable
+aggregates (max, percentile, count-distinct) because dirty groups are
+recomputed from base data, not patched via retractions.
 
 This is the engine's analog of the reference's recomputed silver layer
 (DELETE + re-INSERT of report rows per run, silver_layer_dag.py:82-127),
@@ -104,29 +109,71 @@ class IncrementalAggView:
             fields.append(T.StructField(f.name, f.dataType, nullable))
         return T.StructType(fields)
 
+    def _history_covers(self, last: int) -> bool:
+        """True iff the source's retained snapshot chain reaches back to
+        ``last`` — i.e. ``changes(last)`` can enumerate every commit since
+        the view's position. After aggressive ``expire_snapshots`` the
+        chain may start later; refreshing from the truncated feed would
+        silently miss the expired commits' groups."""
+        hist = self.source.snapshots()
+        return bool(hist) and hist[0].snapshot_id <= last + 1
+
     def refresh(self) -> dict[str, Any] | None:
         """Bring the view up to the source's current snapshot. Returns a
-        stats dict, or None if already current. Idempotent per source
-        snapshot (commit-keyed); safe to re-run after a crash."""
+        stats dict, or None if already current.
+
+        Idempotency is watermark-based: the view's position
+        (``source_snapshot`` in its newest commit summary) is monotone, so
+        a crashed-and-replayed refresh re-checks the watermark and no-ops.
+        Two refreshers racing past the check both commit, but the rows are
+        identical (same ``_lsn`` = source snapshot id), so read-time LWW
+        collapses them — exactly-once in effect, at-least-once in commits.
+        A deliberately unbounded commit-key list is NOT used: per-refresh
+        keys would grow the view's snapshot metadata O(refreshes).
+
+        If the source expired history past the view's position, the
+        refresh detects the gap and falls back to a FULL rebuild (every
+        current source group ∪ every view group marked dirty) instead of
+        silently missing the expired commits' changes."""
         src_snap = self.source.current()
         src_sid = src_snap.snapshot_id
         last = self.last_source_snapshot()
         if src_sid <= last:
             return None
 
-        delta = self.source.changes(last)
         gcol0 = self.group_cols[0]
+        full_rebuild = not self._history_covers(last)
+        if full_rebuild:
+            changed = self.source.read().select(*self.group_cols)
+            if self._table is not None:
+                changed = changed.unionByName(
+                    self._table.read().select(*self.group_cols)
+                )
+        else:
+            changed = self.source.changes(last).select(*self.group_cols)
+        # the dirty-group key set is small (distinct changed groups) —
+        # checkpoint it so the delta files are scanned ONCE, not re-read by
+        # the semi-join, the anti-join, and the bucket collect below
+        dirty = changed.distinct().localCheckpoint()
+
         # dirty buckets: a bounded (≤ n_buckets) driver-side list — the
         # pruning handle for the recompute scan. Never collect group keys.
-        dirty_buckets = sorted(
-            r["b"]
-            for r in delta.select(
-                bucket_expr(gcol0, src_snap.n_buckets).alias("b")
+        # Only valid when the view groups by the source's bucketing key;
+        # any other grouping reads all buckets (the semi-join still bounds
+        # the aggregation itself to dirty groups).
+        if full_rebuild:
+            dirty_buckets = None
+        elif gcol0 == self.source.current().key_cols[0]:
+            dirty_buckets = sorted(
+                r["b"]
+                for r in dirty.select(
+                    bucket_expr(gcol0, src_snap.n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
             )
-            .distinct()
-            .collect()
-        )
-        dirty = delta.select(*self.group_cols).distinct()
+        else:
+            dirty_buckets = None
         rows = self.source.read(buckets=dirty_buckets).join(
             dirty, on=list(self.group_cols), how="left_semi"
         )
@@ -169,16 +216,21 @@ class IncrementalAggView:
         winners = live.unionByName(dead).select(
             "*", F.lit(src_sid).cast("long").alias("_lsn")
         )
+        # no commit key (see docstring): watermark idempotency, and a raced
+        # duplicate commit carries identical (key, _lsn) rows — harmless
         snap = self._table.merge(
             winners,
-            commit_key=f"src:{src_sid}",
-            summary={"source_snapshot": src_sid, "since_snapshot": last},
+            summary={"source_snapshot": src_sid, "since_snapshot": last,
+                     "full_rebuild": full_rebuild},
         )
-        if snap is None:  # racer refreshed to the same snapshot first
-            return None
+        assert snap is not None  # merge without a commit key always commits
         return {
             "source_snapshot": src_sid,
             "since_snapshot": last,
-            "dirty_buckets": len(dirty_buckets),
+            "full_rebuild": full_rebuild,
+            "dirty_buckets": (
+                len(dirty_buckets) if dirty_buckets is not None
+                else self.source.current().n_buckets
+            ),
             "view_snapshot": snap.snapshot_id,
         }

@@ -112,7 +112,7 @@ def test_key_history_audit(spark, tmp_path):
     # compaction folds history away for its buckets; the audit horizon is
     # the retention horizon (documented) — here the current version remains
     table.compact()
-    table.expire_snapshots(keep_last=1)
+    table.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
     remaining = table.key_history("cX").collect()
     assert len(remaining) <= 1
 

@@ -152,6 +152,44 @@ def test_refresh_prunes_to_dirty_buckets(spark, tmp_path, source):
     _assert_view_exact(view, source)
 
 
+def test_non_bucket_key_grouping_is_exact(spark, tmp_path, source):
+    """Grouping by a column other than the source's bucketing key must
+    disable bucket pruning (hash(role) says nothing about row placement)
+    and still produce the exact aggregate."""
+    ev = change_events(spark, 3000, n_convs=150).localCheckpoint()
+    apply_batch(spark, source, ev.filter(F.col("lsn") % 2 == 0), epoch=0)
+    agg = lambda rows: rows.groupBy("role").agg(F.count(F.lit(1)).alias("n"))
+    view = IncrementalAggView(
+        spark, str(tmp_path / "byrole"), source, ("role",), agg, n_buckets=2,
+    )
+    s0 = view.refresh()
+    assert s0["dirty_buckets"] == source.current().n_buckets  # no pruning
+    apply_batch(spark, source, ev.filter(F.col("lsn") % 2 == 1), epoch=1)
+    s1 = view.refresh()
+    assert s1["dirty_buckets"] == source.current().n_buckets
+    got, want = view.read(), agg(source.read())
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_expired_source_history_triggers_full_rebuild(spark, tmp_path, source):
+    """If the source expired snapshots past the view's position, refresh
+    must NOT silently skip the expired commits — it rebuilds fully."""
+    ev = change_events(spark, 3000, n_convs=150).localCheckpoint()
+    apply_batch(spark, source, ev.filter(F.col("lsn") % 3 == 0), epoch=0)
+    view = _mk_view(spark, tmp_path, source)
+    view.refresh()
+    # several epochs land while the view is paused, then history expires
+    apply_batch(spark, source, ev.filter(F.col("lsn") % 3 == 1), epoch=1)
+    apply_batch(spark, source, ev.filter(F.col("lsn") % 3 == 2), epoch=2)
+    source.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    stats = view.refresh()
+    assert stats is not None and stats["full_rebuild"] is True
+    _assert_view_exact(view, source)
+    # and repeated refreshes of a long-running view never grow the view's
+    # residual commit-key list (watermark idempotency, no per-refresh keys)
+    assert view._table.current().commit_keys == []
+
+
 def test_agg_fn_must_return_group_cols(spark, tmp_path, source):
     ev = change_events(spark, 500, n_convs=20)
     apply_batch(spark, source, ev, epoch=0)

@@ -121,7 +121,7 @@ def test_expire_gcs_unreferenced_manifests(spark, tmp_path):
         apply_batch(spark, table, change_events(spark, 300, n_convs=20, seed=e), epoch=e)
     table.compact()
     before = set(table.log.list_manifests())
-    table.expire_snapshots(keep_last=2)
+    table.expire_snapshots(keep_last=2, orphan_grace_seconds=0)
     after = set(table.log.list_manifests())
     live = {m["path"] for s in table.snapshots() for m in s.manifests}
     assert after == live, "manifest GC left unreferenced manifests"
@@ -185,7 +185,7 @@ def test_commit_atop_v1_snapshot_preserves_old_data(spark, tmp_path):
     t3 = LT.load(spark, root)
     assert t3.read().count() >= rows_before
     assert t3.read().filter("conv_id is not null").count() == t3.read().count()
-    gc = t3.expire_snapshots(keep_last=1)
+    gc = t3.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
     # GC kept every referenced pre-upgrade file: table still fully readable
     assert t3.read().count() >= rows_before
     assert gc["deleted_files"] >= 0

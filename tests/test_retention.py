@@ -30,7 +30,7 @@ def test_expire_snapshots_gc(spark, tmp_path):
     n_files_before = len(glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
     state_before = table.read().orderBy("conv_id", "turn_idx").collect()
 
-    stats = table.expire_snapshots(keep_last=1)
+    stats = table.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
     assert stats["expired_snapshots"] > 0
     assert stats["deleted_files"] > 0 and stats["freed_bytes"] > 0
 
@@ -51,7 +51,7 @@ def test_expire_noop_when_few_snapshots(spark, tmp_path):
         spark, str(tmp_path / "t2"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"), n_buckets=4
     )
     apply_batch(spark, table, change_events(spark, 1000, n_convs=50), epoch=0)
-    stats = table.expire_snapshots(keep_last=5)
+    stats = table.expire_snapshots(keep_last=5, orphan_grace_seconds=0)
     assert stats == {"expired_snapshots": 0, "deleted_files": 0, "freed_bytes": 0}
 
 
@@ -102,7 +102,7 @@ def test_expire_cleans_orphans_from_failed_commits(spark, tmp_path):
     state_before = table.read().count()
     table.read().limit(5).write.mode("overwrite").parquet(orphan_dir)
 
-    stats = table.expire_snapshots(keep_last=2)
+    stats = table.expire_snapshots(keep_last=2, orphan_grace_seconds=0)
     assert not os.path.exists(os.path.join(orphan_dir, "_SUCCESS")) or True
     remaining = [
         f for f in (os.listdir(orphan_dir) if os.path.exists(orphan_dir) else [])
@@ -137,13 +137,44 @@ def test_time_travel_by_timestamp_and_expire_by_age(spark, tmp_path):
         table.snapshot_as_of(marks[0][0] - 3600)
     # age-based expiry: everything is younger than 1h -> nothing expires
     gc = table.expire_snapshots(keep_last=1,
-                                older_than_unix=marks[0][0] - 3600)
+                                older_than_unix=marks[0][0] - 3600, orphan_grace_seconds=0)
     assert gc["expired_snapshots"] == 0
     # cutoff between mark 1 and 2 -> exactly the older snapshots expire,
     # younger history (beyond keep_last) survives
     cutoff = marks[1][0] + 0.01
-    gc = table.expire_snapshots(keep_last=1, older_than_unix=cutoff)
+    gc = table.expire_snapshots(keep_last=1, older_than_unix=cutoff, orphan_grace_seconds=0)
     assert gc["expired_snapshots"] > 0
     remaining = [s.snapshot_id for s in table.snapshots()]
     assert marks[2][1] in remaining and marks[3][1] in remaining
     assert table.read().count() == marks[3][2]
+
+
+def test_orphan_grace_protects_inflight_commits(spark, tmp_path):
+    """Under multi-writer operation, a concurrent commit's freshly-written
+    files are snapshot-unreferenced until its CAS lands — the default
+    orphan grace period must leave young unreferenced files alone, so a
+    racing expire_snapshots can never corrupt an in-flight commit."""
+    import os
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "tg"), TRANSCRIPT_SCHEMA,
+        ("conv_id", "turn_idx"), n_buckets=4,
+    )
+    for e in range(4):
+        apply_batch(spark, table, change_events(spark, 400, n_convs=20, seed=e),
+                    epoch=e)
+    inflight = os.path.join(str(tmp_path / "tg"), "data", "commit-inflight",
+                            "_bdir=0")
+    os.makedirs(inflight)
+    table.read().limit(3).write.mode("overwrite").parquet(inflight)
+    stats = table.expire_snapshots(keep_last=2)  # default grace
+    survivors = [f for f in os.listdir(inflight) if f.endswith(".parquet")]
+    assert survivors, "young unreferenced files must survive the grace period"
+    # aged out (grace 0) they are reclaimed as true orphans (a fresh commit
+    # makes the next expiry eligible — GC rides snapshot expiry)
+    apply_batch(spark, table, change_events(spark, 400, n_convs=20, seed=9),
+                epoch=9)
+    table.expire_snapshots(keep_last=2, orphan_grace_seconds=0)
+    assert not os.path.exists(inflight) or not [
+        f for f in os.listdir(inflight) if f.endswith(".parquet")
+    ]

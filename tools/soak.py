@@ -133,7 +133,7 @@ def main() -> None:
     meta_bounded = late_peak <= early_peak * 2 + 1024
 
     # retention + GC, then verify
-    gc = table.expire_snapshots(keep_last=3)
+    gc = table.expire_snapshots(keep_last=3, orphan_grace_seconds=0)
 
     state = table.read().persist()
     n_state = state.count()
