@@ -52,6 +52,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -249,6 +250,43 @@ class MetadataLog:
             sid += 1
         return sid
 
+    # -- tags (named snapshot refs) -------------------------------------
+    _TAG_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, f"tag-{name}.json")
+
+    def create_tag(self, name: str, snapshot_id: int) -> None:
+        """Pin a name to a snapshot (Iceberg-style ref). One file per tag,
+        CAS-created — concurrent creators of the same name race safely
+        (exactly one wins, the loser gets the error)."""
+        if not self._TAG_RE.match(name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        payload = json.dumps(
+            {"snapshot_id": snapshot_id, "created_at_unix": time.time()}
+        )
+        if not self._cas_create(self._tag_path(name), payload):
+            raise ValueError(f"tag already exists: {name}")
+
+    def drop_tag(self, name: str) -> None:
+        try:
+            os.remove(self._tag_path(name))
+        except FileNotFoundError:
+            raise ValueError(f"no such tag: {name}") from None
+
+    def tags(self) -> dict[str, int]:
+        """name -> snapshot_id for every tag."""
+        out: dict[str, int] = {}
+        try:
+            names = os.listdir(self.meta_dir)
+        except FileNotFoundError:
+            return out
+        for f in names:
+            if f.startswith("tag-") and f.endswith(".json"):
+                with open(os.path.join(self.meta_dir, f)) as fh:
+                    out[f[4:-5]] = int(json.load(fh)["snapshot_id"])
+        return out
+
     def repair_hint(self) -> None:
         """Recreate a missing ``_current`` hint from the snapshot files on
         disk (crash between a CAS-created snapshot and its hint write).
@@ -374,6 +412,19 @@ class MetadataLog:
             os.remove(self.manifest_path(name))
         except FileNotFoundError:
             pass
+
+    def list_snapshot_ids(self) -> list[int]:
+        """Every snapshot id with a file on disk — including snapshots an
+        earlier expiry detached from the parent chain (kept alive by a
+        tag, or garbage once the tag is dropped)."""
+        try:
+            return sorted(
+                int(f[1:-5])
+                for f in os.listdir(self.meta_dir)
+                if f.startswith("v") and f.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
 
     def list_manifests(self) -> list[str]:
         try:

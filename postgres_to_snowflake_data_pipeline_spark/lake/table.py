@@ -319,6 +319,33 @@ class LakeTable:
         order = [c for c in snap.key_cols if c != key0] + ["lsn"]
         return out.filter(F.col(key0) == conv_id).orderBy(*order)
 
+    # ------------------------------------------------------------------
+    # tags (named snapshot refs)
+    # ------------------------------------------------------------------
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Pin ``name`` to a snapshot (default: current) — an Iceberg-style
+        ref. Tagged snapshots are protected from ``expire_snapshots`` until
+        the tag is dropped, so a tag is a durable restore/audit point
+        (training-data release pins: tag the table state a corpus was cut
+        from). Returns the pinned snapshot id."""
+        sid = self.current().snapshot_id if snapshot_id is None else snapshot_id
+        self.log.load(sid)  # must exist
+        self.log.create_tag(name, sid)
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        self.log.drop_tag(name)
+
+    def tags(self) -> dict[str, int]:
+        return self.log.tags()
+
+    def read_tag(self, name: str, **kwargs) -> DataFrame:
+        """``read()`` pinned to a tag."""
+        tags = self.log.tags()
+        if name not in tags:
+            raise ValueError(f"no such tag: {name}")
+        return self.read(snapshot_id=tags[name], **kwargs)
+
     def snapshot_as_of(self, ts_unix: float) -> Snapshot:
         """Time travel by wall clock: the last snapshot committed at or
         before ``ts_unix`` (Iceberg's TIMESTAMP AS OF). Raises if the
@@ -741,9 +768,29 @@ class LakeTable:
             ]
             keep = young + keep
             expired = [s for s in expired if s not in young]
-            if not expired:
-                return {"expired_snapshots": 0, "deleted_files": 0,
-                        "freed_bytes": 0}
+        # tagged snapshots are pinned: a tag is a durable restore point, so
+        # it (and everything it references) survives any retention policy —
+        # including snapshots DETACHED from the parent chain by an earlier
+        # expiry (history() can no longer reach them; load by id can)
+        tagged = set(self.log.tags().values())
+        expired = [s for s in expired if s.snapshot_id not in tagged]
+        keep_ids = {s.snapshot_id for s in keep}
+        for tid in tagged - keep_ids:
+            try:
+                keep.append(self.log.load(tid))
+                keep_ids.add(tid)
+            except FileNotFoundError:
+                pass  # tag points past the GC horizon of a pre-tag expiry
+        # detached, untagged snapshots (tag dropped after an expiry cut
+        # them out of the chain) are unreachable garbage: expire them too
+        detached = [
+            sid for sid in self.log.list_snapshot_ids()
+            if sid not in keep_ids
+            and sid not in {s.snapshot_id for s in snaps}
+        ]
+        if not expired and not detached:
+            return {"expired_snapshots": 0, "deleted_files": 0,
+                    "freed_bytes": 0}
         referenced = {
             e["path"] for s in keep for es in s.files.values() for e in es
         }
@@ -764,6 +811,8 @@ class LakeTable:
                 os.rmdir(dirpath)
         for s in expired:
             self.log.delete_snapshot(s.snapshot_id)
+        for sid in detached:
+            self.log.delete_snapshot(sid)
         # manifest GC: a manifest written by an expired commit stays alive
         # as long as any KEPT snapshot's manifest list points at it; young
         # unreferenced manifests get the same in-flight-commit grace
@@ -777,7 +826,7 @@ class LakeTable:
                 if age >= orphan_grace_seconds:
                     self.log.delete_manifest(name)
         return {
-            "expired_snapshots": len(expired),
+            "expired_snapshots": len(expired) + len(detached),
             "deleted_files": deleted,
             "freed_bytes": freed,
         }

@@ -8,6 +8,8 @@ import time
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
 from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events
 from postgres_to_snowflake_data_pipeline_spark.cdc.oracle import assert_matches_oracle
@@ -178,3 +180,41 @@ def test_orphan_grace_protects_inflight_commits(spark, tmp_path):
     assert not os.path.exists(inflight) or not [
         f for f in os.listdir(inflight) if f.endswith(".parquet")
     ]
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
+    """A tag is a durable restore point: the tagged snapshot, its
+    manifests, and its data files survive retention that would otherwise
+    expire them; dropping the tag releases them to the next expiry."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "tt"), TRANSCRIPT_SCHEMA,
+        ("conv_id", "turn_idx"), n_buckets=4,
+    )
+    ev = change_events(spark, 1000, n_convs=50).localCheckpoint()
+    apply_batch(spark, table, ev, epoch=0)
+    pinned_sid = table.tag("release-v1")
+    pinned_rows = table.read().count()
+    assert table.tags() == {"release-v1": pinned_sid}
+
+    for e in range(1, 5):
+        apply_batch(
+            spark, table,
+            ev.limit(100).withColumn("lsn", F.col("lsn") + 1_000_000 * e),
+            epoch=e,
+        )
+    table.expire_snapshots(keep_last=2, orphan_grace_seconds=0)
+    # pinned snapshot still fully readable by tag
+    assert table.read_tag("release-v1").count() == pinned_rows
+    assert table.log.load(pinned_sid).snapshot_id == pinned_sid
+
+    with pytest.raises(ValueError, match="already exists"):
+        table.tag("release-v1")
+    table.drop_tag("release-v1")
+    with pytest.raises(ValueError, match="no such tag"):
+        table.drop_tag("release-v1")
+    apply_batch(spark, table,
+                ev.limit(50).withColumn("lsn", F.col("lsn") + 9_000_000),
+                epoch=9)
+    table.expire_snapshots(keep_last=2, orphan_grace_seconds=0)
+    with pytest.raises(FileNotFoundError):
+        table.log.load(pinned_sid)
