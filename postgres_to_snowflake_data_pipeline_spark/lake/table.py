@@ -196,6 +196,7 @@ class LakeTable:
         include_tombstones: bool = False,
         buckets: list[int] | None = None,
         columns: list[str] | None = None,
+        key_prune: str | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state of the table as a DataFrame.
 
@@ -220,6 +221,14 @@ class LakeTable:
             if buckets is not None and int(b) not in buckets:
                 continue
             for e in fs:
+                # manifest key-range stats (file skipping): a point lookup
+                # opens only files whose [key_min, key_max] can contain the
+                # key; entries without stats (pre-stats commits) always
+                # qualify. Sound for LWW: a skipped file provably holds no
+                # row of this key, so the resolution set is unchanged.
+                if key_prune is not None and e.get("key_min") is not None:
+                    if not (e["key_min"] <= key_prune <= e["key_max"]):
+                        continue
                 entries.append(e)
                 has_delta = has_delta or e.get("kind") == "delta"
         df = self._read_files(snap, entries, fields=want_fields)
@@ -247,13 +256,15 @@ class LakeTable:
     def read_key(self, conv_id: str, snapshot_id: int | None = None) -> DataFrame:
         """Point lookup: current rows for one conversation. Bucket pruning
         makes this O(one bucket) — only the files of the key's hash bucket
-        are opened (1/n_buckets of the table), then the residual conv_id
-        filter pushes into those parquet scans."""
+        are opened (1/n_buckets of the table) — and within the bucket,
+        manifest key-range stats skip every delta whose range cannot
+        contain the key; the residual conv_id filter pushes into the
+        surviving parquet scans."""
         snap = self.current() if snapshot_id is None else self.log.load(snapshot_id)
         bucket = self._bucket_of(conv_id, snap.n_buckets)
-        return self.read(snapshot_id=snapshot_id, buckets=[bucket]).filter(
-            F.col(snap.key_cols[0]) == conv_id
-        )
+        return self.read(
+            snapshot_id=snapshot_id, buckets=[bucket], key_prune=conv_id
+        ).filter(F.col(snap.key_cols[0]) == conv_id)
 
     def key_history(self, conv_id: str) -> DataFrame:
         """Audit trail: every stored version of one conversation's rows
@@ -408,7 +419,7 @@ class LakeTable:
     # write path
     # ------------------------------------------------------------------
     def _write_data(
-        self, df: DataFrame, commit_dir: str
+        self, df: DataFrame, commit_dir: str, key_col: str | None = None
     ) -> tuple[dict[str, list[dict[str, Any]]], list[dict[str, Any]]]:
         """Write rows partitioned by bucket; return (bucket -> file entries,
         per-bucket stats rows).
@@ -423,7 +434,13 @@ class LakeTable:
         COUNT/MIN/MAX from row-group statistics in executor tasks, so at
         4096-bucket object-store scale the commit path never serializes on
         O(files) driver GETs. Both paths produce identical stats
-        (pinned by tests/test_metadata.py)."""
+        (pinned by tests/test_metadata.py).
+
+        ``key_col`` additionally records the key's min/max per bucket into
+        the manifest entries (Iceberg's per-file column stats): point
+        lookups skip every delta whose key range cannot contain the key —
+        at 10^3 commits between compactions that is the difference between
+        opening one file and opening them all."""
         out = os.path.join(self.root, commit_dir)
         (
             df.withColumn("_bdir", F.col("_bucket"))
@@ -441,15 +458,24 @@ class LakeTable:
             if f.endswith(".parquet")
         )
         if n_files <= self.STATS_DRIVER_THRESHOLD:
-            stats = self._driver_stats(out, bdirs)
+            stats = self._driver_stats(out, bdirs, key_col)
         else:
-            stats = {str(r["_bdir"]): r for r in self._read_back_stats(out)}
+            stats = {
+                str(r["_bdir"]): r.asDict()
+                for r in self._read_back_stats(out, key_col)
+            }
         files: dict[str, list[dict[str, Any]]] = {}
         bucket_stats: list[dict[str, Any]] = []
         for d in sorted(bdirs, key=lambda d: int(d.split("=", 1)[1])):
             b = d.split("=", 1)[1]
+            r0 = stats.get(b)
+            key_stats = (
+                {"key_min": r0["key_min"], "key_max": r0["key_max"]}
+                if r0 is not None and r0.get("key_min") is not None
+                else {}
+            )
             files[b] = [
-                {"path": os.path.join(commit_dir, d, f)}
+                dict({"path": os.path.join(commit_dir, d, f)}, **key_stats)
                 for f in os.listdir(os.path.join(out, d))
                 if f.endswith(".parquet")
             ]
@@ -470,39 +496,62 @@ class LakeTable:
     #: spark.sql.sources.parallelPartitionDiscovery.threshold)
     STATS_DRIVER_THRESHOLD = 256
 
-    def _driver_stats(self, out: str, bdirs: list[str]) -> dict[str, dict]:
-        """Per-bucket (rows, lsn min/max) from parquet footers read on the
-        driver — the cheap path for small commits on a fast store."""
+    @staticmethod
+    def _footer_minmax(md, col: str) -> tuple[Any, Any]:
+        """(min, max) of one column across a parquet file's row groups,
+        from footer statistics only; (None, None) if absent."""
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            idx = names.index(col)
+        except ValueError:
+            return None, None
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    lo, hi = lo.decode(), hi.decode()
+                mins.append(lo)
+                maxs.append(hi)
+        return (min(mins) if mins else None, max(maxs) if maxs else None)
+
+    def _driver_stats(
+        self, out: str, bdirs: list[str], key_col: str | None = None
+    ) -> dict[str, dict]:
+        """Per-bucket (rows, lsn min/max, key min/max) from parquet footers
+        read on the driver — the cheap path for small commits."""
         import pyarrow.parquet as pq
 
         stats: dict[str, dict] = {}
         for d in bdirs:
             b = d.split("=", 1)[1]
-            rows, mins, maxs = 0, [], []
+            rows = 0
+            lmins, lmaxs, kmins, kmaxs = [], [], [], []
             for f in os.listdir(os.path.join(out, d)):
                 if not f.endswith(".parquet"):
                     continue
                 md = pq.ParquetFile(os.path.join(out, d, f)).metadata
                 rows += md.num_rows
-                try:
-                    idx = [
-                        md.schema.column(i).name for i in range(md.num_columns)
-                    ].index("_lsn")
-                except ValueError:
-                    continue
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(idx).statistics
-                    if st is not None and st.has_min_max:
-                        mins.append(st.min)
-                        maxs.append(st.max)
+                lo, hi = self._footer_minmax(md, "_lsn")
+                if lo is not None:
+                    lmins.append(lo)
+                    lmaxs.append(hi)
+                if key_col is not None:
+                    klo, khi = self._footer_minmax(md, key_col)
+                    if klo is not None:
+                        kmins.append(klo)
+                        kmaxs.append(khi)
             stats[b] = {
                 "rows": rows,
-                "lsn_min": min(mins) if mins else None,
-                "lsn_max": max(maxs) if maxs else None,
+                "lsn_min": min(lmins) if lmins else None,
+                "lsn_max": max(lmaxs) if lmaxs else None,
+                "key_min": min(kmins) if kmins else None,
+                "key_max": max(kmaxs) if kmaxs else None,
             }
         return stats
 
-    def _read_back_stats(self, out: str) -> list:
+    def _read_back_stats(self, out: str, key_col: str | None = None) -> list:
         """Per-bucket (rows, lsn min/max) of the files under ``out`` via the
         V2 parquet source with aggregate pushdown: the COUNT/MIN/MAX grouped
         by the partition column are answered from row-group statistics in
@@ -524,16 +573,17 @@ class LakeTable:
             )
             s.conf.set("spark.sql.parquet.aggregatePushDown", "true")
             self._stats_session = s
-        return (
-            s.read.parquet(out)
-            .groupBy("_bdir")
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.min("_lsn").alias("lsn_min"),
-                F.max("_lsn").alias("lsn_max"),
-            )
-            .collect()
-        )
+        aggs = [
+            F.count(F.lit(1)).alias("rows"),
+            F.min("_lsn").alias("lsn_min"),
+            F.max("_lsn").alias("lsn_max"),
+        ]
+        if key_col is not None:
+            aggs += [
+                F.min(key_col).alias("key_min"),
+                F.max(key_col).alias("key_max"),
+            ]
+        return s.read.parquet(out).groupBy("_bdir").agg(*aggs).collect()
 
     #: optimistic-concurrency retry bound — each retry is metadata-only
     #: (the batch's data files are already written and stay valid), so the
@@ -722,7 +772,7 @@ class LakeTable:
         commit_dir = os.path.join(
             "data", f"commit-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
         )
-        raw, bucket_lineage = self._write_data(df, commit_dir)
+        raw, bucket_lineage = self._write_data(df, commit_dir, key_col=kcol)
         new_files = {b: [dict(e, kind="delta") for e in es] for b, es in raw.items()}
         total_rows = sum(b["rows_merged"] for b in bucket_lineage)
         extra = summary_fn(total_rows) if summary_fn is not None else {}
@@ -863,7 +913,7 @@ class LakeTable:
         commit_dir = os.path.join(
             "data", f"compact-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
         )
-        raw, _stats = self._write_data(df, commit_dir)
+        raw, _stats = self._write_data(df, commit_dir, key_col=snap.key_cols[0])
         new_files = {b: [dict(e, kind="base") for e in es] for b, es in raw.items()}
         for b in todo:  # buckets whose rows were all... always rewritten
             new_files.setdefault(str(b), [])

@@ -193,3 +193,42 @@ def test_retry_bound_raises(spark, tmp_path):
     table.MAX_COMMIT_ATTEMPTS = 3
     with pytest.raises(CommitConflictError, match="gave up"):
         apply_batch(spark, table, ev, epoch=0)
+
+
+def test_four_writers_with_concurrent_compaction(spark, tmp_path):
+    """Stress: four writers commit disjoint epochs while a fifth thread
+    compacts twice — every commit survives, final state is exact."""
+    table = _mk_table(spark, tmp_path)
+    ev = change_events(spark, 8000, n_convs=300).localCheckpoint()
+    slices = [ev.filter(F.col("lsn") % 4 == i) for i in range(4)]
+    writers = [LakeTable.load(spark, table.root) for _ in range(4)]
+    compactor = LakeTable.load(spark, table.root)
+    errs: list[Exception] = []
+
+    def merge_one(w, df, e):
+        try:
+            apply_batch(spark, w, df, epoch=e)
+        except Exception as exc:
+            errs.append(exc)
+
+    def compact_twice():
+        try:
+            for _ in range(2):
+                compactor.compact()
+        except Exception as exc:
+            errs.append(exc)
+
+    ts = [
+        threading.Thread(target=merge_one, args=(writers[i], slices[i], i))
+        for i in range(4)
+    ] + [threading.Thread(target=compact_twice)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs, errs
+    final = LakeTable.load(spark, table.root)
+    assert final.current().commit_count == 4
+    for e in range(4):
+        assert final.has_commit_key(f"epoch:{e}")
+    assert_matches_oracle(final.read(), ev, PAYLOAD)
