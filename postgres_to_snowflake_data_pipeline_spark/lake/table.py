@@ -197,6 +197,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         columns: list[str] | None = None,
         key_prune: str | None = None,
+        semi_keys: DataFrame | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state of the table as a DataFrame.
 
@@ -235,6 +236,19 @@ class LakeTable:
         if df is None:
             fields = want_fields + (INTERNAL_FIELDS if include_internal else [])
             return self.spark.createDataFrame([], T.StructType(fields))
+        if semi_keys is not None:
+            # point/dirty-set reads: restrict BEFORE the LWW aggregation so
+            # only the wanted keys' rows are shuffled and resolved, not the
+            # whole bucket. Sound only when joining on a subset of the key
+            # columns (every retained key keeps ALL its row versions).
+            on = list(semi_keys.columns)
+            if not set(on) <= set(snap.key_cols):
+                raise ValueError(
+                    f"semi_keys columns {on} must be a subset of the key "
+                    f"columns {snap.key_cols} (pre-LWW filtering is only "
+                    "sound on key prefixes)"
+                )
+            df = df.join(semi_keys, on=on, how="left_semi")
         if has_delta:
             df = self._resolve_lww(df, snap.key_cols)
         if not include_tombstones:

@@ -82,6 +82,10 @@ class IncrementalAggView:
         except FileNotFoundError:
             pass  # created lazily on first refresh (schema comes from agg_fn)
 
+    #: dirty-group key sets up to this size are broadcast into the
+    #: recompute semi-join (a few MB of keys); larger sets shuffle
+    BROADCAST_DIRTY_MAX = 500_000
+
     # ------------------------------------------------------------------
     def last_source_snapshot(self) -> int:
         """The source snapshot id this view reflects — recovered from the
@@ -155,6 +159,14 @@ class IncrementalAggView:
         # checkpoint it so the delta files are scanned ONCE, not re-read by
         # the semi-join, the anti-join, and the bucket collect below
         dirty = changed.distinct().localCheckpoint()
+        # Catalyst sees a checkpointed RDD as stats-less and would plan the
+        # semi-join as a full sort-merge (shuffling the entire source scan
+        # — worse than a recompute). The count is free post-checkpoint;
+        # broadcast the key set whenever it plausibly fits, fall back to
+        # the shuffle join only for genuinely huge dirty sets.
+        dirty_n = dirty.count()
+        if dirty_n <= self.BROADCAST_DIRTY_MAX:
+            dirty = F.broadcast(dirty)
 
         # dirty buckets: a bounded (≤ n_buckets) driver-side list — the
         # pruning handle for the recompute scan. Never collect group keys.
@@ -174,9 +186,17 @@ class IncrementalAggView:
             )
         else:
             dirty_buckets = None
-        rows = self.source.read(buckets=dirty_buckets).join(
-            dirty, on=list(self.group_cols), how="left_semi"
-        )
+        src_keys = set(self.source.current().key_cols)
+        if set(self.group_cols) <= src_keys:
+            # grouping by a key prefix: push the dirty filter BELOW the
+            # source's LWW resolution — only dirty conversations' rows are
+            # shuffled and resolved, instead of LWW-aggregating the whole
+            # bucket and discarding most of it afterwards
+            rows = self.source.read(buckets=dirty_buckets, semi_keys=dirty)
+        else:
+            rows = self.source.read(buckets=dirty_buckets).join(
+                dirty, on=list(self.group_cols), how="left_semi"
+            )
         agg = self.agg_fn(rows)
         missing = [c for c in self.group_cols if c not in agg.columns]
         if missing:
