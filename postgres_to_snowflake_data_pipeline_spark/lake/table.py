@@ -798,6 +798,78 @@ class LakeTable:
             replace_buckets=False,
         )
 
+    @classmethod
+    def rebucket(
+        cls,
+        spark: SparkSession,
+        source: "LakeTable",
+        dst_root: str,
+        n_buckets: int,
+    ) -> "LakeTable":
+        """Re-bucket the table into a new root with a different bucket
+        count — the answer to "32 buckets were right at launch; the table
+        is 100× bigger now".
+
+        One distributed shuffle rewrites the full state (per-row ``_lsn``
+        and tombstones carried verbatim, so late lower-LSN events stay
+        dead), and the source's exactly-once state (epoch watermark +
+        residual commit keys) is adopted by the new table — the CDC
+        stream simply points at the new root and resumes: already-applied
+        epochs skip, new epochs apply. The source is left untouched for
+        cutover/rollback; retire it with its own retention policy.
+
+        This is deliberately an explicit rewrite, not Iceberg-style
+        mixed-spec partition evolution: with hash buckets every row moves
+        anyway, and one clean rewrite keeps every reader's pruning model
+        (bucket = pmod(hash(key), N) under ONE N) trivially true."""
+        snap = source.current()
+        dst = cls.create(
+            spark, dst_root, snap.schema, tuple(snap.key_cols),
+            n_buckets=n_buckets,
+        )
+        rows = source.read(
+            include_internal=True, include_tombstones=True
+        ).drop("_bucket")  # recomputed under the new bucket count by merge
+        committed = dst.merge(
+            rows,
+            summary={
+                "operation_detail": "rebucket",
+                "source_root": source.root,
+                "source_snapshot": snap.snapshot_id,
+            },
+        )
+        assert committed is not None
+        dst._adopt_key_state(snap)
+        return dst
+
+    def _adopt_key_state(self, src_snap: Snapshot) -> None:
+        """Metadata-only commit copying another snapshot's exactly-once
+        state (epoch watermark/base, residual keys, commit count) — the
+        rebucket cutover primitive."""
+        for _ in range(self.MAX_COMMIT_ATTEMPTS):
+            parent = self.current()
+            snap = Snapshot(
+                snapshot_id=parent.snapshot_id + 1,
+                parent_id=parent.snapshot_id,
+                schema_json=parent.schema_json,
+                n_buckets=parent.n_buckets,
+                key_cols=parent.key_cols,
+                manifests=list(parent.manifests),
+                summary={"operation": "adopt-keys",
+                         "committed_at_unix": time.time()},
+                commit_keys=list(src_snap.commit_keys),
+                epoch_watermark=src_snap.epoch_watermark,
+                epoch_base=src_snap.epoch_base,
+                commit_count=src_snap.commit_count,
+            )
+            snap._files = {b: list(fs) for b, fs in parent.files.items()}
+            try:
+                self.log.commit(snap)
+                return
+            except CommitConflictError:
+                continue
+        raise CommitConflictError("could not adopt key state")
+
     def expire_snapshots(
         self,
         keep_last: int = 3,
