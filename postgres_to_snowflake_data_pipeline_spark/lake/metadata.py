@@ -283,8 +283,11 @@ class MetadataLog:
             return out
         for f in names:
             if f.startswith("tag-") and f.endswith(".json"):
-                with open(os.path.join(self.meta_dir, f)) as fh:
-                    out[f[4:-5]] = int(json.load(fh)["snapshot_id"])
+                try:
+                    with open(os.path.join(self.meta_dir, f)) as fh:
+                        out[f[4:-5]] = int(json.load(fh)["snapshot_id"])
+                except FileNotFoundError:
+                    continue  # dropped by a concurrent writer mid-listing
         return out
 
     def repair_hint(self) -> None:
@@ -302,8 +305,11 @@ class MetadataLog:
         except FileNotFoundError:
             return
         if sids:
-            self._atomic_write(self._current_path(), str(min(sids)))
-            # forward probing in current_id() walks min -> max
+            # the truth is the HIGHEST snapshot file (current_id's contract).
+            # min(sids) would be wrong when an old tag-pinned snapshot sits
+            # detached below a gap: forward probing from it stops at the gap
+            # and silently rolls the table back.
+            self._atomic_write(self._current_path(), str(max(sids)))
 
     def _load_manifest(self, name: str) -> dict[str, list[dict[str, Any]]]:
         m = self._manifest_cache.get(name)
@@ -312,6 +318,22 @@ class MetadataLog:
                 m = json.load(f)["files"]
             self._manifest_cache[name] = m
         return m
+
+    @staticmethod
+    def own_manifest_pointers(snap: "Snapshot") -> list[dict[str, Any]]:
+        """The manifest-pointer entries snapshot ``snap`` itself introduced
+        — recognized by the name grammar ``m{sid}.json`` (legacy) or
+        ``m{sid}-{token}.json`` (per-attempt unique). The single place that
+        knows this grammar; key_history/changes consult the ``op`` field to
+        tell a genuine per-commit delta (append) from a format-v1 upgrade's
+        cumulative replace."""
+        sid = snap.snapshot_id
+        legacy, prefix = f"m{sid}.json", f"m{sid}-"
+        return [
+            m
+            for m in snap.manifests
+            if m["path"] == legacy or m["path"].startswith(prefix)
+        ]
 
     def manifest_of(self, sid: int) -> dict[str, list[dict[str, Any]]] | None:
         """The delta manifest written BY commit ``sid`` (bucket -> entries
@@ -329,12 +351,7 @@ class MetadataLog:
         except FileNotFoundError:
             snap = None
         if snap is not None:
-            legacy, prefix = f"m{sid}.json", f"m{sid}-"
-            names = [
-                m["path"]
-                for m in snap.manifests
-                if m["path"] == legacy or m["path"].startswith(prefix)
-            ]
+            names = [m["path"] for m in self.own_manifest_pointers(snap)]
         else:  # expired snapshot: only the legacy deterministic name is known
             names = [f"m{sid}.json"]
         for name in names:

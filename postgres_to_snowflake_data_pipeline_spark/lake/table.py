@@ -303,15 +303,10 @@ class LakeTable:
             # commit" would attribute every pre-upgrade version to the
             # upgrade's snapshot/epoch. Only genuine per-commit deltas
             # (op=append) attribute correctly.
-            own = {
-                m["path"]
-                for m in s.manifests
+            own = [
+                m for m in self.log.own_manifest_pointers(s)
                 if m["op"] == "append"
-                and (
-                    m["path"] == f"m{s.snapshot_id}.json"
-                    or m["path"].startswith(f"m{s.snapshot_id}-")
-                )
-            }
+            ]
             if not own:
                 continue
             added = self.log.manifest_of(s.snapshot_id)
@@ -403,7 +398,14 @@ class LakeTable:
         merge's file list comes straight from its own delta manifest
         (O(1) metadata lookups, no file-map reconstruction or path
         matching). Compaction commits rewrite existing rows and are
-        correctly skipped (they carry no merge manifest)."""
+        correctly skipped (they carry no merge manifest).
+
+        At-least-once caveat, format-v1 upgrades only: a v1→v2 upgrade
+        commit's manifest is the CUMULATIVE file map (its true delta is
+        unknowable), so a range spanning it re-emits earlier rows. This is
+        the conservative side on purpose: dirty-group consumers
+        (IncrementalAggView) just recompute more groups and stay exact;
+        skipping the commit instead would silently LOSE its changes."""
         snap = self.current()
         entries: list[dict[str, Any]] = []
         for s in self.log.history():
@@ -475,8 +477,7 @@ class LakeTable:
             stats = self._driver_stats(out, bdirs, key_col)
         else:
             stats = {
-                str(r["_bdir"]): r.asDict()
-                for r in self._read_back_stats(out, key_col)
+                str(r["_bdir"]): r for r in self._read_back_stats(out, key_col)
             }
         files: dict[str, list[dict[str, Any]]] = {}
         bucket_stats: list[dict[str, Any]] = []
@@ -565,7 +566,9 @@ class LakeTable:
             }
         return stats
 
-    def _read_back_stats(self, out: str, key_col: str | None = None) -> list:
+    def _read_back_stats(
+        self, out: str, key_col: str | None = None
+    ) -> list[dict[str, Any]]:
         """Per-bucket (rows, lsn min/max) of the files under ``out`` via the
         V2 parquet source with aggregate pushdown: the COUNT/MIN/MAX grouped
         by the partition column are answered from row-group statistics in
@@ -587,17 +590,38 @@ class LakeTable:
             )
             s.conf.set("spark.sql.parquet.aggregatePushDown", "true")
             self._stats_session = s
-        aggs = [
-            F.count(F.lit(1)).alias("rows"),
-            F.min("_lsn").alias("lsn_min"),
-            F.max("_lsn").alias("lsn_max"),
-        ]
+        # TWO queries on purpose: parquet aggregate pushdown is
+        # all-or-nothing and only supports numeric/date min/max — folding
+        # the STRING key min/max into the same agg would silently disable
+        # pushdown for count/lsn too, turning the large-commit stats path
+        # into a full data scan. Query 1 (count + lsn range) is answered
+        # from row-group statistics; query 2 reads exactly one pruned
+        # string column for the key range.
+        rows = {
+            r["_bdir"]: r.asDict()
+            for r in s.read.parquet(out)
+            .groupBy("_bdir")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min("_lsn").alias("lsn_min"),
+                F.max("_lsn").alias("lsn_max"),
+            )
+            .collect()
+        }
         if key_col is not None:
-            aggs += [
-                F.min(key_col).alias("key_min"),
-                F.max(key_col).alias("key_max"),
-            ]
-        return s.read.parquet(out).groupBy("_bdir").agg(*aggs).collect()
+            for r in (
+                s.read.parquet(out)
+                .groupBy("_bdir")
+                .agg(
+                    F.min(key_col).alias("key_min"),
+                    F.max(key_col).alias("key_max"),
+                )
+                .collect()
+            ):
+                rows[r["_bdir"]].update(
+                    key_min=r["key_min"], key_max=r["key_max"]
+                )
+        return list(rows.values())
 
     #: optimistic-concurrency retry bound — each retry is metadata-only
     #: (the batch's data files are already written and stay valid), so the
@@ -893,6 +917,7 @@ class LakeTable:
         a grace period far above any commit's write-to-CAS window makes
         the race impossible in practice. Returns counts: expired
         snapshots, deleted files, freed bytes."""
+        now = time.time()
         snaps = self.snapshots()
         if keep_last < 1 or len(snaps) <= keep_last:
             return {"expired_snapshots": 0, "deleted_files": 0, "freed_bytes": 0}
@@ -918,12 +943,21 @@ class LakeTable:
             except FileNotFoundError:
                 pass  # tag points past the GC horizon of a pre-tag expiry
         # detached, untagged snapshots (tag dropped after an expiry cut
-        # them out of the chain) are unreachable garbage: expire them too
-        detached = [
-            sid for sid in self.log.list_snapshot_ids()
-            if sid not in keep_ids
-            and sid not in {s.snapshot_id for s in snaps}
-        ]
+        # them out of the chain) are unreachable garbage: expire them too.
+        # Same in-flight grace as data files: a snapshot file YOUNGER than
+        # the window may be a commit that CAS-landed after we read the
+        # chain — deleting it would destroy a just-committed table state.
+        chain_ids = {s.snapshot_id for s in snaps}
+        detached = []
+        for sid in self.log.list_snapshot_ids():
+            if sid in keep_ids or sid in chain_ids:
+                continue
+            try:
+                age = now - os.path.getmtime(self.log._snap_path(sid))
+            except FileNotFoundError:
+                continue
+            if age >= orphan_grace_seconds:
+                detached.append(sid)
         if not expired and not detached:
             return {"expired_snapshots": 0, "deleted_files": 0,
                     "freed_bytes": 0}
@@ -931,7 +965,6 @@ class LakeTable:
             e["path"] for s in keep for es in s.files.values() for e in es
         }
         data_root = os.path.join(self.root, "data")
-        now = time.time()
         deleted = freed = 0
         for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
             for fn in filenames:

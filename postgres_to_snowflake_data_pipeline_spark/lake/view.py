@@ -175,7 +175,7 @@ class IncrementalAggView:
         # the aggregation itself to dirty groups).
         if full_rebuild:
             dirty_buckets = None
-        elif gcol0 == self.source.current().key_cols[0]:
+        elif gcol0 == src_snap.key_cols[0]:
             dirty_buckets = sorted(
                 r["b"]
                 for r in dirty.select(
@@ -186,7 +186,7 @@ class IncrementalAggView:
             )
         else:
             dirty_buckets = None
-        src_keys = set(self.source.current().key_cols)
+        src_keys = set(src_snap.key_cols)
         if set(self.group_cols) <= src_keys:
             # grouping by a key prefix: push the dirty filter BELOW the
             # source's LWW resolution — only dirty conversations' rows are
@@ -250,7 +250,7 @@ class IncrementalAggView:
             "full_rebuild": full_rebuild,
             "dirty_buckets": (
                 len(dirty_buckets) if dirty_buckets is not None
-                else self.source.current().n_buckets
+                else src_snap.n_buckets
             ),
             "view_snapshot": snap.snapshot_id,
         }

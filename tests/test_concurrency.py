@@ -232,3 +232,19 @@ def test_four_writers_with_concurrent_compaction(spark, tmp_path):
     for e in range(4):
         assert final.has_commit_key(f"epoch:{e}")
     assert_matches_oracle(final.read(), ev, PAYLOAD)
+
+
+def test_repair_hint_picks_highest_snapshot(tmp_path):
+    """A lost _current must repair to the HIGHEST v{N}.json — a detached
+    tag-pinned old snapshot below a gap must not roll the table back."""
+    import json
+
+    from postgres_to_snowflake_data_pipeline_spark.lake.metadata import MetadataLog
+
+    log = MetadataLog(str(tmp_path))
+    os.makedirs(log.meta_dir, exist_ok=True)
+    for sid in (1, 5, 6):  # 1 = old tag-pinned detached; 5-6 = live chain
+        with open(os.path.join(log.meta_dir, f"v{sid}.json"), "w") as f:
+            json.dump({}, f)
+    log.repair_hint()
+    assert log.current_id() == 6
