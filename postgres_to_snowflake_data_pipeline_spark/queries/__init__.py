@@ -96,6 +96,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         textops.t16_stratified_sample,
         textops.T16_SQL,
     ),
+    "q20_cube_totals": (reference.q20_cube_totals, reference.Q20_SQL),
     # corpus assembly: iterative dup-graph closure, survivor pick, packing
     "t17_dup_clusters": (corpusops.t17_dup_clusters, corpusops.T17_SQL),
     "t18_dedup_survivors": (

@@ -707,3 +707,30 @@ FROM orders
 GROUP BY 1
 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# q20 — CUBE (full grouping-set lattice), completing the grouping-set
+# surface next to q13's ROLLUP: per (priority, status) totals plus every
+# marginal and the grand total, disambiguated by grouping_id. At 100 TB
+# Spark expands the lattice BEFORE the exchange (one Expand + one shuffle
+# on the 4-way grouping-set key), not one pass per grouping set.
+# ---------------------------------------------------------------------------
+def q20_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+Q20_SQL = """
+SELECT o_orderpriority,
+       o_orderstatus,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(*) AS n_orders,
+       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
