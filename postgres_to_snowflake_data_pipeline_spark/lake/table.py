@@ -387,7 +387,9 @@ class LakeTable:
         return self.read(snapshot_id=self.snapshot_as_of(ts_unix).snapshot_id,
                          **kwargs)
 
-    def changes(self, since_snapshot_id: int) -> DataFrame:
+    def changes(
+        self, since_snapshot_id: int, until_snapshot_id: int | None = None
+    ) -> DataFrame:
         """Incremental read: the change rows committed AFTER the given
         snapshot — the lake table itself becomes a changefeed source for
         downstream pipelines (Iceberg-style incremental consumption).
@@ -405,11 +407,18 @@ class LakeTable:
         unknowable), so a range spanning it re-emits earlier rows. This is
         the conservative side on purpose: dirty-group consumers
         (IncrementalAggView) just recompute more groups and stay exact;
-        skipping the commit instead would silently LOSE its changes."""
+        skipping the commit instead would silently LOSE its changes.
+
+        ``until_snapshot_id`` closes the window (inclusive) — a consumer
+        can re-read EXACTLY the slice an earlier poll saw (reproducible
+        incremental batches, audit replays) regardless of commits that
+        landed since."""
         snap = self.current()
         entries: list[dict[str, Any]] = []
         for s in self.log.history():
             if s.snapshot_id <= since_snapshot_id:
+                continue
+            if until_snapshot_id is not None and s.snapshot_id > until_snapshot_id:
                 continue
             if s.summary.get("operation") != "merge":
                 continue

@@ -96,3 +96,31 @@ def test_partitioned_export_layout(spark, tmp_path):
     rp = str(tmp_path / "report")
     write_report_parquet(table.read().groupBy("role").count(), rp)
     assert spark.read.parquet(rp).count() > 0
+
+
+def test_changes_bounded_window_is_reproducible(spark, tmp_path):
+    """changes(since, until) re-reads exactly the slice an earlier poll
+    saw, no matter how many commits landed after the window closed."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+    from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events
+    from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+    from pyspark.sql import functions as F
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "w"), TRANSCRIPT_SCHEMA,
+        ("conv_id", "turn_idx"), n_buckets=4,
+    )
+    ev = change_events(spark, 3000, n_convs=100).localCheckpoint()
+    for e in range(3):
+        apply_batch(spark, table, ev.filter(F.col("lsn") % 3 == e), epoch=e)
+    mid = table.current().snapshot_id
+    window = table.changes(1, until_snapshot_id=mid).collect()
+    # more commits land after the window closed
+    apply_batch(spark, table,
+                ev.limit(200).withColumn("lsn", F.col("lsn") + 7_000_000),
+                epoch=7)
+    again = table.changes(1, until_snapshot_id=mid).collect()
+    assert sorted(map(tuple, window)) == sorted(map(tuple, again))
+    # and the open window includes the new commit's rows
+    assert len(table.changes(1).collect()) > len(window)
