@@ -69,10 +69,20 @@ def main() -> None:
     progress_path = os.path.join(work, "progress.jsonl")
     listener = attach_progress_listener(spark, progress_path)
 
+    # an incrementally-maintained mart rides the whole soak (refresh per
+    # micro-batch, commit-keyed to source snapshots) — it must survive the
+    # kill/restart and end exactly equal to a from-scratch recompute
+    from postgres_to_snowflake_data_pipeline_spark.lake.view import IncrementalAggView
+
+    view_agg = lambda rows: rows.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"), F.max("ts").alias("last_ts"))
+    view = IncrementalAggView(spark, os.path.join(work, "view"), table,
+                              ("conv_id",), view_agg, n_buckets=8)
+
     t0 = time.perf_counter()
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                    max_files_per_trigger=2, compact_every=4,
-                   compact_max_files=6, available_now=False)
+                   compact_max_files=6, available_now=False, views=[view])
     killed = False
     for s in range(n_slices):
         lo, hi = s * step, (s + 1) * step
@@ -84,14 +94,15 @@ def main() -> None:
             killed = True
             q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                            max_files_per_trigger=2, compact_every=4,
-                           compact_max_files=6, available_now=False)
+                           compact_max_files=6, available_now=False,
+                           views=[view])
         time.sleep(0.5)
     q.stop()
     q.awaitTermination(60)
     # catch-up drain of anything unprocessed
     q2 = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                     max_files_per_trigger=4, compact_every=4,
-                    compact_max_files=6)
+                    compact_max_files=6, views=[view])
     q2.awaitTermination(300)
     wall = time.perf_counter() - t0
     # drain the async listener bus before detaching: awaitTermination does
@@ -166,8 +177,16 @@ def main() -> None:
         and commit_by_epoch[r["batch_id"]] != r["num_input_rows"]
     )
 
+    # the mart must end exactly equal to a from-scratch recompute over
+    # the final table state (a final refresh absorbs the catch-up drain)
+    view.refresh()
+    vr = view.read()
+    want_view = view_agg(table.read())
+    view_mismatch = vr.exceptAll(want_view).count() + want_view.exceptAll(vr).count()
+
     ok = (mismatch == 0 and rows_in == feed_rows and meta_bounded
-          and listener_mismatches == 0 and len(progress) > 0)
+          and listener_mismatches == 0 and len(progress) > 0
+          and view_mismatch == 0)
     print(json.dumps({
         "soak_events": n_events, "slices": n_slices, "killed_and_restarted": killed,
         "wall_sec": round(wall, 1), "final_rows": n_state,
@@ -179,6 +198,8 @@ def main() -> None:
         "meta_bytes_early_peak": early_peak, "meta_bytes_late_peak": late_peak,
         "meta_bounded": meta_bounded,
         "worst_bucket_files": worst_bucket_files,
+        "view_mismatch_rows": view_mismatch,
+        "view_refreshes": view._table.current().snapshot_id if view._table else 0,
         "gc": gc, "snapshots_retained": len(table.snapshots()),
         "ok": ok,
     }))
