@@ -246,7 +246,7 @@ class LakeTable:
                 raise ValueError(
                     f"semi_keys columns {on} must be a subset of the key "
                     f"columns {snap.key_cols} (pre-LWW filtering is only "
-                    "sound on key prefixes)"
+                    "sound on key-column subsets)"
                 )
             df = df.join(semi_keys, on=on, how="left_semi")
         if has_delta:

@@ -11,7 +11,12 @@ grouped aggregate by *dirty-group recompute*:
    leading group column IS the source's bucketing key, the buckets they
    hash into (≤ n_buckets integers — bounded driver state, never a key
    list) prune the source read (other groupings scan all buckets but
-   still aggregate only dirty groups via the semi-join).
+   still aggregate only dirty groups via the semi-join). For groupings
+   NOT contained in the source key, the post-image alone is not enough:
+   an update can move a row from group A to B (and a tombstone carries
+   NULL payload), leaving A stale — so the changed keys' *pre-image*
+   groups (their state at the view's last source snapshot, a bucket-
+   pruned time-travel point read) are unioned into the dirty set.
 3. The aggregate is recomputed for dirty groups ONLY — a bucket-pruned
    scan semi-joined on the dirty keys — and upserted into the view, which
    is itself a LakeTable keyed by the group columns. Groups whose rows all
@@ -146,7 +151,15 @@ class IncrementalAggView:
             return None
 
         gcol0 = self.group_cols[0]
+        src_keys = set(src_snap.key_cols)
+        non_key_grouping = not (set(self.group_cols) <= src_keys)
         full_rebuild = not self._history_covers(last)
+        if non_key_grouping and not full_rebuild and last > 0:
+            # the pre-image lookup below needs snapshot `last` itself to be
+            # retained, not just the commits after it
+            hist = self.source.snapshots()
+            if hist[0].snapshot_id > last:
+                full_rebuild = True
         if full_rebuild:
             changed = self.source.read().select(*self.group_cols)
             if self._table is not None:
@@ -154,7 +167,38 @@ class IncrementalAggView:
                     self._table.read().select(*self.group_cols)
                 )
         else:
-            changed = self.source.changes(last).select(*self.group_cols)
+            delta = self.source.changes(last)
+            changed = delta.select(*self.group_cols)
+            if non_key_grouping and last > 0:
+                # a group column outside the source key can CHANGE value: an
+                # update moving a row from group A to B (or a delete whose
+                # tombstone carries NULL payload) dirties the OLD group too.
+                # Read the changed keys' prior state at the view's last
+                # source snapshot — bucket-pruned by the keys' hash buckets,
+                # pre-LWW-filtered by the key set — and mark those groups.
+                keys = delta.select(*src_snap.key_cols).distinct().localCheckpoint()
+                key_buckets = sorted(
+                    r["b"]
+                    for r in keys.select(
+                        bucket_expr(src_snap.key_cols[0], src_snap.n_buckets).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                if keys.count() <= self.BROADCAST_DIRTY_MAX:
+                    keys = F.broadcast(keys)
+                pre = self.source.read(
+                    snapshot_id=last, buckets=key_buckets, semi_keys=keys
+                )
+                changed = changed.unionByName(pre.select(*self.group_cols))
+            # NULL group values are not representable as view keys (the
+            # dirty semi-join and the view's own bucketing are equality-
+            # based): tombstone change rows carry NULL payload columns and
+            # would otherwise fabricate a spurious NULL dirty group — their
+            # true (pre-image) groups were unioned in above.
+            if non_key_grouping:
+                for g in self.group_cols:
+                    changed = changed.filter(F.col(g).isNotNull())
         # the dirty-group key set is small (distinct changed groups) —
         # checkpoint it so the delta files are scanned ONCE, not re-read by
         # the semi-join, the anti-join, and the bucket collect below
@@ -186,8 +230,7 @@ class IncrementalAggView:
             )
         else:
             dirty_buckets = None
-        src_keys = set(src_snap.key_cols)
-        if set(self.group_cols) <= src_keys:
+        if not non_key_grouping:
             # grouping by a key prefix: push the dirty filter BELOW the
             # source's LWW resolution — only dirty conversations' rows are
             # shuffled and resolved, instead of LWW-aggregating the whole

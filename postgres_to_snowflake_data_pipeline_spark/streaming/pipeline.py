@@ -87,9 +87,11 @@ def run_stream(
     many small batches arrive).
 
     ``views``: IncrementalAggViews (lake/view.py) refreshed after every
-    merge — each refresh is commit-keyed to the source snapshot, so a
-    re-delivered micro-batch re-fires an idempotent no-op refresh and the
-    downstream marts stay exactly-once along with the table."""
+    merge — idempotency is watermark-based, not commit-keyed: a replayed
+    micro-batch's refresh sees ``source_snapshot <= `` the view's recorded
+    watermark and no-ops (per-refresh commit keys are deliberately not
+    used; they would grow view metadata O(refreshes)), so the downstream
+    marts stay exactly-once along with the table."""
     events = read_feed_stream(spark, feed_path, event_schema, max_files_per_trigger)
     if watermark_delay is not None:
         events = events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(

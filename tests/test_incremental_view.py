@@ -171,6 +171,50 @@ def test_non_bucket_key_grouping_is_exact(spark, tmp_path, source):
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
 
 
+def test_group_move_dirties_the_old_group(spark, tmp_path, source):
+    """An UPDATE that changes a non-key group column moves a row from group
+    A to B: the post-image delta only names B, so A's staleness is the bug
+    ADVICE r02 flagged — the pre-image lookup must mark A dirty too. Same
+    for a DELETE whose tombstone carries NULL payload: only the pre-image
+    knows which group lost the row."""
+    rows = [(i + 1, "insert", f"c{i}", 0, "user" if i < 4 else "assistant",
+             f"txt {i}", None) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "lsn long, op string, conv_id string, turn_idx int, "
+              "role string, text string, tool string"
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    apply_batch(spark, source, df, epoch=0)
+    agg = lambda r: r.groupBy("role").agg(F.count(F.lit(1)).alias("n"))
+    view = IncrementalAggView(
+        spark, str(tmp_path / "byrole2"), source, ("role",), agg, n_buckets=2,
+    )
+    view.refresh()
+    assert {r["role"]: r["n"] for r in view.read().collect()} == {
+        "user": 4, "assistant": 2,
+    }
+    # move c0's row user -> assistant: BOTH groups must refresh
+    mv = df.filter("conv_id = 'c0'").withColumn(
+        "lsn", F.col("lsn") + 100
+    ).withColumn("role", F.lit("assistant"))
+    apply_batch(spark, source, mv, epoch=1)
+    view.refresh()
+    assert {r["role"]: r["n"] for r in view.read().collect()} == {
+        "user": 3, "assistant": 3,
+    }
+    # delete the LAST remaining rows of a group (tombstones carry NULL
+    # payload): the group must vanish, found only via the pre-image
+    dels = df.filter("conv_id IN ('c4', 'c5')").withColumn(
+        "lsn", F.col("lsn") + 200
+    ).withColumn("op", F.lit("delete"))
+    apply_batch(spark, source, dels.union(
+        mv.withColumn("lsn", F.col("lsn") + 200).withColumn("op", F.lit("delete"))
+    ), epoch=2)
+    view.refresh()
+    got = {r["role"]: r["n"] for r in view.read().collect()}
+    want = {r["role"]: r["n"] for r in agg(source.read()).collect()}
+    assert got == want == {"user": 3}
+
+
 def test_expired_source_history_triggers_full_rebuild(spark, tmp_path, source):
     """If the source expired snapshots past the view's position, refresh
     must NOT silently skip the expired commits — it rebuilds fully."""
