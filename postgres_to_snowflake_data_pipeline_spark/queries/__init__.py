@@ -116,6 +116,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "v03_embedding_near_dup": (simops.v03_embedding_near_dup, simops.V03_SQL),
     "v04_ann_lsh_bucketed": (simops.v04_ann_lsh_bucketed, simops.V04_SQL),
     "v05_ann_lsh_multiprobe": (simops.v05_ann_lsh_multiprobe, simops.V05_SQL),
+    # IVF with a TRAINED coarse quantizer: distributed k-means (seeded
+    # init, fixed Lloyd iterations) + nprobe=2 probing — closes v02's
+    # assumed-away half; oracle unrolls the same iterations in DuckDB
+    "v06_ann_ivf_kmeans": (simops.v06_ann_ivf_kmeans, simops.V06_SQL),
     # multimodal binary plumbing (Arrow-batched decode stubs)
     "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
     "m02_frame_sample": (multimodal.m02_frame_sample, multimodal.M02_SQL),

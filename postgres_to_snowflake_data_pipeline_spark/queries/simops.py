@@ -300,6 +300,169 @@ WHERE rnk <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# v06 — IVF with a TRAINED coarse quantizer (the half v02 assumes away):
+# distributed k-means over the unlabeled embedding table, then nprobe=2
+# cell-pruned search. Fully deterministic and oracle-checkable:
+#
+# - seeded init: cell = (md5-derived 60-bit int of vec_id) % K — the same
+#   multiply-mod-style hash family both engines share (CLAUDE.md).
+# - FIXED Lloyd iterations (KMEANS_ITERS): update = posexplode → groupBy
+#   (cell, pos) → avg rounded to 6 dp (map-side partials collapse the
+#   shuffle to K×DIM rows per task); assign = argmin over the K centroid
+#   literals via array_min of (dist, cell) structs — whole-stage codegen,
+#   ties broken by cell id. Distances and scores are rounded to 6 dp
+#   BEFORE any comparison so FP summation-order noise (~1e-15) can never
+#   flip an assignment differently across engines.
+# - centroids (K×DIM doubles) are the ONLY driver state — bounded, and
+#   broadcast into the next iteration's plan as literals.
+#
+# Search: candidates keep their 1 nearest cell; each query probes its
+# NPROBE nearest cells (slice of the sorted (dist, cell) array) — a
+# bucket-equi join, never a crossJoin. At 100 TB: train on a deterministic
+# hash-sample (the centroid estimate needs ~1e6 vectors, not the corpus),
+# partition the table by cell id, and a query opens nprobe/K of the data.
+# The oracle unrolls the same fixed iterations as a DuckDB CTE chain.
+# ---------------------------------------------------------------------------
+K_CELLS = 8
+KMEANS_ITERS = 3
+NPROBE = 2
+
+
+def _seed_cell(vec_id_col: str) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.col(vec_id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (h % K_CELLS).cast("int")
+
+
+def _dist_structs(vcol: str, cents: dict[int, list[float]]) -> list[Column]:
+    """(rounded partial L2 distance, cell) structs for every centroid.
+    dot(v,v) is constant across cells, so the argmin uses
+    dist = dot(c,c) - 2*dot(v,c) — same formula in the oracle."""
+    out = []
+    for cell in sorted(cents):
+        c = cents[cell]
+        cc = 0.0
+        for x in c:
+            cc += x * x
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        dist = F.round(F.lit(cc) - 2.0 * _dot_planes(F.col(vcol), carr), 6)
+        out.append(F.struct(dist.alias("d"), F.lit(int(cell)).alias("c")))
+    return out
+
+
+def _argmin_cell(vcol: str, cents: dict[int, list[float]]) -> Column:
+    return F.array_min(F.array(*_dist_structs(vcol, cents)))["c"]
+
+
+def _probe_cells(vcol: str, cents: dict[int, list[float]], nprobe: int) -> Column:
+    ordered = F.array_sort(F.array(*_dist_structs(vcol, cents)))
+    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["c"])
+
+
+def train_kmeans_cells(emb_v: DataFrame, vcol: str = "v") -> dict[int, list[float]]:
+    """Lloyd's k-means over (vec_id, v: array<double>) with seeded init and
+    KMEANS_ITERS fixed iterations. Returns cell -> centroid (rounded 6 dp).
+    Empty cells drop out naturally (K may shrink); every step is a pure
+    function of the data, so reruns and the DuckDB oracle agree exactly."""
+    assign: Column = _seed_cell("vec_id")
+    cents: dict[int, list[float]] = {}
+    for _ in range(KMEANS_ITERS):
+        rows = (
+            emb_v.withColumn("cell", assign)
+            .select("cell", F.posexplode(vcol).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("cv"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["cv"]
+        cents = {
+            c: [d[p] for p in range(len(d))] for c, d in by_cell.items()
+        }
+        assign = _argmin_cell(vcol, cents)
+    return cents
+
+
+def v06_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cents = train_kmeans_cells(ev)
+    queries = ev.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q_embedding"),
+        F.explode(_probe_cells("v", cents, NPROBE)).alias("cell"),
+    )
+    cands = ev.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("c_embedding"),
+        _argmin_cell("v", cents).alias("cell"),
+    )
+    return _topk(cands.join(F.broadcast(queries), "cell").drop("cell"), k=3)
+
+
+def _v06_sql() -> str:
+    seed = (
+        "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {K_CELLS}"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"a0 AS (SELECT vec_id, v, {seed} AS cell FROM e)",
+    ]
+    prev = "a0"
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(
+            f"c{i} AS (SELECT cell, pos, round(avg(val), 6) AS cv FROM "
+            f"(SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS pos "
+            f"FROM {prev}) GROUP BY cell, pos)"
+        )
+        ctes.append(
+            f"c{i}l AS (SELECT cell, list(cv ORDER BY pos) AS cvec "
+            f"FROM c{i} GROUP BY cell)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT p.vec_id, p.v, c.cell, "
+            f"round(list_dot_product(c.cvec, c.cvec) "
+            f"- 2 * list_dot_product(p.v, c.cvec), 6) AS dist "
+            f"FROM e p, c{i}l c)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, v, cell FROM (SELECT *, row_number() "
+            f"OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn "
+            f"FROM d{i}) WHERE rn = 1)"
+        )
+        prev = f"a{i}"
+    last = KMEANS_ITERS
+    ctes.append(
+        f"qp AS (SELECT vec_id AS query_id, v AS qe, cell FROM (SELECT *, "
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn "
+        f"FROM d{last} WHERE vec_id < {N_QUERIES}) WHERE rn <= {NPROBE})"
+    )
+    ctes.append(
+        f"cand AS (SELECT vec_id AS neighbor_id, v AS ce, cell "
+        f"FROM a{last} WHERE vec_id >= {N_QUERIES})"
+    )
+    ctes.append(
+        "scored AS (SELECT query_id, neighbor_id, "
+        "round(list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) "
+        "* sqrt(list_dot_product(ce, ce))), 6) AS cosine "
+        "FROM cand JOIN qp USING (cell))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored) "
+        "WHERE rnk <= 3"
+    )
+
+
+V06_SQL = _v06_sql()
+
+
 def _probe_list_sql() -> str:
     probes = ", ".join(f"xor(bucket, {1 << p})" for p in range(N_PLANES))
     return f"[bucket, {probes}]"
