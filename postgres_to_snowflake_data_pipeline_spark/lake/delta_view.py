@@ -1,0 +1,381 @@
+"""Delta-aggregated materialized views: decomposable aggregates maintained
+from the changefeed ALONE — no source rescan.
+
+``IncrementalAggView`` (lake/view.py) recomputes dirty groups from base
+data, which supports arbitrary aggregates but scans every source bucket
+when the grouping is not the source's bucket key. For *decomposable*
+aggregates (sum / count — the ones with a retraction rule) that rescan is
+unnecessary: the view can be patched algebraically,
+
+    new_total(g) = old_total(g) + agg(post-image rows of g)
+                                - agg(pre-image rows of g)
+
+so a refresh costs O(delta), independent of both table size and grouping.
+
+Where the images come from:
+
+- **post-image**: the closed window ``source.changes(last, until=now)`` —
+  exactly the epoch's delta files (manifest-indirected).
+- **pre-image** (``append_only=False``, the general CDC case): the changed
+  KEYS' prior state at the view's last source snapshot — a bucket-pruned,
+  pre-LWW semi-joined time-travel point read, O(changed keys) not O(table).
+  The current state of those keys is then LWW over (pre-image ∪ delta) —
+  no second base read.
+- **append-only sources** (``append_only=True``: every change row is a new
+  key, no updates/deletes — e.g. an event stream keyed by (conv_id, lsn)):
+  the pre-image is empty by contract, so a refresh reads ONLY the epoch's
+  delta files (pinned by tests/test_delta_view.py via ``inputFiles``).
+  Deletes in the window are detected and rejected loudly; updates to
+  pre-existing keys are the caller's contract (they would double-count),
+  the same trust level as ``merge()``'s ``_bucket`` fast path.
+
+A group an update MOVED a row out of gets a negative adjustment from its
+pre-image row — the staleness class ADVICE r02 flagged for dirty-set
+maintenance cannot occur here by construction. Groups whose implicit
+``n_rows`` count reaches zero are tombstoned.
+
+Exactly-once: watermark idempotency exactly as lake/view.py (the closed
+``until_snapshot_id`` window additionally makes the adjustment immune to
+commits racing the refresh — they land in the NEXT window). View rows are
+ABSOLUTE totals (old + adjustment), so replayed/raced refreshes write
+identical rows and read-time LWW collapses them.
+
+At 100 TB: refresh work = one shuffle of the delta keyed by group, one
+point read of the changed keys (none when append-only), one bucket-pruned
+read of the view's dirty groups. min/max/percentile have no retraction
+rule — use IncrementalAggView for those.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from postgres_to_snowflake_data_pipeline_spark.lake.table import (
+    LakeTable,
+    bucket_expr,
+    resolve_lww,
+)
+
+#: measure spec: view column -> ("sum", <sql expr>) | ("count", "*" | <sql expr>)
+MeasureSpec = dict[str, tuple[str, str]]
+
+#: implicit live-row count per group — the group-death detector, always
+#: maintained and exposed as a view column
+N_ROWS = "n_rows"
+
+
+class DeltaAggView:
+    """A sum/count aggregate view of ``source`` maintained by retraction
+    math over the changefeed, stored as its own LakeTable keyed by
+    ``group_cols``.
+
+    ``payload_cols`` names the non-key source columns the measures and
+    grouping reference — the projection pushed through the source's LWW
+    resolution (without it a 2-measure view would shuffle every payload
+    column of a 100 TB table on the pre-image read).
+    """
+
+    BROADCAST_DIRTY_MAX = 500_000
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        source: LakeTable,
+        group_cols: tuple[str, ...],
+        measures: MeasureSpec,
+        payload_cols: list[str] | None = None,
+        append_only: bool = False,
+        n_buckets: int = 16,
+    ):
+        bad = {
+            name: op
+            for name, (op, _) in measures.items()
+            if op not in ("sum", "count")
+        }
+        if bad:
+            raise ValueError(
+                f"non-decomposable measures {bad}: only sum/count have a "
+                "retraction rule — use IncrementalAggView for min/max/"
+                "percentile groupings"
+            )
+        if N_ROWS in measures or N_ROWS in group_cols:
+            raise ValueError(f"column name {N_ROWS!r} is reserved")
+        self.spark = spark
+        self.root = root
+        self.source = source
+        self.group_cols = tuple(group_cols)
+        self.measures = dict(measures)
+        self.payload_cols = list(payload_cols) if payload_cols is not None else None
+        self.append_only = append_only
+        self.n_buckets = n_buckets
+        self._table: LakeTable | None = None
+        try:
+            self._table = LakeTable.load(spark, root)
+        except FileNotFoundError:
+            pass
+
+    # ------------------------------------------------------------------
+    def last_source_snapshot(self) -> int:
+        if self._table is None:
+            return 0
+        for snap in reversed(self._table.snapshots()):
+            if "source_snapshot" in snap.summary:
+                return int(snap.summary["source_snapshot"])
+        return 0
+
+    def read(self) -> DataFrame:
+        if self._table is None:
+            raise FileNotFoundError(f"view at {self.root} has never refreshed")
+        return self._table.read()
+
+    # ------------------------------------------------------------------
+    def _agg_exprs(self) -> list[F.Column]:
+        """Signed adjustment aggregates over rows carrying the measures'
+        source expressions as ``_v_{name}`` (see ``_payload_select``): each
+        live pre-image row enters with sign -1, each live post-image row
+        with +1 — one aggregation yields exactly agg(post) - agg(pre)."""
+        sign = F.col("_sign")
+        out = [F.sum(sign).cast("long").alias(N_ROWS)]
+        for name, (op, expr) in self.measures.items():
+            v = F.col(f"_v_{name}")
+            if op == "sum":
+                out.append(F.sum(sign * v).alias(name))
+            elif expr == "*":
+                out.append(F.sum(sign).cast("long").alias(name))
+            else:
+                out.append(
+                    F.sum(F.when(v.isNotNull(), sign).otherwise(F.lit(0)))
+                    .cast("long")
+                    .alias(name)
+                )
+        return out
+
+    def _signed_agg(self, signed: DataFrame) -> DataFrame:
+        """Aggregate signed rows to per-group adjustments (or, when every
+        row has sign +1, absolute totals). NULL group values cannot be view
+        keys (equality joins + bucketing) and are excluded consistently."""
+        for g in self.group_cols:
+            signed = signed.filter(F.col(g).isNotNull())
+        return signed.groupBy(*self.group_cols).agg(*self._agg_exprs())
+
+    def _columns(self) -> list[str] | None:
+        if self.payload_cols is None:
+            return None
+        src_keys = set(self.source.current().key_cols)
+        extra = [g for g in self.group_cols if g not in src_keys]
+        return sorted(set(self.payload_cols) | set(extra))
+
+    def _measure_cols(self) -> list[str]:
+        return [N_ROWS, *self.measures]
+
+    # ------------------------------------------------------------------
+    def refresh(self, evidence: bool = False) -> dict[str, Any] | None:
+        """Advance the view to the source's current snapshot; None if
+        already current. ``evidence=True`` adds ``source_files_read`` to
+        the stats (the inputFiles of every source scan in the refresh) —
+        test/audit hook for the reads-only-the-delta contract."""
+        src_snap = self.source.current()
+        src_sid = src_snap.snapshot_id
+        last = self.last_source_snapshot()
+        if src_sid <= last:
+            return None
+
+        hist = self.source.snapshots()
+        covers = bool(hist) and hist[0].snapshot_id <= last + 1
+        if covers and not self.append_only and last > 0:
+            # the pre-image read needs snapshot `last` itself retained
+            covers = hist[0].snapshot_id <= last
+        if not covers:
+            return self._full_rebuild(src_sid, last)
+
+        delta = self.source.changes(last, until_snapshot_id=src_sid)
+        if self.append_only:
+            if not delta.filter(F.col("op") == "delete").isEmpty():
+                raise ValueError(
+                    "append_only=True but the change window contains "
+                    "deletes — retraction needs the pre-image; rebuild the "
+                    "view with append_only=False"
+                )
+            pre_live = None
+            post_all = resolve_lww(
+                delta.select(*self._delta_cols(src_snap)),
+                src_snap.key_cols,
+            )
+            files_read = delta.inputFiles() if evidence else None
+        else:
+            keys = delta.select(*src_snap.key_cols).distinct().localCheckpoint()
+            key_buckets = sorted(
+                r["b"]
+                for r in keys.select(
+                    bucket_expr(src_snap.key_cols[0], src_snap.n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            if keys.count() <= self.BROADCAST_DIRTY_MAX:
+                keys = F.broadcast(keys)
+            pre_all = self.source.read(
+                snapshot_id=last,
+                include_internal=True,
+                include_tombstones=True,
+                buckets=key_buckets,
+                columns=self._columns(),
+                semi_keys=keys,
+            ).drop("_bucket")
+            files_read = (
+                sorted(set(delta.inputFiles()) | set(pre_all.inputFiles()))
+                if evidence
+                else None
+            )
+            pre_all = pre_all.localCheckpoint()  # scanned by pre AND post
+            pre_live = pre_all.filter(~F.col("_deleted"))
+            post_all = resolve_lww(
+                pre_all.unionByName(delta.select(*self._delta_cols(src_snap))),
+                src_snap.key_cols,
+            )
+        post_live = post_all.filter(~F.col("_deleted"))
+
+        signed = post_live.select(
+            *self.group_cols, *self._payload_select(), F.lit(1).alias("_sign")
+        )
+        if pre_live is not None:
+            signed = signed.unionByName(
+                pre_live.select(
+                    *self.group_cols,
+                    *self._payload_select(),
+                    F.lit(-1).alias("_sign"),
+                )
+            )
+        adj = self._signed_agg(signed).localCheckpoint()
+        return self._apply_adjustment(
+            adj, src_sid, last, full_rebuild=False, files_read=files_read
+        )
+
+    def _delta_cols(self, src_snap) -> list[F.Column]:
+        cols = self._columns()
+        names = (
+            list(src_snap.key_cols) + cols
+            if cols is not None
+            else [f.name for f in src_snap.schema.fields]
+        )
+        # dict-dedup keeps key columns once when payload_cols overlaps keys
+        names = list(dict.fromkeys(names))
+        return [
+            *[F.col(c) for c in names],
+            F.col("lsn").alias("_lsn"),
+            (F.col("op") == "delete").alias("_deleted"),
+        ]
+
+    def _payload_select(self) -> list[F.Column]:
+        """Measure source expressions, evaluated once per image row."""
+        out = []
+        for name, (op, expr) in self.measures.items():
+            if not (op == "count" and expr == "*"):
+                out.append(F.expr(expr).alias(f"_v_{name}"))
+        return out
+
+    # ------------------------------------------------------------------
+    def _full_rebuild(self, src_sid: int, last: int) -> dict[str, Any]:
+        """Source history no longer reaches the view's position: recompute
+        absolute totals from the current state and tombstone vanished
+        groups — identical fallback contract to IncrementalAggView."""
+        rows = self.source.read(columns=self._columns())
+        totals = self._signed_agg(
+            rows.select(
+                *self.group_cols, *self._payload_select(), F.lit(1).alias("_sign")
+            )
+        ).localCheckpoint()
+        return self._apply_adjustment(
+            totals, src_sid, last, full_rebuild=True, files_read=None
+        )
+
+    def _apply_adjustment(
+        self,
+        adj: DataFrame,
+        src_sid: int,
+        last: int,
+        full_rebuild: bool,
+        files_read: list[str] | None,
+    ) -> dict[str, Any]:
+        gcols = list(self.group_cols)
+        mcols = self._measure_cols()
+        if self._table is None:
+            fields = [adj.schema[g] for g in gcols] + [
+                T.StructField(c, adj.schema[c].dataType, True) for c in mcols
+            ]
+            self._table = LakeTable.create(
+                self.spark, self.root, T.StructType(fields),
+                key_cols=self.group_cols, n_buckets=self.n_buckets,
+            )
+        schema = self._table.schema()
+
+        if full_rebuild:
+            # totals are absolute; every existing view group not in them died
+            new = adj
+            old_groups = self._table.read().select(*gcols)
+            gone = old_groups.join(adj.select(*gcols), on=gcols, how="left_anti")
+        else:
+            dirty = adj.select(*gcols)
+            view_buckets = sorted(
+                r["b"]
+                for r in dirty.select(
+                    bucket_expr(gcols[0], self._table.current().n_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            old = self._table.read(buckets=view_buckets, semi_keys=F.broadcast(dirty))
+            joined = adj.alias("d").join(old.alias("o"), on=gcols, how="left")
+            new = joined.select(
+                *gcols,
+                *[
+                    (
+                        F.coalesce(F.col(f"o.{c}"), F.lit(0).cast(schema[c].dataType))
+                        + F.col(f"d.{c}")
+                    )
+                    .cast(schema[c].dataType)
+                    .alias(c)
+                    for c in mcols
+                ],
+            )
+            gone = None
+
+        live = new.filter(F.col(N_ROWS) > 0).select(
+            *gcols,
+            *[F.col(c) for c in mcols],
+            F.lit(False).alias("_deleted"),
+        )
+        dead = new.filter(F.col(N_ROWS) <= 0).select(*gcols)
+        if gone is not None:
+            dead = dead.unionByName(gone)
+        dead = dead.select(
+            *gcols,
+            *[F.lit(None).cast(schema[c].dataType).alias(c) for c in mcols],
+            F.lit(True).alias("_deleted"),
+        )
+        winners = live.unionByName(dead).select(
+            "*", F.lit(src_sid).cast("long").alias("_lsn")
+        )
+        snap = self._table.merge(
+            winners,
+            summary={
+                "source_snapshot": src_sid,
+                "since_snapshot": last,
+                "full_rebuild": full_rebuild,
+            },
+        )
+        assert snap is not None
+        stats: dict[str, Any] = {
+            "source_snapshot": src_sid,
+            "since_snapshot": last,
+            "full_rebuild": full_rebuild,
+            "view_snapshot": snap.snapshot_id,
+        }
+        if files_read is not None:
+            stats["source_files_read"] = files_read
+        return stats

@@ -73,6 +73,28 @@ def bucket_expr(col: str | F.Column, n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
 
 
+def resolve_lww(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Last-writer-wins per key over rows carrying ``_lsn``/``_deleted``:
+    declarative max over an ordering-prefixed struct — stays in a Tungsten
+    aggregate (max_by would plan as ObjectHashAggregate and hit its 128-key
+    sort-based fallback on these near-unique keys; see cdc/dedup.py). The
+    (_lsn, _dr) prefix decides; trailing fields only tie-break identical
+    duplicate rows."""
+    other = [c for c in df.columns if c not in key_cols and c != "_lsn"]
+    prefixed = F.struct(
+        F.col("_lsn"),
+        F.col("_deleted").cast("int").alias("_dr"),
+        *[F.col(c) for c in other],
+    )
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.max(prefixed).alias("_w"))
+        .select(*key_cols, "_w.*")
+        .drop("_dr")
+        .select(*df.columns)
+    )
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -170,24 +192,7 @@ class LakeTable:
         return df.select(*cols)
 
     def _resolve_lww(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
-        # declarative max over an ordering-prefixed struct — stays in a
-        # Tungsten aggregate (max_by would plan as ObjectHashAggregate and
-        # hit its 128-key sort-based fallback on these near-unique keys;
-        # see cdc/dedup.py). The (_lsn, _dr) prefix decides; trailing fields
-        # only tie-break identical duplicate rows.
-        other = [c for c in df.columns if c not in key_cols and c != "_lsn"]
-        prefixed = F.struct(
-            F.col("_lsn"),
-            F.col("_deleted").cast("int").alias("_dr"),
-            *[F.col(c) for c in other],
-        )
-        return (
-            df.groupBy(*key_cols)
-            .agg(F.max(prefixed).alias("_w"))
-            .select(*key_cols, "_w.*")
-            .drop("_dr")
-            .select(*df.columns)
-        )
+        return resolve_lww(df, key_cols)
 
     def read(
         self,

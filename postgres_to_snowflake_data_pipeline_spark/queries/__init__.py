@@ -29,6 +29,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # incremental materialized view maintained from the table changefeed,
     # refreshed after every epoch; oracle = full recompute over LWW state
     "c02_incremental_view": (cdcq.c02_incremental_view, cdcq.C02_SQL),
+    # delta-aggregated view (non-key grouping, retraction math over the
+    # changefeed alone); oracle = full recompute over LWW state
+    "c03_delta_agg_view": (cdcq.c03_delta_agg_view, cdcq.C03_SQL),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),

@@ -130,6 +130,83 @@ def c02_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read().select("conv_id", "n_turns", "last_ts", "chars")
 
 
+def c03_delta_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the feed in 4 epochs maintaining a DELTA-AGGREGATED view
+    grouped by ``role`` — a NON-key grouping with updates, deletes and
+    group moves in the feed, so every refresh exercises the retraction
+    math (post-image minus pre-image) rather than a dirty-group rescan.
+
+    The oracle recomputes the same sums/counts from scratch over the LWW
+    state; the value-hash check proves 4 rounds of algebraic patching
+    converge to the exact full-recompute answer."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+    from postgres_to_snowflake_data_pipeline_spark.lake.delta_view import DeltaAggView
+
+    work = os.path.join(
+        tempfile.gettempdir(), "cdcdv-" + sf_dir.strip("/").replace("/", "-")
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    view = DeltaAggView(
+        spark,
+        os.path.join(work, "view"),
+        table,
+        group_cols=("role",),
+        measures={
+            "n_turns": ("count", "*"),
+            "chars": ("sum", "length(text)"),
+        },
+        payload_cols=["role", "text"],
+        n_buckets=4,
+    )
+    feed = spark.read.parquet(feed_path)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    step = max((hi - lo + 1) // 4, 1)
+    for e in range(4):
+        a = lo + e * step
+        b = hi + 1 if e == 3 else lo + (e + 1) * step
+        apply_batch(
+            spark, table, feed.filter((F.col("lsn") >= a) & (F.col("lsn") < b)),
+            epoch=e,
+        )
+        view.refresh()
+    return view.read().select("role", "n_rows", "n_turns", "chars")
+
+
+C03_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL ELSE event_type END AS role,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL ELSE props END AS text
+  FROM events
+),
+w AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text
+  FROM feed GROUP BY 1, 2
+),
+state AS (SELECT role, text FROM w WHERE op <> 'delete')
+SELECT role,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM state GROUP BY role
+"""
+
+
 C02_SQL = f"""
 WITH feed AS (
   SELECT event_id AS lsn,
