@@ -142,9 +142,10 @@ def apply_batch(
     # at 1000 executors). With salting enabled we fall back to the two-stage
     # salted reduction (hot-key pathology beats the extra shuffle).
     snap0 = table.current()
-    kcol0 = snap0.key_cols[0]
+    key_cols = tuple(snap0.key_cols)  # the table's, not the schema default:
+    kcol0 = key_cols[0]               # key columns can be RENAMED mid-stream
     if salt_buckets and salt_buckets > 1:
-        winners = lww_dedup(events, KEY_COLS, salt_buckets=salt_buckets)
+        winners = lww_dedup(events, key_cols, salt_buckets=salt_buckets)
         winners = winners.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))
         # re-cluster on _bucket before the write: the salted reduction left
         # the winners partitioned by key-hash, so without this exchange the
@@ -155,7 +156,7 @@ def apply_batch(
     else:
         bucketed = events.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))
         bucketed = bucketed.repartition(snap0.n_buckets, F.col("_bucket"))
-        winners = lww_dedup(bucketed, ("_bucket",) + tuple(KEY_COLS))
+        winners = lww_dedup(bucketed, ("_bucket",) + key_cols)
     payload = [f.name for f in table_schema.fields]
     storage = winners.select(
         *payload,

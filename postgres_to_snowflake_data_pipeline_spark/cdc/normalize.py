@@ -61,15 +61,32 @@ def assert_orderable_schema(schema: T.StructType) -> None:
         )
 
 
-def evolve_schema(target: T.StructType, incoming: T.StructType) -> T.StructType:
+def evolve_schema(
+    target: T.StructType,
+    incoming: T.StructType,
+    retired: set[str] | None = None,
+) -> T.StructType:
     """Additive evolution: target schema plus any new incoming fields
-    (appended, forced nullable). Never drops or retypes existing fields."""
+    (appended, forced nullable). Never drops or retypes existing fields.
+
+    ``retired`` is the table's set of dead column names (dropped columns
+    and pre-rename names, lowercase): re-introducing one would resurrect
+    the values still sitting in old data files under that name, so it is
+    rejected loudly."""
     known = {f.name.lower() for f in target.fields}
     extra = [
         T.StructField(f.name, f.dataType, True)
         for f in incoming.fields
         if f.name.lower() not in known
     ]
+    if retired:
+        clash = [f.name for f in extra if f.name.lower() in retired]
+        if clash:
+            raise ValueError(
+                f"column name(s) {clash} were dropped or renamed away and "
+                "cannot be re-introduced: old data files still carry values "
+                "under these names and would resurrect"
+            )
     assert_orderable_schema(T.StructType(extra))
     return T.StructType(list(target.fields) + extra)
 

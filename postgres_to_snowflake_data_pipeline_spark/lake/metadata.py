@@ -142,6 +142,18 @@ class Snapshot:
     epoch_base: int | None = None
     #: total commit keys ever folded in (observability; the cumulative count)
     commit_count: int = 0
+    #: Iceberg-style stable column ids: current field name -> id. Survive
+    #: renames (the id moves with the column), so identity is positional
+    #: history, not the name.
+    column_ids: dict[str, int] = field(default_factory=dict)
+    #: per-current-field prior names — the names older data files were
+    #: written under; the read path coalesces them into the current name
+    prior_names: dict[str, list[str]] = field(default_factory=dict)
+    #: names that may never be (re)introduced: dropped columns and every
+    #: prior name. Reusing one would resurrect old files' values under the
+    #: new column.
+    retired_names: list[str] = field(default_factory=list)
+    next_column_id: int = 0
     #: resolved bucket -> file-entry list; lazily folded from manifests
     _files: dict[str, list[dict[str, Any]]] | None = field(
         default=None, repr=False, compare=False
@@ -185,6 +197,10 @@ class Snapshot:
             "epoch_watermark": self.epoch_watermark,
             "epoch_base": self.epoch_base,
             "commit_count": self.commit_count,
+            "column_ids": self.column_ids,
+            "prior_names": self.prior_names,
+            "retired_names": self.retired_names,
+            "next_column_id": self.next_column_id,
         }
 
     @staticmethod
@@ -207,6 +223,14 @@ class Snapshot:
                 "epoch_base", 0 if d.get("epoch_watermark", -1) >= 0 else None
             ),
             commit_count=d.get("commit_count", len(d.get("commit_keys", []))),
+            # pre-evolution snapshots: derive positional ids (no renames
+            # existed, so every snapshot derives the same mapping)
+            column_ids=d.get("column_ids")
+            or {f["name"]: i + 1 for i, f in enumerate(d["schema"]["fields"])},
+            prior_names=d.get("prior_names", {}),
+            retired_names=d.get("retired_names", []),
+            next_column_id=d.get("next_column_id")
+            or len(d["schema"]["fields"]) + 1,
         )
         if "files" in d:  # format v1: inline cumulative file map
             snap._files = d["files"]

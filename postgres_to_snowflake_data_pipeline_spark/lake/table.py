@@ -128,6 +128,8 @@ class LakeTable:
             key_cols=list(key_cols),
             manifests=[],
             summary={"operation": "create", "committed_at_unix": time.time()},
+            column_ids={f.name: i + 1 for i, f in enumerate(schema.fields)},
+            next_column_id=len(schema.fields) + 1,
         )
         snap._files = {}
         try:
@@ -175,20 +177,42 @@ class LakeTable:
         entries: list[dict[str, Any]],
         fields: list[T.StructField] | None = None,
     ) -> DataFrame | None:
+        """Read raw data files under ``snap``'s schema era. An EXPLICIT read
+        schema (no mergeSchema footer reconciliation) gives the full
+        evolution contract in one scan:
+
+        - fields absent from a file (written pre-evolution) come back NULL;
+        - RENAMED fields are also requested under every prior name the
+          snapshot records and coalesced into the current name (a file has
+          exactly one era's name — names are never reused);
+        - WIDENED fields read old files through the parquet reader's native
+          type promotion (int32→int64, float→double);
+        - DROPPED columns simply aren't requested.
+        """
         paths = [os.path.join(self.root, e["path"]) for e in entries]
         if not paths:
             return None
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
-        # name-based resolution: fields absent from every read file (written
-        # pre-evolution) come back as NULL columns of the declared type
-        want = list(fields if fields is not None else snap.schema.fields) + INTERNAL_FIELDS
-        cols = []
-        have = {c.lower() for c in df.columns}
+        want = list(fields if fields is not None else snap.schema.fields)
+        priors = {f.name: snap.prior_names.get(f.name, []) for f in want}
+        read_fields = []
         for fld in want:
-            if fld.name.lower() in have:
-                cols.append(F.col(fld.name))
+            read_fields.append(T.StructField(fld.name, fld.dataType, True))
+            for old in priors[fld.name]:
+                read_fields.append(T.StructField(old, fld.dataType, True))
+        for fld in INTERNAL_FIELDS:
+            read_fields.append(T.StructField(fld.name, fld.dataType, True))
+        df = self.spark.read.schema(T.StructType(read_fields)).parquet(*paths)
+        cols: list[F.Column] = []
+        for fld in want:
+            if priors[fld.name]:
+                cols.append(
+                    F.coalesce(
+                        F.col(fld.name), *[F.col(o) for o in priors[fld.name]]
+                    ).alias(fld.name)
+                )
             else:
-                cols.append(F.lit(None).cast(fld.dataType).alias(fld.name))
+                cols.append(F.col(fld.name))
+        cols.extend(F.col(c) for c in INTERNAL_COLS)
         return df.select(*cols)
 
     def _resolve_lww(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -317,7 +341,11 @@ class LakeTable:
             added = self.log.manifest_of(s.snapshot_id)
             if not added or bucket not in added:
                 continue
-            df = self._read_files(s, added[bucket])
+            # read OLD commits' files under the CURRENT snapshot's schema
+            # era: prior-name coalescing + type widening resolve them into
+            # today's column names, so history stays one relation across
+            # renames (the audit trail follows the column id, not the name)
+            df = self._read_files(snap, added[bucket])
             if df is None:
                 continue
             parts.append(
@@ -326,7 +354,7 @@ class LakeTable:
                     F.lit(s.summary.get("epoch")).cast("long").alias("epoch"),
                     F.col("_lsn").alias("lsn"),
                     F.when(F.col("_deleted"), "delete").otherwise("upsert").alias("op"),
-                    *[f.name for f in s.schema.fields],
+                    *[f.name for f in snap.schema.fields],
                 )
             )
         key0 = snap.key_cols[0]
@@ -343,6 +371,142 @@ class LakeTable:
             out = out.unionByName(p, allowMissingColumns=True)
         order = [c for c in snap.key_cols if c != key0] + ["lsn"]
         return out.filter(F.col(key0) == conv_id).orderBy(*order)
+
+    # ------------------------------------------------------------------
+    # non-additive schema evolution (Iceberg field-id semantics)
+    # ------------------------------------------------------------------
+    #: sound parquet type promotions — the reader upcasts old files
+    #: natively under the widened read schema, so no rewrite is needed
+    ALLOWED_WIDENINGS = {("int", "bigint"), ("float", "double")}
+
+    def _evolve_commit(
+        self, build: Any, operation: str
+    ) -> Snapshot:
+        """CAS-commit a metadata-only schema-evolution snapshot. ``build``
+        receives the parent and returns (schema_json, key_cols, column_ids,
+        prior_names, retired_names, detail). Retries rebase trivially: the
+        file map and manifests are inherited from whatever parent won."""
+        for _ in range(self.MAX_COMMIT_ATTEMPTS):
+            parent = self.current()
+            schema_json, key_cols, ids, priors, retired, detail = build(parent)
+            snap = Snapshot(
+                snapshot_id=parent.snapshot_id + 1,
+                parent_id=parent.snapshot_id,
+                schema_json=schema_json,
+                n_buckets=parent.n_buckets,
+                key_cols=key_cols,
+                manifests=list(parent.manifests),
+                summary={
+                    "operation": operation,
+                    "committed_at_unix": time.time(),
+                    **detail,
+                },
+                commit_keys=list(parent.commit_keys),
+                epoch_watermark=parent.epoch_watermark,
+                epoch_base=parent.epoch_base,
+                commit_count=parent.commit_count,
+                column_ids=ids,
+                prior_names=priors,
+                retired_names=retired,
+                next_column_id=parent.next_column_id,
+            )
+            snap._files = {b: list(fs) for b, fs in parent.files.items()}
+            try:
+                self.log.commit(snap)
+                return snap
+            except CommitConflictError:
+                time.sleep(0.002)
+        raise CommitConflictError(f"could not commit {operation}")
+
+    def _require_field(self, snap: Snapshot, name: str) -> T.StructField:
+        for f in snap.schema.fields:
+            if f.name == name:
+                return f
+        raise ValueError(f"no such column: {name!r}")
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        """Rename a column (key columns included) — metadata-only, old data
+        files stay readable: the column's stable id moves to the new name
+        and ``old`` joins its prior-name list, which the read path
+        coalesces. ``old`` is retired — it can never be re-introduced,
+        because files on disk still carry values under it."""
+        def build(parent: Snapshot):
+            self._require_field(parent, old)
+            lower = {f.name.lower() for f in parent.schema.fields}
+            if new.lower() in lower:
+                raise ValueError(f"column {new!r} already exists")
+            if new.lower() in {n.lower() for n in parent.retired_names}:
+                raise ValueError(
+                    f"column name {new!r} was dropped or renamed away and "
+                    "cannot be reused (old files still carry it)"
+                )
+            if new.lower() in {c.lower() for c in INTERNAL_COLS} or new.startswith("_"):
+                raise ValueError(f"invalid column name {new!r}")
+            fields = [
+                T.StructField(new, f.dataType, f.nullable) if f.name == old else f
+                for f in parent.schema.fields
+            ]
+            ids = dict(parent.column_ids)
+            ids[new] = ids.pop(old)
+            priors = {k: list(v) for k, v in parent.prior_names.items()}
+            priors[new] = priors.pop(old, []) + [old]
+            retired = list(parent.retired_names) + [old]
+            key_cols = [new if k == old else k for k in parent.key_cols]
+            return (
+                T.StructType(fields).jsonValue(), key_cols, ids, priors,
+                retired, {"renamed": {old: new}},
+            )
+
+        return self._evolve_commit(build, "rename-column")
+
+    def drop_column(self, name: str) -> Snapshot:
+        """Drop a non-key column — metadata-only; the bytes stay in old
+        files but are never read again, and the name (plus every prior name
+        it had) is retired so they can never resurrect."""
+        def build(parent: Snapshot):
+            self._require_field(parent, name)
+            if name in parent.key_cols:
+                raise ValueError(f"cannot drop key column {name!r}")
+            fields = [f for f in parent.schema.fields if f.name != name]
+            ids = dict(parent.column_ids)
+            ids.pop(name, None)
+            priors = {k: list(v) for k, v in parent.prior_names.items()}
+            dead = priors.pop(name, []) + [name]
+            retired = list(parent.retired_names) + dead
+            return (
+                T.StructType(fields).jsonValue(), list(parent.key_cols), ids,
+                priors, retired, {"dropped": name},
+            )
+
+        return self._evolve_commit(build, "drop-column")
+
+    def widen_column(self, name: str, new_type: T.DataType) -> Snapshot:
+        """Widen a column's type (int→long, float→double) — metadata-only;
+        old files are upcast by the parquet reader under the widened read
+        schema, new files are written wide."""
+        def build(parent: Snapshot):
+            f = self._require_field(parent, name)
+            promo = (f.dataType.simpleString(), new_type.simpleString())
+            if promo == (promo[0], promo[0]):
+                raise ValueError(f"column {name!r} is already {promo[0]}")
+            if promo not in self.ALLOWED_WIDENINGS:
+                raise ValueError(
+                    f"unsupported widening {promo[0]} -> {promo[1]}; allowed: "
+                    + ", ".join(f"{a}->{b}" for a, b in sorted(self.ALLOWED_WIDENINGS))
+                )
+            fields = [
+                T.StructField(name, new_type, x.nullable) if x.name == name else x
+                for x in parent.schema.fields
+            ]
+            return (
+                T.StructType(fields).jsonValue(), list(parent.key_cols),
+                dict(parent.column_ids),
+                {k: list(v) for k, v in parent.prior_names.items()},
+                list(parent.retired_names),
+                {"widened": {name: promo[1]}},
+            )
+
+        return self._evolve_commit(build, "widen-column")
 
     # ------------------------------------------------------------------
     # tags (named snapshot refs)
@@ -692,7 +856,16 @@ class LakeTable:
             parent = self.current()
             if commit_key is not None and parent.has_commit_key(commit_key):
                 return None
-            target_schema = evolve_schema(parent.schema, schema)
+            target_schema = evolve_schema(
+                parent.schema, schema,
+                retired={n.lower() for n in parent.retired_names},
+            )
+            column_ids = dict(parent.column_ids)
+            next_id = parent.next_column_id
+            for f in target_schema.fields:
+                if f.name not in column_ids:
+                    column_ids[f.name] = next_id
+                    next_id += 1
             sid = parent.snapshot_id + 1
             eff_files = new_files
             if (
@@ -761,6 +934,10 @@ class LakeTable:
                 epoch_watermark=watermark,
                 epoch_base=base,
                 commit_count=parent.commit_count + (commit_key is not None),
+                column_ids=column_ids,
+                prior_names={k: list(v) for k, v in parent.prior_names.items()},
+                retired_names=list(parent.retired_names),
+                next_column_id=next_id,
             )
             snap._files = files
             try:
@@ -899,6 +1076,10 @@ class LakeTable:
                 epoch_watermark=src_snap.epoch_watermark,
                 epoch_base=src_snap.epoch_base,
                 commit_count=src_snap.commit_count,
+                column_ids=dict(parent.column_ids),
+                prior_names={k: list(v) for k, v in parent.prior_names.items()},
+                retired_names=list(parent.retired_names),
+                next_column_id=parent.next_column_id,
             )
             snap._files = {b: list(fs) for b, fs in parent.files.items()}
             try:

@@ -170,3 +170,123 @@ def test_pre_evolution_feed_into_evolved_table(spark, tmp_path):
     rows = {r["conv_id"]: r for r in table.read().collect()}
     assert rows["c1"]["tool_meta"] == '{"x":1}' and rows["c1"]["latency_ms"] == 5
     assert rows["c2"]["tool_meta"] is None and rows["c2"]["latency_ms"] is None
+
+
+# ---------------------------------------------------------------------------
+# non-additive evolution: rename / drop / widen (Iceberg field-id semantics)
+# ---------------------------------------------------------------------------
+def test_rename_mid_stream_parity_and_key_history(spark, tmp_path):
+    """Rename a payload column AND a key column between epochs; the final
+    state must equal a table that ran the whole feed under the new names
+    (oracle parity across the boundary), key_history must stay one relation
+    across the rename, and time travel must show each era's own names."""
+    from pyspark.sql import functions as F
+
+    ev = change_events(spark, 4000, n_convs=200).localCheckpoint()
+    h1 = ev.filter(F.col("lsn") % 2 == 0)
+    h2 = ev.filter(F.col("lsn") % 2 == 1)
+    ren = lambda df: df.withColumnRenamed("text", "content").withColumnRenamed(
+        "conv_id", "conversation_id"
+    )
+
+    a = LakeTable.create(spark, str(tmp_path / "a"), TRANSCRIPT_SCHEMA,
+                         ("conv_id", "turn_idx"), n_buckets=4)
+    apply_batch(spark, a, h1, epoch=0)
+    pre_rename_sid = a.current().snapshot_id
+    a.rename_column("text", "content")
+    a.rename_column("conv_id", "conversation_id")
+    assert a.current().key_cols[0] == "conversation_id"
+    apply_batch(spark, a, ren(h2), epoch=1)
+
+    ref_schema = T.StructType(
+        [
+            T.StructField(
+                {"conv_id": "conversation_id", "text": "content"}.get(f.name, f.name),
+                f.dataType, f.nullable,
+            )
+            for f in TRANSCRIPT_SCHEMA.fields
+        ]
+    )
+    b = LakeTable.create(spark, str(tmp_path / "b"), ref_schema,
+                         ("conversation_id", "turn_idx"), n_buckets=4)
+    apply_batch(spark, b, ren(h1), epoch=0)
+    apply_batch(spark, b, ren(h2), epoch=1)
+
+    got, want = a.read(), b.read()
+    assert got.columns == want.columns
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+    # key_history spans both eras under the CURRENT names
+    key = a.read().select("conversation_id").first()[0]
+    hist = a.key_history(key)
+    assert "content" in hist.columns and "text" not in hist.columns
+    epochs = {r["epoch"] for r in hist.collect()}
+    assert epochs >= {0} and hist.filter("content IS NOT NULL").count() > 0
+
+    # time travel: the pre-rename snapshot reads under its own era's names
+    old = a.read(snapshot_id=pre_rename_sid)
+    assert "conv_id" in old.columns and "conversation_id" not in old.columns
+
+    # compaction rewrites everything under the new names and stays exact
+    a.compact()
+    got2 = a.read()
+    assert got2.exceptAll(want).isEmpty() and want.exceptAll(got2).isEmpty()
+
+
+def test_dropped_and_renamed_names_are_retired(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                         ("conv_id", "turn_idx"), n_buckets=2)
+    ev = change_events(spark, 300, n_convs=20)
+    apply_batch(spark, t, ev, epoch=0)
+    t.drop_column("tool")
+    assert "tool" not in t.read().columns
+    # re-introducing a retired name via additive evolution must fail
+    with pytest.raises(ValueError, match="resurrect"):
+        apply_batch(
+            spark, t,
+            ev.withColumn("tool", ev["role"]).withColumn(
+                "lsn", ev["lsn"] + 10_000
+            ),
+            epoch=1,
+        )
+    # renaming onto a retired name must fail too
+    with pytest.raises(ValueError, match="reused"):
+        t.rename_column("text", "tool")
+    with pytest.raises(ValueError, match="cannot drop key column"):
+        t.drop_column("conv_id")
+
+
+def test_widen_mid_stream_lww_across_eras(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType(), False),
+            T.StructField("v", T.IntegerType(), True),
+            T.StructField("f", T.FloatType(), True),
+        ]
+    )
+    t = LakeTable.create(spark, str(tmp_path / "w"), schema, ("k",), n_buckets=2)
+    rows1 = spark.createDataFrame(
+        [("a", 1, 1.5), ("b", 2, 2.5)], "k string, v int, f float"
+    ).select("*", F.lit(1).cast("long").alias("_lsn"), F.lit(False).alias("_deleted"))
+    t.merge(rows1, commit_key="e0")
+    pre_widen_sid = t.current().snapshot_id
+    t.widen_column("v", T.LongType())
+    t.widen_column("f", T.DoubleType())
+    big = 2**40
+    rows2 = spark.createDataFrame(
+        [("b", big, 9.25), ("c", big + 1, 0.5)], "k string, v long, f double"
+    ).select("*", F.lit(2).cast("long").alias("_lsn"), F.lit(False).alias("_deleted"))
+    t.merge(rows2, commit_key="e1")
+    got = {r["k"]: (r["v"], r["f"]) for r in t.read().collect()}
+    assert got == {"a": (1, 1.5), "b": (big, 9.25), "c": (big + 1, 0.5)}
+    assert dict(t.read().dtypes)["v"] == "bigint"
+    # time travel reads the pre-widen era under its own (narrow) types
+    assert dict(t.read(snapshot_id=pre_widen_sid).dtypes)["v"] == "int"
+    # unsound promotions rejected
+    with pytest.raises(ValueError, match="unsupported widening"):
+        t.widen_column("k", T.LongType())
+    # changes() across the widening boundary resolves to the wide type
+    ch = t.changes(0)
+    assert dict(ch.dtypes)["v"] == "bigint" and ch.count() == 4
