@@ -54,3 +54,30 @@ def test_unsupported_color_type_is_loud():
 def test_not_a_png_is_loud():
     with pytest.raises(ValueError, match="signature"):
         decode_png(b"RIFF....WAVE")
+
+
+def test_m01_image_payloads_are_genuine_pngs(spark):
+    """The pipeline stage really emits standard PNGs and the decode stage's
+    output equals a direct decode of the blob (no fake shortcut)."""
+    from postgres_to_snowflake_data_pipeline_spark.queries.multimodal import (
+        build_payloads,
+        m01_multimodal_decode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    blobs = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in build_payloads(spark, sf).filter("doc_id % 3 = 0").limit(5).collect()
+    }
+    ids = ", ".join(str(i) for i in blobs)
+    decoded = {
+        r["doc_id"]: r
+        for r in m01_multimodal_decode(spark, sf)
+        .filter(f"doc_id IN ({ids})").collect()
+    }
+    assert blobs
+    for doc_id, blob in blobs.items():
+        assert is_png(blob)
+        w, h, rgb = decode_png(blob)
+        row = decoded[doc_id]
+        assert (row["width"], row["height"], row["n_bytes"]) == (w, h, len(rgb))
