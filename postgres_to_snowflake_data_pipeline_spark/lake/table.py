@@ -41,6 +41,7 @@ from __future__ import annotations
 import os
 import time
 import uuid
+from datetime import datetime, timezone
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -226,6 +227,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         columns: list[str] | None = None,
         key_prune: str | None = None,
+        ts_prune: tuple[datetime, datetime] | None = None,
         semi_keys: DataFrame | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state of the table as a DataFrame.
@@ -236,20 +238,44 @@ class LakeTable:
         consumer's ``.select("conv_id")`` still scans and shuffles every
         payload column. With it, only (keys + requested + internal) columns
         are read and shuffled — the difference between moving 2 columns and
-        moving a 100 TB text column for a count-style consumer."""
+        moving a 100 TB text column for a count-style consumer.
+
+        ``ts_prune=(lo, hi)`` (inclusive UTC datetimes) returns the current
+        rows whose event-time column lies in the window, opening only the
+        files the secondary zone map cannot rule out. Pruning on a PAYLOAD
+        column under merge-on-read needs more care than key pruning: a
+        naive "open only ts-covering files" read could resolve a key to a
+        stale in-window version while the true winner (newer, out-of-window
+        or a tombstone) sits in a skipped file. The sound rule used here,
+        per bucket: keep every ts-covering file, plus every file whose
+        ``lsn_max >= min(lsn_min over covering files)``. Any key with a
+        version in a covering file has its winner at an lsn >= that
+        version's lsn >= the covering floor, so the winner's file is always
+        retained; skipped files contribute only (a) keys whose every
+        version is out-of-window — their winner is out-of-window too, and
+        the residual filter excludes them — or (b) strictly-older loser
+        versions, which cannot change LWW resolution. The residual
+        ``ts BETWEEN`` filter runs AFTER resolution. Entries without zone
+        stats (pre-stats commits) are treated as covering."""
         snap = self.current() if snapshot_id is None else self.log.load(snapshot_id)
         want_fields = list(snap.schema.fields)
+        ts_col = self._zone_ts_col(snap.schema) if ts_prune is not None else None
+        if ts_prune is not None and ts_col is None:
+            raise ValueError("ts_prune: schema has no timestamp column")
         if columns is not None:
             missing = set(columns) - {f.name for f in want_fields}
             if missing:
                 raise ValueError(f"unknown columns: {sorted(missing)}")
             keep = set(columns) | set(snap.key_cols)
+            if ts_col is not None:
+                keep.add(ts_col)
             want_fields = [f for f in want_fields if f.name in keep]
         entries: list[dict[str, Any]] = []
         has_delta = False
         for b, fs in snap.files.items():
             if buckets is not None and int(b) not in buckets:
                 continue
+            kept = []
             for e in fs:
                 # manifest key-range stats (file skipping): a point lookup
                 # opens only files whose [key_min, key_max] can contain the
@@ -259,6 +285,10 @@ class LakeTable:
                 if key_prune is not None and e.get("key_min") is not None:
                     if not (e["key_min"] <= key_prune <= e["key_max"]):
                         continue
+                kept.append(e)
+            if ts_prune is not None:
+                kept = self._ts_prune_entries(kept, ts_prune)
+            for e in kept:
                 entries.append(e)
                 has_delta = has_delta or e.get("kind") == "delta"
         df = self._read_files(snap, entries, fields=want_fields)
@@ -280,11 +310,52 @@ class LakeTable:
             df = df.join(semi_keys, on=on, how="left_semi")
         if has_delta:
             df = self._resolve_lww(df, snap.key_cols)
+        if ts_prune is not None:
+            # residual window filter — post-LWW, so a key whose CURRENT
+            # version left the window is excluded even when a stale
+            # in-window version was read
+            df = df.filter(F.col(ts_col).between(ts_prune[0], ts_prune[1]))
         if not include_tombstones:
             df = df.filter(~F.col("_deleted"))
         if not include_internal:
             df = df.select(*[f.name for f in want_fields])
         return df
+
+    @staticmethod
+    def _ts_prune_entries(
+        entries: list[dict[str, Any]], window: tuple[datetime, datetime]
+    ) -> list[dict[str, Any]]:
+        """LWW-sound zone-map pruning of one bucket's manifest entries for
+        a time window (see ``read`` docstring for the soundness argument).
+        Entries lacking ts stats count as covering; entries lacking lsn
+        stats are never skipped."""
+
+        def us(dt: datetime) -> int:
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            return int(dt.timestamp() * 1_000_000)
+
+        lo, hi = us(window[0]), us(window[1])
+        covering = [
+            e
+            for e in entries
+            if e.get("ts_min") is None
+            or (e["ts_min"] <= hi and e["ts_max"] >= lo)
+        ]
+        if not covering:
+            return []
+        floors = [e["lsn_min"] for e in covering if e.get("lsn_min") is not None]
+        if len(floors) < len(covering):
+            return list(entries)  # a covering file without lsn stats: keep all
+        floor = min(floors)
+        cover_ids = {id(e) for e in covering}
+        return [
+            e
+            for e in entries
+            if id(e) in cover_ids
+            or e.get("lsn_max") is None
+            or e["lsn_max"] >= floor
+        ]
 
     def _bucket_of(self, key_value: str, n_buckets: int) -> int:
         """The storage bucket one key value hashes into — evaluated through
@@ -612,8 +683,23 @@ class LakeTable:
     # ------------------------------------------------------------------
     # write path
     # ------------------------------------------------------------------
+    @staticmethod
+    def _zone_ts_col(schema: T.StructType) -> str | None:
+        """The payload column carrying the secondary (time) zone map: the
+        first timestamp-typed field, if any. Zone-map values in old manifest
+        entries survive a rename of this column unchanged — pruning compares
+        values, never names."""
+        for f in schema.fields:
+            if isinstance(f.dataType, T.TimestampType):
+                return f.name
+        return None
+
     def _write_data(
-        self, df: DataFrame, commit_dir: str, key_col: str | None = None
+        self,
+        df: DataFrame,
+        commit_dir: str,
+        key_col: str | None = None,
+        ts_col: str | None = None,
     ) -> tuple[dict[str, list[dict[str, Any]]], list[dict[str, Any]]]:
         """Write rows partitioned by bucket; return (bucket -> file entries,
         per-bucket stats rows).
@@ -634,7 +720,12 @@ class LakeTable:
         the manifest entries (Iceberg's per-file column stats): point
         lookups skip every delta whose key range cannot contain the key —
         at 10^3 commits between compactions that is the difference between
-        opening one file and opening them all."""
+        opening one file and opening them all.
+
+        ``ts_col`` records a SECONDARY zone map — the event-time column's
+        min/max (epoch microseconds, timezone-free) plus the entry's
+        ``_lsn`` range — so time-windowed reads can skip non-covering
+        files with LWW soundness (see ``read(ts_prune=...)``)."""
         out = os.path.join(self.root, commit_dir)
         (
             df.withColumn("_bdir", F.col("_bucket"))
@@ -652,10 +743,11 @@ class LakeTable:
             if f.endswith(".parquet")
         )
         if n_files <= self.STATS_DRIVER_THRESHOLD:
-            stats = self._driver_stats(out, bdirs, key_col)
+            stats = self._driver_stats(out, bdirs, key_col, ts_col)
         else:
             stats = {
-                str(r["_bdir"]): r for r in self._read_back_stats(out, key_col)
+                str(r["_bdir"]): r
+                for r in self._read_back_stats(out, key_col, ts_col)
             }
         files: dict[str, list[dict[str, Any]]] = {}
         bucket_stats: list[dict[str, Any]] = []
@@ -667,6 +759,12 @@ class LakeTable:
                 if r0 is not None and r0.get("key_min") is not None
                 else {}
             )
+            if r0 is not None and r0.get("lsn_min") is not None:
+                key_stats["lsn_min"] = int(r0["lsn_min"])
+                key_stats["lsn_max"] = int(r0["lsn_max"])
+            if r0 is not None and r0.get("ts_min") is not None:
+                key_stats["ts_min"] = int(r0["ts_min"])
+                key_stats["ts_max"] = int(r0["ts_max"])
             files[b] = [
                 dict({"path": os.path.join(commit_dir, d, f)}, **key_stats)
                 for f in os.listdir(os.path.join(out, d))
@@ -709,18 +807,37 @@ class LakeTable:
                 maxs.append(hi)
         return (min(mins) if mins else None, max(maxs) if maxs else None)
 
+    @staticmethod
+    def _ts_micros(v: Any) -> int | None:
+        """Normalize a footer timestamp statistic to epoch microseconds
+        (UTC). Parquet TIMESTAMP_MICROS stats come back from pyarrow as
+        tz-aware datetimes; naive values are UTC by the writer's contract
+        (session TZ is pinned — session.py)."""
+        if v is None:
+            return None
+        if isinstance(v, int):
+            return v
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+
     def _driver_stats(
-        self, out: str, bdirs: list[str], key_col: str | None = None
+        self,
+        out: str,
+        bdirs: list[str],
+        key_col: str | None = None,
+        ts_col: str | None = None,
     ) -> dict[str, dict]:
-        """Per-bucket (rows, lsn min/max, key min/max) from parquet footers
-        read on the driver — the cheap path for small commits."""
+        """Per-bucket (rows, lsn min/max, key min/max, ts min/max) from
+        parquet footers read on the driver — the cheap path for small
+        commits."""
         import pyarrow.parquet as pq
 
         stats: dict[str, dict] = {}
         for d in bdirs:
             b = d.split("=", 1)[1]
             rows = 0
-            lmins, lmaxs, kmins, kmaxs = [], [], [], []
+            lmins, lmaxs, kmins, kmaxs, tmins, tmaxs = [], [], [], [], [], []
             for f in os.listdir(os.path.join(out, d)):
                 if not f.endswith(".parquet"):
                     continue
@@ -735,17 +852,27 @@ class LakeTable:
                     if klo is not None:
                         kmins.append(klo)
                         kmaxs.append(khi)
+                if ts_col is not None:
+                    tlo, thi = self._footer_minmax(md, ts_col)
+                    if tlo is not None:
+                        tmins.append(self._ts_micros(tlo))
+                        tmaxs.append(self._ts_micros(thi))
             stats[b] = {
                 "rows": rows,
                 "lsn_min": min(lmins) if lmins else None,
                 "lsn_max": max(lmaxs) if lmaxs else None,
                 "key_min": min(kmins) if kmins else None,
                 "key_max": max(kmaxs) if kmaxs else None,
+                "ts_min": min(tmins) if tmins else None,
+                "ts_max": max(tmaxs) if tmaxs else None,
             }
         return stats
 
     def _read_back_stats(
-        self, out: str, key_col: str | None = None
+        self,
+        out: str,
+        key_col: str | None = None,
+        ts_col: str | None = None,
     ) -> list[dict[str, Any]]:
         """Per-bucket (rows, lsn min/max) of the files under ``out`` via the
         V2 parquet source with aggregate pushdown: the COUNT/MIN/MAX grouped
@@ -786,19 +913,24 @@ class LakeTable:
             )
             .collect()
         }
-        if key_col is not None:
-            for r in (
-                s.read.parquet(out)
-                .groupBy("_bdir")
-                .agg(
+        if key_col is not None or ts_col is not None:
+            aggs: list[F.Column] = []
+            if key_col is not None:
+                aggs += [
                     F.min(key_col).alias("key_min"),
                     F.max(key_col).alias("key_max"),
-                )
-                .collect()
-            ):
-                rows[r["_bdir"]].update(
-                    key_min=r["key_min"], key_max=r["key_max"]
-                )
+                ]
+            if ts_col is not None:
+                # unix_micros: exact, timezone-free BIGINTs — never a
+                # driver-local datetime conversion
+                aggs += [
+                    F.min(F.unix_micros(ts_col)).alias("ts_min"),
+                    F.max(F.unix_micros(ts_col)).alias("ts_max"),
+                ]
+            for r in s.read.parquet(out).groupBy("_bdir").agg(*aggs).collect():
+                d = r.asDict()
+                d.pop("_bdir")
+                rows[r["_bdir"]].update(d)
         return list(rows.values())
 
     #: optimistic-concurrency retry bound — each retry is metadata-only
@@ -1001,7 +1133,9 @@ class LakeTable:
         commit_dir = os.path.join(
             "data", f"commit-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
         )
-        raw, bucket_lineage = self._write_data(df, commit_dir, key_col=kcol)
+        raw, bucket_lineage = self._write_data(
+            df, commit_dir, key_col=kcol, ts_col=self._zone_ts_col(target_schema)
+        )
         new_files = {b: [dict(e, kind="delta") for e in es] for b, es in raw.items()}
         total_rows = sum(b["rows_merged"] for b in bucket_lineage)
         extra = summary_fn(total_rows) if summary_fn is not None else {}
@@ -1227,7 +1361,12 @@ class LakeTable:
         commit_dir = os.path.join(
             "data", f"compact-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
         )
-        raw, _stats = self._write_data(df, commit_dir, key_col=snap.key_cols[0])
+        raw, _stats = self._write_data(
+            df,
+            commit_dir,
+            key_col=snap.key_cols[0],
+            ts_col=self._zone_ts_col(snap.schema),
+        )
         new_files = {b: [dict(e, kind="base") for e in es] for b, es in raw.items()}
         for b in todo:  # buckets whose rows were all... always rewritten
             new_files.setdefault(str(b), [])

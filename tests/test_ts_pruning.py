@@ -1,0 +1,180 @@
+"""Secondary zone maps: manifest ts min/max (epoch micros) + lsn ranges
+let time-windowed reads skip non-covering files — with LWW soundness
+(`read` keeps every file whose lsn_max >= the covering files' lsn floor,
+so a stale in-window version can never beat its out-of-window winner)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+SCHEMA = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+          "text string, tool string, ts timestamp")
+
+# three disjoint one-day event-time windows, one per epoch
+D0 = dt.datetime(2026, 1, 1)
+D1 = dt.datetime(2026, 2, 1)
+D2 = dt.datetime(2026, 3, 1)
+
+
+def _win(day: dt.datetime) -> tuple[dt.datetime, dt.datetime]:
+    return day, day + dt.timedelta(days=1)
+
+
+def _mk_table(spark, path, n_buckets=2):
+    return LakeTable.create(
+        spark, str(path), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+        n_buckets=n_buckets,
+    )
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _epoch_rows(keys, lsn0, day, text="t"):
+    return [
+        (lsn0 + j, "insert", k, 0, "user", f"{text} {k}", None,
+         day + dt.timedelta(hours=j % 24))
+        for j, k in enumerate(keys)
+    ]
+
+
+def test_manifest_entries_carry_ts_and_lsn_ranges(spark, tmp_path):
+    table = _mk_table(spark, tmp_path / "t")
+    keys = [f"c{i:03d}" for i in range(20)]
+    apply_batch(spark, table, _batch(spark, _epoch_rows(keys, 0, D0)), epoch=0)
+    for _b, fs in table.current().files.items():
+        for e in fs:
+            assert e["ts_min"] <= e["ts_max"], e
+            assert e["lsn_min"] <= e["lsn_max"], e
+            # micros of 2026-01-01 .. +24h
+            lo = int(D0.replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+            assert lo <= e["ts_min"] <= e["ts_max"] <= lo + 24 * 3600 * 10**6
+
+
+def test_recent_window_skips_old_epochs(spark, tmp_path):
+    """Disjoint per-epoch time windows with rising lsns: a query for the
+    newest window must open ONLY the newest commit's files."""
+    table = _mk_table(spark, tmp_path / "t")
+    keys = [f"c{i:03d}" for i in range(12)]
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "a" for k in keys], 0, D0)), epoch=0)
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "b" for k in keys], 1000, D1)), epoch=1)
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "c" for k in keys], 2000, D2)), epoch=2)
+
+    full = set(table.read().inputFiles())
+    recent = table.read(ts_prune=_win(D2))
+    opened = set(recent.inputFiles())
+    assert opened < full, (opened, full)
+    assert all("commit-3" in f for f in opened), opened
+    got = {r["conv_id"] for r in recent.collect()}
+    assert got == {k + "c" for k in keys}
+
+    # oldest window: the lsn floor is the oldest commit's -> soundness
+    # retains everything; the residual filter still gives exact results
+    old = table.read(ts_prune=_win(D0))
+    assert {r["conv_id"] for r in old.collect()} == {k + "a" for k in keys}
+
+
+def test_stale_in_window_version_excluded(spark, tmp_path):
+    """Key inserted in window W0, later updated with an out-of-window ts
+    (and another key deleted): a W0 query must exclude both — the LWW
+    winner decides, not the stale in-window version."""
+    table = _mk_table(spark, tmp_path / "t")
+    keys = [f"c{i:03d}" for i in range(8)]
+    apply_batch(spark, table, _batch(spark, _epoch_rows(keys, 0, D0)), epoch=0)
+    moved, deleted = keys[0], keys[1]
+    apply_batch(spark, table, _batch(spark, [
+        (5000, "update", moved, 0, "user", "moved", None, D2),
+        (5001, "delete", deleted, 0, None, None, None, None),
+    ]), epoch=1)
+
+    got = {r["conv_id"] for r in table.read(ts_prune=_win(D0)).collect()}
+    assert moved not in got and deleted not in got
+    assert got == set(keys[2:])
+    # and the moved row appears in its new window with the new text
+    new = table.read(ts_prune=_win(D2)).collect()
+    assert {(r["conv_id"], r["text"]) for r in new} == {(moved, "moved")}
+
+
+def test_empty_window_reads_zero_files(spark, tmp_path):
+    table = _mk_table(spark, tmp_path / "t")
+    keys = [f"c{i:03d}" for i in range(6)]
+    apply_batch(spark, table, _batch(spark, _epoch_rows(keys, 0, D0)), epoch=0)
+    df = table.read(ts_prune=_win(dt.datetime(2030, 1, 1)))
+    assert df.inputFiles() == []
+    assert df.count() == 0
+
+
+def test_ts_prune_equals_residual_filter(spark, tmp_path):
+    """Invariant: read(ts_prune=w) == read().filter(ts in w) on a mixed
+    workload of inserts, cross-window updates, and deletes."""
+    from pyspark.sql import functions as F
+
+    table = _mk_table(spark, tmp_path / "t", n_buckets=4)
+    keys = [f"c{i:03d}" for i in range(30)]
+    apply_batch(spark, table, _batch(spark, _epoch_rows(keys, 0, D0)), epoch=0)
+    apply_batch(spark, table, _batch(spark, [
+        (1000 + i, "update", keys[i], 0, "user", "m", None, D1)
+        for i in range(0, 10)
+    ] + [
+        (1100 + i, "delete", keys[i], 0, None, None, None, None)
+        for i in range(10, 15)
+    ]), epoch=1)
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "x" for k in keys[:5]], 2000, D2)), epoch=2)
+
+    for w in (_win(D0), _win(D1), _win(D2), (D0, D2 + dt.timedelta(days=1))):
+        pruned = {tuple(r) for r in table.read(ts_prune=w).collect()}
+        naive = {
+            tuple(r)
+            for r in table.read()
+            .filter(F.col("ts").between(w[0], w[1]))
+            .collect()
+        }
+        assert pruned == naive, w
+
+
+def test_compaction_and_distributed_stats_keep_zone_maps(spark, tmp_path):
+    """Zone maps survive compaction, and the distributed (aggregate
+    pushdown) stats path records the same ts/lsn ranges as the driver
+    footer path."""
+    table = _mk_table(spark, tmp_path / "t")
+    keys = [f"c{i:03d}" for i in range(12)]
+    apply_batch(spark, table, _batch(spark, _epoch_rows(keys, 0, D0)), epoch=0)
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "b" for k in keys], 1000, D1)), epoch=1)
+    table.compact()
+    base_entries = [e for fs in table.current().files.values() for e in fs]
+    assert all(e.get("ts_min") is not None for e in base_entries)
+
+    # a fresh epoch after compaction: recent-window query opens base +
+    # new delta? No — the base's lsn_max >= floor only if it overlaps;
+    # here the base is ts-covering for D0..D1 but NOT for D2, and its
+    # lsn_max < the new delta's lsn_min -> skipped
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "c" for k in keys], 5000, D2)), epoch=2)
+    opened = table.read(ts_prune=_win(D2)).inputFiles()
+    assert opened and all("commit-4" in f for f in opened), opened
+
+    # distributed path parity on ts stats
+    t2 = _mk_table(spark, tmp_path / "t2")
+    t2.STATS_DRIVER_THRESHOLD = 0
+    apply_batch(spark, t2, _batch(spark, _epoch_rows(keys, 0, D0)), epoch=0)
+    drv = {
+        (b, e["path"].split("/")[-2]): (e["ts_min"], e["ts_max"],
+                                        e["lsn_min"], e["lsn_max"])
+        for b, fs in table.log.load(1).files.items() for e in fs
+    }
+    dist = {
+        (b, e["path"].split("/")[-2]): (e["ts_min"], e["ts_max"],
+                                        e["lsn_min"], e["lsn_max"])
+        for b, fs in t2.current().files.items() for e in fs
+    }
+    assert set(drv.values()) == set(dist.values())
