@@ -29,6 +29,11 @@ Scale/consistency notes:
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,13 +56,27 @@ def apply_multi_table(
     events: DataFrame,
     epoch: int,
     salt_buckets: int | None = None,
+    frontier_root: str | None = None,
 ) -> MultiApplyResult:
     """Apply one epoch of a table-tagged change feed to every target table.
 
     ``events`` must carry a ``_table`` column naming the destination; rows
     tagged with unknown tables are skipped (tolerant routing, like the
     reference's ON_ERROR='CONTINUE') and reported via
-    ``result.unknown_rows``."""
+    ``result.unknown_rows``.
+
+    With ``frontier_root``, a cross-table ATOMIC-VISIBILITY marker is
+    written after (and only after) every table's epoch commit succeeds:
+    one JSON per epoch naming each participating table's snapshot id.
+    Per-table commits are individually atomic and exactly-once, but a
+    crash between table A's commit and table B's leaves the lake torn
+    (A at epoch N, B at N-1) for anyone reading "current" state; the
+    marker gives readers a mechanical consistent frontier —
+    ``latest_frontier`` + ``read_at_frontier`` never observe the torn
+    window, because the epoch-N marker only exists once N is fully
+    applied everywhere. Markers are tiny, idempotent (replay of a
+    fully-applied epoch rewrites identical content), and atomic
+    (same-directory rename)."""
     events = events.persist()
     try:
         results = MultiApplyResult()
@@ -72,9 +91,80 @@ def apply_multi_table(
         results.unknown_rows = events.filter(
             ~F.col(TABLE_COL).isin(list(tables)) | F.col(TABLE_COL).isNull()
         ).count()
+        if frontier_root is not None:
+            sids: dict[str, int] = {}
+            for name, table in tables.items():
+                r = results[name]
+                sid = (
+                    r.snapshot_id
+                    if r.snapshot_id is not None
+                    # skipped replay (or racer-applied): recover the id of
+                    # the commit that carries this epoch's key
+                    else snapshot_for_epoch(table, epoch)
+                )
+                if sid is None:
+                    raise RuntimeError(
+                        f"epoch {epoch} applied but table {name!r} has no "
+                        "commit for it — frontier would pin a torn state"
+                    )
+                sids[name] = sid
+            write_frontier(frontier_root, epoch, sids)
         return results
     finally:
         events.unpersist()
+
+
+@dataclass(frozen=True)
+class Frontier:
+    """A cross-table-consistent read point: every listed table read at its
+    recorded snapshot id reflects exactly epochs <= ``epoch``."""
+
+    epoch: int
+    snapshot_ids: dict[str, int]
+
+
+def write_frontier(root: str, epoch: int, snapshot_ids: dict[str, int]) -> str:
+    """Atomically publish the epoch marker (write-temp + same-dir rename).
+    Idempotent: concurrent replayers of a fully-applied epoch derive the
+    same snapshot ids from the tables' commit keys, so double-publishing
+    rewrites identical content."""
+    os.makedirs(root, exist_ok=True)
+    path = os.path.join(root, f"epoch-{epoch}.json")
+    fd, tmp = tempfile.mkstemp(dir=root, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"epoch": epoch, "tables": snapshot_ids}, f, sort_keys=True)
+    os.replace(tmp, path)
+    return path
+
+
+def latest_frontier(root: str) -> Frontier | None:
+    """The newest fully-applied epoch's marker, or None before the first.
+    Frontier pins are valid within the tables' snapshot-retention horizon
+    (``expire_snapshots``); pinning past it fails loudly at read time."""
+    best = -1
+    if os.path.isdir(root):
+        for name in os.listdir(root):
+            if name.startswith("epoch-") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[len("epoch-"):-len(".json")]))
+                except ValueError:
+                    continue
+    if best < 0:
+        return None
+    with open(os.path.join(root, f"epoch-{best}.json")) as f:
+        d = json.load(f)
+    return Frontier(d["epoch"], {k: int(v) for k, v in d["tables"].items()})
+
+
+def read_at_frontier(
+    tables: dict[str, LakeTable], frontier: Frontier
+) -> dict[str, DataFrame]:
+    """Every table's state pinned to the frontier's snapshot ids — the
+    multi-table analog of time travel; never observes a torn epoch."""
+    return {
+        name: tables[name].read(snapshot_id=sid)
+        for name, sid in frontier.snapshot_ids.items()
+    }
 
 
 def snapshot_for_epoch(table: LakeTable, epoch: int) -> int | None:

@@ -68,6 +68,52 @@ def test_per_table_idempotency_and_epoch_pinning(spark, tmp_path):
         assert table.read(snapshot_id=sid).count() > 0
 
 
+def test_frontier_never_observes_torn_epoch(spark, tmp_path):
+    """Crash between table A's epoch-1 commit and table B's: the 'current'
+    lake state is torn (A at 1, B at 0), but the latest frontier marker
+    still pins epoch 0 — a frontier reader never sees the torn window.
+    After the replay completes the epoch, the frontier advances and both
+    tables' pinned reads include epoch 1."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+    from postgres_to_snowflake_data_pipeline_spark.cdc.multi import (
+        latest_frontier,
+        read_at_frontier,
+    )
+
+    froot = str(tmp_path / "_frontier")
+    tables = {
+        name: LakeTable.create(
+            spark, str(tmp_path / name), TRANSCRIPT_SCHEMA,
+            ("conv_id", "turn_idx"), n_buckets=4,
+        )
+        for name in ("ta", "tb")
+    }
+    feed0, feed1 = _tagged_feed(spark, 2000), _tagged_feed(spark, 1000)
+    apply_multi_table(spark, tables, feed0, epoch=0, frontier_root=froot)
+    f0 = latest_frontier(froot)
+    assert f0 is not None and f0.epoch == 0
+    counts0 = {n: df.count() for n, df in read_at_frontier(tables, f0).items()}
+
+    # "crash": ta commits epoch 1, tb does not, no marker written
+    apply_batch(spark, tables["ta"], feed1.filter("_table='ta'").drop("_table"), epoch=1)
+    assert tables["ta"].current().summary.get("epoch") == 1  # current IS torn
+    f_mid = latest_frontier(froot)
+    assert f_mid.epoch == 0 and f_mid == f0
+    mid = {n: df.count() for n, df in read_at_frontier(tables, f_mid).items()}
+    assert mid == counts0  # pinned read: exactly the epoch-0 state, no tear
+
+    # replay the full epoch: ta skips (exactly-once), tb applies, marker
+    # now appears with BOTH tables' epoch-1 snapshots
+    res = apply_multi_table(spark, tables, feed1, epoch=1, frontier_root=froot)
+    assert res["ta"].skipped and not res["tb"].skipped
+    f1 = latest_frontier(froot)
+    assert f1.epoch == 1
+    pinned = read_at_frontier(tables, f1)
+    for name, table in tables.items():
+        both = feed0.union(feed1).filter(F.col("_table") == name).drop("_table")
+        assert_matches_oracle(pinned[name], both, PAYLOAD)
+
+
 def test_null_table_tag_is_counted_not_silently_dropped(spark, tmp_path):
     """A NULL _table must land in unknown_rows — ~isin() alone evaluates
     to NULL for NULL tags and filter() would silently drop them."""
