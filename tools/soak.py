@@ -5,9 +5,14 @@ Exercises the engine the way an operator would run it, end to end:
 1. a producer appends WAL parquet slices to the feed dir while a
    continuous streaming merge is running (compaction every 4 epochs);
 2. the stream is KILLED mid-flight and restarted from its checkpoint;
-3. after the producer finishes, an availableNow drain catches up;
-4. snapshots older than the last 3 are expired (orphan-file GC);
-5. the final table state is verified row-for-row against the sequential
+3. a CONCURRENT READER PROCESS (tools/soak_reader.py, its own JVM)
+   samples the table throughout, asserting every snapshot it reads is a
+   committed LWW-consistent state (no dup keys, text/_lsn agreement, no
+   torn reads) while writers + mid-run retention churn underneath it;
+4. after the producer finishes, an availableNow drain catches up;
+5. snapshots are expired mid-run (keep_last=8) and at the end
+   (keep_last=3) — orphan-file GC under live readers;
+6. the final table state is verified row-for-row against the sequential
    replay oracle over the full feed, and lineage must reconcile.
 
 Prints one JSON line; exits non-zero on any violation.
@@ -79,6 +84,31 @@ def main() -> None:
     view = IncrementalAggView(spark, os.path.join(work, "view"), table,
                               ("conv_id",), view_agg, n_buckets=8)
 
+    # concurrent reader: separate process, own JVM, samples the table the
+    # whole run (writers + compaction + mid-run retention churn under it)
+    import subprocess
+
+    stop_file = os.path.join(work, "reader.stop")
+    samples_path = os.path.join(work, "reader_samples.jsonl")
+    reader = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "tools", "soak_reader.py"),
+         os.path.join(work, "t"), stop_file, samples_path],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+
+    # the sawtooth audit needs per-snapshot metadata sizes, which mid-run
+    # retention deletes — harvest incrementally as the run goes
+    meta = table.log.meta_dir
+    all_sizes: dict[int, int] = {}
+
+    def _harvest_meta_sizes() -> None:
+        for f in os.listdir(meta):
+            if f.startswith("v") and f.endswith(".json"):
+                try:
+                    all_sizes[int(f[1:-5])] = os.path.getsize(os.path.join(meta, f))
+                except OSError:
+                    continue  # expired between listdir and stat
+
     t0 = time.perf_counter()
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                    max_files_per_trigger=2, compact_every=4,
@@ -96,6 +126,12 @@ def main() -> None:
                            max_files_per_trigger=2, compact_every=4,
                            compact_max_files=6, available_now=False,
                            views=[view])
+        if s % 4 == 3:
+            # retention churn WHILE the stream commits and the reader reads
+            # (keep_last=8 leaves the reader's recent pins resolvable; the
+            # in-flight commit is protected by the orphan grace period)
+            _harvest_meta_sizes()
+            table.expire_snapshots(keep_last=8)
         time.sleep(0.5)
     q.stop()
     q.awaitTermination(60)
@@ -122,6 +158,29 @@ def main() -> None:
     spark.streams.removeListener(listener)
     worst_bucket_files = max(len(fs) for fs in table.current().files.values())
 
+    # stop the concurrent reader and audit its samples: every successful
+    # read must have been an LWW-consistent committed state, snapshot ids
+    # non-decreasing; gc_races (pin expired mid-read, retry succeeded) are
+    # tolerated and reported; unrecovered errors are not
+    with open(stop_file, "w"):
+        pass
+    try:
+        reader.wait(timeout=120)
+    except subprocess.TimeoutExpired:
+        reader.kill()
+    samples = []
+    if os.path.exists(samples_path):
+        with open(samples_path) as f:
+            samples = [json.loads(line) for line in f if line.strip()]
+    reads = [r for r in samples if "sid" in r]
+    reader_consistent = (
+        len(reads) > 0
+        and all(r["dup_keys"] == 0 and r["bad_text"] == 0 for r in reads)
+        and all(r.get("monotonic", True) for r in reads)
+        and not any("error" in r for r in samples)
+    )
+    reader_gc_races = sum(1 for r in samples if r.get("gc_race"))
+
     # materialize the lineage mirror BEFORE retention prunes the snapshot
     # log (the operational ordering: metrics outlive expired snapshots)
     from postgres_to_snowflake_data_pipeline_spark.cdc.apply import export_lineage
@@ -129,15 +188,12 @@ def main() -> None:
     lineage_path = os.path.join(work, "lineage")
     export_lineage(spark, table, lineage_path)
 
-    # metadata-growth audit BEFORE retention deletes old snapshots: commit
-    # metadata must be O(batch), i.e. the per-snapshot bytes sawtooth
-    # (merges accumulate manifests until compaction prunes) must not trend
-    # upward across the run
-    meta = table.log.meta_dir
-    sizes = {
-        int(f[1:-5]): os.path.getsize(os.path.join(meta, f))
-        for f in os.listdir(meta) if f.startswith("v") and f.endswith(".json")
-    }
+    # metadata-growth audit: commit metadata must be O(batch), i.e. the
+    # per-snapshot bytes sawtooth (merges accumulate manifests until
+    # compaction prunes) must not trend upward across the run. Sizes were
+    # harvested incrementally (mid-run retention deletes old snapshots).
+    _harvest_meta_sizes()
+    sizes = all_sizes
     n_snap = max(sizes)
     early_peak = max(v for k, v in sizes.items() if k <= max(6, n_snap // 4))
     late_peak = max(v for k, v in sizes.items() if k >= n_snap - 6)
@@ -186,7 +242,7 @@ def main() -> None:
 
     ok = (mismatch == 0 and rows_in == feed_rows and meta_bounded
           and listener_mismatches == 0 and len(progress) > 0
-          and view_mismatch == 0)
+          and view_mismatch == 0 and reader_consistent)
     print(json.dumps({
         "soak_events": n_events, "slices": n_slices, "killed_and_restarted": killed,
         "wall_sec": round(wall, 1), "final_rows": n_state,
@@ -199,6 +255,9 @@ def main() -> None:
         "meta_bounded": meta_bounded,
         "worst_bucket_files": worst_bucket_files,
         "view_mismatch_rows": view_mismatch,
+        "reader_samples": len(reads),
+        "reader_consistent": reader_consistent,
+        "reader_gc_races": reader_gc_races,
         "view_refreshes": view._table.current().snapshot_id if view._table else 0,
         "gc": gc, "snapshots_retained": len(table.snapshots()),
         "ok": ok,
