@@ -47,21 +47,44 @@ from postgres_to_snowflake_data_pipeline_spark.queries.textops import (
     t11_minhash_candidates_fast,
 )
 
-#: Safety rail for the label-propagation loop. Min-label propagation
-#: converges in <= diameter rounds; LSH candidate graphs are near-cliques
-#: (diameter ~2), so hitting this indicates a pathological chain and we
+#: Safety rail for the component loop. Hook + pointer-doubling converges
+#: in O(log n) rounds on ANY graph shape (a 10^6-node chain needs ~21),
+#: so hitting this indicates a real defect, not an unlucky topology —
 #: fail loudly rather than return a half-converged clustering.
 MAX_CC_ITERS = 25
 
 
-def connected_components(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iters: int = MAX_CC_ITERS,
+    rounds_out: list[int] | None = None,
+) -> DataFrame:
     """Connected components of an undirected graph given as (a, b) pairs.
 
     Returns (node, cluster_id) with cluster_id = min node id reachable.
-    Min-label propagation: each round every node takes the min label over
-    itself and its neighbors; a round is one shuffle of the (node, label)
-    table against the (symmetrized, checkpointed) edge list. Convergence
-    check is `improved.isEmpty()` — no collect of the label table.
+    Each round does two steps (the hook + shortcut scheme of
+    Shiloach & Vishkin 1982, the same label-compression idea as the
+    large-star/small-star of Kiveris et al., SoCC'14):
+
+    1. HOOK — every node takes the min label over itself and its
+       neighbors (one shuffle of (node, label) against the symmetrized,
+       checkpointed edge list);
+    2. SHORTCUT — pointer doubling: ``label <- label(label)`` via a
+       self-join of the label table, so the distance a label has
+       travelled roughly DOUBLES per round.
+
+    Hook alone converges in O(diameter) rounds — fine for near-clique
+    LSH dup graphs (diameter ~2) but O(n) rounds on chain-shaped graphs;
+    the shortcut makes every topology O(log n) rounds. Fixpoint is
+    unchanged (labels monotonically decrease toward the component min,
+    and a no-improvement round implies labels are constant across every
+    edge), so the WITH RECURSIVE oracle still applies. Convergence check
+    is ``improved.isEmpty()`` — no collect of the label table; one
+    ``localCheckpoint`` per round truncates lineage, and the O(log)
+    round count bounds the number of materializations.
+
+    ``rounds_out``: if a list is passed, the number of rounds used is
+    appended (test/telemetry hook).
     """
     sym = edges.selectExpr("a", "b").unionByName(
         edges.selectExpr("b AS a", "a AS b")
@@ -74,14 +97,31 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> Dat
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iters):
+    for it in range(max_iters):
         prop = sym.join(labels, sym["a"] == labels["node"]).select(
             F.col("b").alias("node"), F.col("label")
         )
-        new_labels = (
+        hooked = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+        )
+        # shortcut: follow the label one hop through the label table
+        # itself. label values are node ids of the same component, so the
+        # (inner-equivalent) left join always finds plabel; coalesce only
+        # guards the theoretical miss. plabel <= label by monotonicity,
+        # least() keeps that explicit.
+        ptr = hooked.select(
+            F.col("node").alias("pnode"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            hooked.join(ptr, hooked["label"] == ptr["pnode"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("plabel", "label")
+                ).alias("label"),
+            )
             .localCheckpoint()
         )
         improved = (
@@ -92,10 +132,12 @@ def connected_components(edges: DataFrame, max_iters: int = MAX_CC_ITERS) -> Dat
         done = improved.isEmpty()
         labels = new_labels
         if done:
+            if rounds_out is not None:
+                rounds_out.append(it + 1)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
-        "graph diameter exceeds the LSH-candidate assumption"
+        "O(log n) hook+shortcut should never get here on real inputs"
     )
 
 

@@ -35,6 +35,20 @@ def test_duplicate_and_reversed_edges_are_harmless(spark):
     assert got == {5: 5, 6: 5, 7: 5}
 
 
+def test_long_chain_converges_in_log_rounds(spark):
+    # 200-node path graph: pure min-label propagation needs ~200 rounds
+    # (would blow the 25-round rail); hook + pointer-doubling must finish
+    # in ~log2(n) rounds
+    n = 200
+    rounds: list[int] = []
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "a long, b long"
+    )
+    rows = corpusops.connected_components(edges, rounds_out=rounds).collect()
+    assert {r["node"]: r["label"] for r in rows} == {i: 1 for i in range(1, n + 1)}
+    assert rounds[0] <= 10, rounds
+
+
 def test_nonconvergence_guard_raises(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(1, 9)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):

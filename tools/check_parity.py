@@ -12,7 +12,10 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
