@@ -107,6 +107,10 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos: pos + 4])
         tag = data[pos + 4: pos + 8]
+        if pos + 12 + length > len(data):
+            # cut off mid-chunk: body or CRC runs past EOF — keep the
+            # documented ValueError contract (not struct.error)
+            raise ValueError(f"truncated PNG ({tag!r} chunk exceeds data)")
         body = data[pos + 8: pos + 8 + length]
         (crc,) = struct.unpack(">I", data[pos + 8 + length: pos + 12 + length])
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
@@ -125,7 +129,12 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         pos += 12 + length
     if width is None or not idat:
         raise ValueError("truncated PNG (missing IHDR/IDAT)")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        # e.g. IDAT split across chunks and the stream cut at a chunk
+        # boundary: loud ValueError, same contract as every other path
+        raise ValueError(f"truncated PNG (bad IDAT stream: {e})") from e
     stride = width * 3
     if len(raw) != (stride + 1) * height:
         raise ValueError("inflated size does not match dimensions")

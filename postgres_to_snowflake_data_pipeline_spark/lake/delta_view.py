@@ -79,8 +79,6 @@ class DeltaAggView:
     column of a 100 TB table on the pre-image read).
     """
 
-    BROADCAST_DIRTY_MAX = 500_000
-
     def __init__(
         self,
         spark: SparkSession,
@@ -129,22 +127,43 @@ class DeltaAggView:
         return 0
 
     def read(self) -> DataFrame:
+        """View rows: group columns, ``n_rows``, and the measures. A sum
+        whose group currently has NO non-null contribution reads as NULL
+        (matching a full recompute / SQL ``sum`` semantics): totals are
+        stored 0-based for the retraction arithmetic alongside a hidden
+        non-null contribution counter ``_nn_{name}``, and the NULL-ness
+        is re-derived here."""
         if self._table is None:
             raise FileNotFoundError(f"view at {self.root} has never refreshed")
-        return self._table.read()
+        df = self._table.read()
+        for name in self._null_tracked():
+            df = df.withColumn(
+                name,
+                F.when(F.col(f"_nn_{name}") > 0, F.col(name)),
+            )
+        return df.select(*self.group_cols, *[N_ROWS, *self.measures])
 
     # ------------------------------------------------------------------
+    def _null_tracked(self) -> list[str]:
+        """Measures needing a non-null contribution counter: sums (whose
+        SQL semantics are NULL over an all-NULL group, a state plain
+        retraction arithmetic cannot distinguish from a zero total)."""
+        return [n for n, (op, _) in self.measures.items() if op == "sum"]
+
     def _agg_exprs(self) -> list[F.Column]:
         """Signed adjustment aggregates over rows carrying the measures'
         source expressions as ``_v_{name}`` (see ``_payload_select``): each
         live pre-image row enters with sign -1, each live post-image row
-        with +1 — one aggregation yields exactly agg(post) - agg(pre)."""
+        with +1 — one aggregation yields exactly agg(post) - agg(pre).
+        Sum adjustments are coalesced to typed 0 (an all-NULL window is a
+        zero adjustment) and paired with a ``_nn_{name}`` contribution
+        count so ``read`` can restore NULL semantics."""
         sign = F.col("_sign")
         out = [F.sum(sign).cast("long").alias(N_ROWS)]
         for name, (op, expr) in self.measures.items():
             v = F.col(f"_v_{name}")
             if op == "sum":
-                out.append(F.sum(sign * v).alias(name))
+                out.append(F.coalesce(F.sum(sign * v), F.lit(0)).alias(name))
             elif expr == "*":
                 out.append(F.sum(sign).cast("long").alias(name))
             else:
@@ -153,6 +172,13 @@ class DeltaAggView:
                     .cast("long")
                     .alias(name)
                 )
+        for name in self._null_tracked():
+            v = F.col(f"_v_{name}")
+            out.append(
+                F.sum(F.when(v.isNotNull(), sign).otherwise(F.lit(0)))
+                .cast("long")
+                .alias(f"_nn_{name}")
+            )
         return out
 
     def _signed_agg(self, signed: DataFrame) -> DataFrame:
@@ -171,7 +197,7 @@ class DeltaAggView:
         return sorted(set(self.payload_cols) | set(extra))
 
     def _measure_cols(self) -> list[str]:
-        return [N_ROWS, *self.measures]
+        return [N_ROWS, *self.measures, *[f"_nn_{n}" for n in self._null_tracked()]]
 
     # ------------------------------------------------------------------
     def refresh(self, evidence: bool = False) -> dict[str, Any] | None:
@@ -187,10 +213,16 @@ class DeltaAggView:
 
         hist = self.source.snapshots()
         covers = bool(hist) and hist[0].snapshot_id <= last + 1
-        if covers and not self.append_only and last > 0:
+        needs_preimage = not self.append_only and last > 0
+        if covers and needs_preimage:
             # the pre-image read needs snapshot `last` itself retained
             covers = hist[0].snapshot_id <= last
         if not covers:
+            return self._full_rebuild(src_sid, last)
+        if needs_preimage and not self._era_compatible(last, src_snap):
+            # a rename/drop between `last` and now: the old-era snapshot's
+            # column/key names no longer line up with the current-era
+            # delta — the incremental path cannot run; rebuild once
             return self._full_rebuild(src_sid, last)
 
         delta = self.source.changes(last, until_snapshot_id=src_sid)
@@ -207,25 +239,24 @@ class DeltaAggView:
                 src_snap.key_cols,
             )
             files_read = delta.inputFiles() if evidence else None
-        else:
-            keys = delta.select(*src_snap.key_cols).distinct().localCheckpoint()
-            key_buckets = sorted(
-                r["b"]
-                for r in keys.select(
-                    bucket_expr(src_snap.key_cols[0], src_snap.n_buckets).alias("b")
-                )
-                .distinct()
-                .collect()
+        elif last == 0:
+            # nothing pre-existed at the creation snapshot — the pre-image
+            # is empty by definition, and snapshot 0 itself may already be
+            # expired: never time-travel to it. Deletes in the window just
+            # resolve to tombstones that the live filter drops.
+            pre_live = None
+            post_all = resolve_lww(
+                delta.select(*self._delta_cols(src_snap)),
+                src_snap.key_cols,
             )
-            if keys.count() <= self.BROADCAST_DIRTY_MAX:
-                keys = F.broadcast(keys)
-            pre_all = self.source.read(
+            files_read = delta.inputFiles() if evidence else None
+        else:
+            pre_all = self.source.point_read_keys(
+                delta.select(*src_snap.key_cols).distinct(),
                 snapshot_id=last,
                 include_internal=True,
                 include_tombstones=True,
-                buckets=key_buckets,
                 columns=self._columns(),
-                semi_keys=keys,
             ).drop("_bucket")
             files_read = (
                 sorted(set(delta.inputFiles()) | set(pre_all.inputFiles()))
@@ -279,12 +310,31 @@ class DeltaAggView:
                 out.append(F.expr(expr).alias(f"_v_{name}"))
         return out
 
+    def _era_compatible(self, old_sid: int, src_snap) -> bool:
+        """True iff the old-era snapshot still exposes the key columns and
+        payload columns under the names the current-era refresh will use
+        (a rename/drop in between breaks the pre-image read)."""
+        old = self.source.log.load(old_sid)
+        if tuple(old.key_cols) != tuple(src_snap.key_cols):
+            return False
+        cols = self._columns()
+        need = set(src_snap.key_cols) | set(
+            cols if cols is not None else [f.name for f in src_snap.schema.fields]
+        )
+        return need <= {f.name for f in old.schema.fields}
+
     # ------------------------------------------------------------------
     def _full_rebuild(self, src_sid: int, last: int) -> dict[str, Any]:
         """Source history no longer reaches the view's position: recompute
         absolute totals from the current state and tombstone vanished
-        groups — identical fallback contract to IncrementalAggView."""
-        rows = self.source.read(columns=self._columns())
+        groups — identical fallback contract to IncrementalAggView.
+
+        The read is PINNED to ``src_sid``: this view's arithmetic is not
+        idempotent, so aggregating an unpinned current state while
+        recording ``src_sid`` as the watermark would double-count any
+        commit racing the rebuild (the next refresh would re-apply its
+        window as an adjustment)."""
+        rows = self.source.read(snapshot_id=src_sid, columns=self._columns())
         totals = self._signed_agg(
             rows.select(
                 *self.group_cols, *self._payload_select(), F.lit(1).alias("_sign")
@@ -336,7 +386,11 @@ class DeltaAggView:
                 *[
                     (
                         F.coalesce(F.col(f"o.{c}"), F.lit(0).cast(schema[c].dataType))
-                        + F.col(f"d.{c}")
+                        # d.c is never NULL for freshly-aggregated windows,
+                        # but coalesce keeps stored totals 0-based even if
+                        # an old stored row carried NULL (full-rebuild rows
+                        # of all-NULL groups)
+                        + F.coalesce(F.col(f"d.{c}"), F.lit(0).cast(schema[c].dataType))
                     )
                     .cast(schema[c].dataType)
                     .alias(c)

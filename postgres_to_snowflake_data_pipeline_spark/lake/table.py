@@ -262,6 +262,14 @@ class LakeTable:
         ts_col = self._zone_ts_col(snap.schema) if ts_prune is not None else None
         if ts_prune is not None and ts_col is None:
             raise ValueError("ts_prune: schema has no timestamp column")
+        if ts_prune is not None and include_tombstones:
+            # tombstones carry NULL payload ts: they are invisible to the
+            # residual window filter and their membership in "the window"
+            # is undefined — reject loudly rather than silently drop them
+            raise ValueError(
+                "ts_prune cannot be combined with include_tombstones: "
+                "tombstones have no event time"
+            )
         if columns is not None:
             missing = set(columns) - {f.name for f in want_fields}
             if missing:
@@ -287,7 +295,9 @@ class LakeTable:
                         continue
                 kept.append(e)
             if ts_prune is not None:
-                kept = self._ts_prune_entries(kept, ts_prune)
+                kept = self._ts_prune_entries(
+                    kept, ts_prune, snap.column_ids.get(ts_col)
+                )
             for e in kept:
                 entries.append(e)
                 has_delta = has_delta or e.get("kind") == "delta"
@@ -323,12 +333,19 @@ class LakeTable:
 
     @staticmethod
     def _ts_prune_entries(
-        entries: list[dict[str, Any]], window: tuple[datetime, datetime]
+        entries: list[dict[str, Any]],
+        window: tuple[datetime, datetime],
+        ts_col_id: int | None,
     ) -> list[dict[str, Any]]:
         """LWW-sound zone-map pruning of one bucket's manifest entries for
         a time window (see ``read`` docstring for the soundness argument).
-        Entries lacking ts stats count as covering; entries lacking lsn
-        stats are never skipped."""
+        An entry's ts stats are usable only when they were recorded from
+        the SAME column identity (``ts_id`` == the current zone column's
+        field id) — after a drop makes a different timestamp column the
+        zone column, old entries' stats describe the dropped column and
+        must not prune (renames keep the id, so their stats stay live).
+        Entries without usable ts stats count as covering; entries
+        lacking lsn stats are never skipped."""
 
         def us(dt: datetime) -> int:
             if dt.tzinfo is None:
@@ -340,6 +357,8 @@ class LakeTable:
             e
             for e in entries
             if e.get("ts_min") is None
+            or ts_col_id is None
+            or e.get("ts_id") != ts_col_id
             or (e["ts_min"] <= hi and e["ts_max"] >= lo)
         ]
         if not covering:
@@ -379,6 +398,50 @@ class LakeTable:
         return self.read(
             snapshot_id=snapshot_id, buckets=[bucket], key_prune=conv_id
         ).filter(F.col(snap.key_cols[0]) == conv_id)
+
+    #: point-read key sets up to this size are broadcast into the pre-LWW
+    #: semi-join (a few MB of keys); larger sets shuffle
+    BROADCAST_KEYS_MAX = 500_000
+
+    def point_read_keys(
+        self,
+        keys: DataFrame,
+        snapshot_id: int | None = None,
+        columns: list[str] | None = None,
+        include_internal: bool = False,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """State of the given keys only — the multi-key generalization of
+        ``read_key``, shared by the view-maintenance pre-image/dirty reads.
+
+        ``keys``: a DataFrame whose columns are a subset of the key
+        columns (must include the bucketing key ``key_cols[0]``). The
+        read is bucket-pruned to the keys' hash buckets (a bounded ≤
+        n_buckets driver list — key VALUES are never collected) and
+        pre-LWW semi-join-filtered; the key set is checkpointed so the
+        producing plan runs once, and broadcast when it plausibly fits
+        (a checkpointed RDD is stats-less — Catalyst would otherwise
+        plan a full sort-merge shuffle of the source scan)."""
+        snap = self.current() if snapshot_id is None else self.log.load(snapshot_id)
+        keys = keys.localCheckpoint()
+        buckets = sorted(
+            r["b"]
+            for r in keys.select(
+                bucket_expr(snap.key_cols[0], snap.n_buckets).alias("b")
+            )
+            .distinct()
+            .collect()
+        )
+        if keys.count() <= self.BROADCAST_KEYS_MAX:
+            keys = F.broadcast(keys)
+        return self.read(
+            snapshot_id=snapshot_id,
+            buckets=buckets,
+            columns=columns,
+            include_internal=include_internal,
+            include_tombstones=include_tombstones,
+            semi_keys=keys,
+        )
 
     def key_history(self, conv_id: str) -> DataFrame:
         """Audit trail: every stored version of one conversation's rows
@@ -700,6 +763,7 @@ class LakeTable:
         commit_dir: str,
         key_col: str | None = None,
         ts_col: str | None = None,
+        ts_col_id: int | None = None,
     ) -> tuple[dict[str, list[dict[str, Any]]], list[dict[str, Any]]]:
         """Write rows partitioned by bucket; return (bucket -> file entries,
         per-bucket stats rows).
@@ -762,9 +826,14 @@ class LakeTable:
             if r0 is not None and r0.get("lsn_min") is not None:
                 key_stats["lsn_min"] = int(r0["lsn_min"])
                 key_stats["lsn_max"] = int(r0["lsn_max"])
-            if r0 is not None and r0.get("ts_min") is not None:
+            if (
+                r0 is not None
+                and r0.get("ts_min") is not None
+                and ts_col_id is not None
+            ):
                 key_stats["ts_min"] = int(r0["ts_min"])
                 key_stats["ts_max"] = int(r0["ts_max"])
+                key_stats["ts_id"] = ts_col_id  # column identity of the stats
             files[b] = [
                 dict({"path": os.path.join(commit_dir, d, f)}, **key_stats)
                 for f in os.listdir(os.path.join(out, d))
@@ -1133,8 +1202,15 @@ class LakeTable:
         commit_dir = os.path.join(
             "data", f"commit-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
         )
+        zcol = self._zone_ts_col(target_schema)
         raw, bucket_lineage = self._write_data(
-            df, commit_dir, key_col=kcol, ts_col=self._zone_ts_col(target_schema)
+            df,
+            commit_dir,
+            key_col=kcol,
+            ts_col=zcol,
+            # a zone column added by THIS commit's evolution has no id yet
+            # (assigned in _next_commit): skip its stats for one commit
+            ts_col_id=snap.column_ids.get(zcol) if zcol else None,
         )
         new_files = {b: [dict(e, kind="delta") for e in es] for b, es in raw.items()}
         total_rows = sum(b["rows_merged"] for b in bucket_lineage)
@@ -1361,11 +1437,13 @@ class LakeTable:
         commit_dir = os.path.join(
             "data", f"compact-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
         )
+        zcol = self._zone_ts_col(snap.schema)
         raw, _stats = self._write_data(
             df,
             commit_dir,
             key_col=snap.key_cols[0],
-            ts_col=self._zone_ts_col(snap.schema),
+            ts_col=zcol,
+            ts_col_id=snap.column_ids.get(zcol) if zcol else None,
         )
         new_files = {b: [dict(e, kind="base") for e in es] for b, es in raw.items()}
         for b in todo:  # buckets whose rows were all... always rewritten

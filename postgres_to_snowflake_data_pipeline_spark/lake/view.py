@@ -156,12 +156,24 @@ class IncrementalAggView:
         full_rebuild = not self._history_covers(last)
         if non_key_grouping and not full_rebuild and last > 0:
             # the pre-image lookup below needs snapshot `last` itself to be
-            # retained, not just the commits after it
+            # retained, not just the commits after it …
             hist = self.source.snapshots()
             if hist[0].snapshot_id > last:
                 full_rebuild = True
+            else:
+                # … and to still expose the key/group columns under their
+                # current-era names: a rename/drop since `last` breaks the
+                # time-travel read (old-era schema) — rebuild once instead
+                # of wedging every subsequent incremental refresh
+                old_snap = self.source.log.load(last)
+                old_names = {f.name for f in old_snap.schema.fields}
+                if (
+                    tuple(old_snap.key_cols) != tuple(src_snap.key_cols)
+                    or not set(self.group_cols) <= old_names
+                ):
+                    full_rebuild = True
         if full_rebuild:
-            changed = self.source.read().select(*self.group_cols)
+            changed = self.source.read(snapshot_id=src_sid).select(*self.group_cols)
             if self._table is not None:
                 changed = changed.unionByName(
                     self._table.read().select(*self.group_cols)
@@ -176,19 +188,9 @@ class IncrementalAggView:
                 # Read the changed keys' prior state at the view's last
                 # source snapshot — bucket-pruned by the keys' hash buckets,
                 # pre-LWW-filtered by the key set — and mark those groups.
-                keys = delta.select(*src_snap.key_cols).distinct().localCheckpoint()
-                key_buckets = sorted(
-                    r["b"]
-                    for r in keys.select(
-                        bucket_expr(src_snap.key_cols[0], src_snap.n_buckets).alias("b")
-                    )
-                    .distinct()
-                    .collect()
-                )
-                if keys.count() <= self.BROADCAST_DIRTY_MAX:
-                    keys = F.broadcast(keys)
-                pre = self.source.read(
-                    snapshot_id=last, buckets=key_buckets, semi_keys=keys
+                pre = self.source.point_read_keys(
+                    delta.select(*src_snap.key_cols).distinct(),
+                    snapshot_id=last,
                 )
                 changed = changed.unionByName(pre.select(*self.group_cols))
             # NULL group values are not representable as view keys (the
@@ -230,14 +232,21 @@ class IncrementalAggView:
             )
         else:
             dirty_buckets = None
+        # recompute reads are PINNED to src_sid: a commit racing the
+        # refresh must land in the NEXT watermark window, not leak into
+        # this one (recompute is absolute per group, so a leak would
+        # self-correct next refresh — the pin just makes each refresh
+        # deterministic and the watermark exact)
         if not non_key_grouping:
             # grouping by a key prefix: push the dirty filter BELOW the
             # source's LWW resolution — only dirty conversations' rows are
             # shuffled and resolved, instead of LWW-aggregating the whole
             # bucket and discarding most of it afterwards
-            rows = self.source.read(buckets=dirty_buckets, semi_keys=dirty)
+            rows = self.source.read(
+                snapshot_id=src_sid, buckets=dirty_buckets, semi_keys=dirty
+            )
         else:
-            rows = self.source.read(buckets=dirty_buckets).join(
+            rows = self.source.read(snapshot_id=src_sid, buckets=dirty_buckets).join(
                 dirty, on=list(self.group_cols), how="left_semi"
             )
         agg = self.agg_fn(rows)

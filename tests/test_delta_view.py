@@ -168,3 +168,95 @@ def test_rejects_non_decomposable_measures(spark, tmp_path, source):
             spark, str(tmp_path / "bad"), source, ("role",),
             {"m": ("max", "ts")},
         )
+
+
+def test_all_null_sum_group_reads_null(spark, tmp_path, source):
+    """A sum over a group whose every contribution is NULL must read as
+    NULL (SQL semantics), not the retraction arithmetic's stored 0 — both
+    when the group is born all-NULL and when an update NULLs it out."""
+    rows = [(1, "insert", "c0", 0, "user", None, None),
+            (2, "insert", "c1", 0, "assistant", "hello", "grep")]
+    df = spark.createDataFrame(
+        rows, "lsn long, op string, conv_id string, turn_idx int, "
+              "role string, text string, tool string"
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    apply_batch(spark, source, df, epoch=0)
+    view = _mk(spark, tmp_path, source)
+    view.refresh()
+    _assert_exact(view, source)
+    assert view.read().filter("role = 'user'").first()["chars"] is None
+    # now NULL out the assistant group's text via an update
+    upd = df.filter("conv_id = 'c1'").withColumn("lsn", F.lit(100)) \
+        .withColumn("op", F.lit("update")).withColumn("text", F.lit(None).cast("string"))
+    apply_batch(spark, source, upd, epoch=1)
+    view.refresh()
+    _assert_exact(view, source)
+    assert view.read().filter("role = 'assistant'").first()["chars"] is None
+
+
+def test_first_refresh_with_creation_snapshot_expired(spark, tmp_path, source):
+    """A view that has never refreshed (last=0) must not time-travel to
+    snapshot 0: the creation snapshot may already be expired. The window's
+    deletes just resolve to tombstones the live filter drops."""
+    rows = [(i, "insert", f"c{i}", 0, "user", "x" * i, None) for i in range(1, 6)]
+    df = spark.createDataFrame(
+        rows, "lsn long, op string, conv_id string, turn_idx int, "
+              "role string, text string, tool string"
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    dels = df.filter("conv_id = 'c1'").withColumn("lsn", F.lit(50)) \
+        .withColumn("op", F.lit("delete"))
+    apply_batch(spark, source, df.unionByName(dels), epoch=0)
+    source.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    assert source.snapshots()[0].snapshot_id == 1  # snapshot 0 is gone
+    view = _mk(spark, tmp_path, source)
+    stats = view.refresh()
+    assert stats is not None and stats["full_rebuild"] is False
+    _assert_exact(view, source)
+
+
+def test_rename_between_refreshes_rebuilds_once(spark, tmp_path, source):
+    """A key-column rename between refreshes breaks the old-era pre-image
+    read; the refresh must fall back to ONE full rebuild (new era), then
+    resume incrementally — never wedge."""
+    ev = change_events(spark, 3000, n_convs=150).localCheckpoint()
+    apply_batch(spark, source, ev.filter(F.col("lsn") % 3 == 0), epoch=0)
+    view = _mk(spark, tmp_path, source)
+    view.refresh()
+    source.rename_column("conv_id", "conversation_id")
+    ren = lambda d: d.withColumnRenamed("conv_id", "conversation_id")
+    apply_batch(spark, source, ren(ev.filter(F.col("lsn") % 3 == 1)), epoch=1)
+    stats = view.refresh()
+    assert stats is not None and stats["full_rebuild"] is True
+    _assert_exact(view, source)
+    # and the NEXT refresh is incremental again (same era now)
+    apply_batch(spark, source, ren(ev.filter(F.col("lsn") % 3 == 2)), epoch=2)
+    stats = view.refresh()
+    assert stats is not None and stats["full_rebuild"] is False
+    _assert_exact(view, source)
+
+
+def test_full_rebuild_read_is_pinned_to_watermark(spark, tmp_path, source):
+    """_full_rebuild must aggregate the snapshot it RECORDS as the
+    watermark: an unpinned read would double-count a commit racing the
+    rebuild (the next refresh re-applies its window as an adjustment)."""
+    ev = change_events(spark, 2000, n_convs=100).localCheckpoint()
+    apply_batch(spark, source, ev.filter(F.col("lsn") % 2 == 0), epoch=0)
+    view = _mk(spark, tmp_path, source)
+    view.refresh()
+    apply_batch(spark, source, ev.filter(F.col("lsn") % 2 == 1), epoch=1)
+    source.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    seen = {}
+    orig = source.read
+
+    def spy(*a, **kw):
+        seen.setdefault("snapshot_id", kw.get("snapshot_id"))
+        return orig(*a, **kw)
+
+    source.read = spy
+    try:
+        stats = view.refresh()
+    finally:
+        source.read = orig
+    assert stats is not None and stats["full_rebuild"] is True
+    assert seen["snapshot_id"] == stats["source_snapshot"]
+    _assert_exact(view, source)

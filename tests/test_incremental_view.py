@@ -243,3 +243,30 @@ def test_agg_fn_must_return_group_cols(spark, tmp_path, source):
     )
     with pytest.raises(ValueError, match="group columns"):
         bad.refresh()
+
+
+def test_rename_between_refreshes_rebuilds_not_wedges(spark, tmp_path, source):
+    """A key-column rename between refreshes breaks the non-key-grouped
+    pre-image time-travel read (old-era names); the refresh must take the
+    full-rebuild path once instead of raising on every refresh forever."""
+    ev = change_events(spark, 3000, n_convs=150).localCheckpoint()
+    apply_batch(spark, source, ev.filter(F.col("lsn") % 3 == 0), epoch=0)
+    agg = lambda rows: rows.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("text")).alias("chars"))
+    view = IncrementalAggView(
+        spark, str(tmp_path / "byrole"), source, ("role",), agg, n_buckets=2,
+    )
+    view.refresh()
+    source.rename_column("conv_id", "conversation_id")
+    ren = lambda d: d.withColumnRenamed("conv_id", "conversation_id")
+    apply_batch(spark, source, ren(ev.filter(F.col("lsn") % 3 == 1)), epoch=1)
+    view.refresh()  # must not raise
+    got = {tuple(r) for r in view.read().collect()}
+    want = {tuple(r) for r in agg(source.read()).collect()}
+    assert got == want
+    # next refresh runs the incremental pre-image path in the new era
+    apply_batch(spark, source, ren(ev.filter(F.col("lsn") % 3 == 2)), epoch=2)
+    view.refresh()
+    got = {tuple(r) for r in view.read().collect()}
+    want = {tuple(r) for r in agg(source.read()).collect()}
+    assert got == want

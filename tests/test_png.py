@@ -81,3 +81,23 @@ def test_m01_image_payloads_are_genuine_pngs(spark):
         w, h, rgb = decode_png(blob)
         row = decoded[doc_id]
         assert (row["width"], row["height"], row["n_bytes"]) == (w, h, len(rgb))
+
+
+def test_truncated_png_is_loud_valueerror():
+    """Cuts inside a chunk (body or CRC) must raise the documented
+    ValueError, never struct.error / zlib.error."""
+    blob = encode_png(4, 6, bytes(range(72)))
+    for cut in (len(blob) - 2,   # inside IEND's CRC
+                len(blob) - 14,  # inside IDAT's CRC region
+                45,              # inside IDAT body
+                20):             # inside IHDR body
+        with pytest.raises(ValueError):
+            decode_png(blob[:cut])
+
+
+def test_length_field_past_eof_is_loud():
+    # a chunk whose declared length points past the end of the data
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    chunk = struct.pack(">I", 999_999) + b"IHDR" + ihdr
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)

@@ -178,3 +178,60 @@ def test_compaction_and_distributed_stats_keep_zone_maps(spark, tmp_path):
         for b, fs in t2.current().files.items() for e in fs
     }
     assert set(drv.values()) == set(dist.values())
+
+
+def test_ts_prune_rejects_include_tombstones(spark, tmp_path):
+    """Tombstones carry NULL event time: their window membership is
+    undefined and the residual filter would silently drop them — the
+    combination must be rejected loudly, not NULL-shaped."""
+    import pytest
+
+    table = _mk_table(spark, tmp_path / "t")
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows(["c0", "c1"], 0, D0)), epoch=0)
+    with pytest.raises(ValueError, match="tombstones"):
+        table.read(ts_prune=_win(D0), include_tombstones=True)
+
+
+def test_drop_of_zone_column_invalidates_stale_ts_stats(spark, tmp_path):
+    """After drop_column of the zone-map timestamp column, old manifest
+    entries' ts stats describe the DROPPED column (a different field id)
+    and must not prune: a file whose new-zone-column values ARE in the
+    window would otherwise be skipped when its lsn range sits below the
+    covering floor."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("created_ts", T.TimestampType(), True),
+        T.StructField("updated_ts", T.TimestampType(), True),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema, ("k",),
+                         n_buckets=2)
+
+    def _merge(rows, ddl):
+        w = spark.createDataFrame(rows, ddl) \
+            .withColumn("_deleted", F.lit(False))
+        t.merge(w)
+
+    # commit 1 (zone col = created_ts, Jan): updated_ts lives in MARCH
+    _merge([(f"a{i}", D0, D2, i) for i in range(8)],
+           "k string, created_ts timestamp, updated_ts timestamp, _lsn long")
+    t.drop_column("created_ts")
+    # commit 2 (zone col = updated_ts, March) with strictly higher lsns:
+    # its entries form the covering set; commit 1's stale Jan stats would
+    # classify its file non-covering and its lsn_max < floor skips it
+    _merge([(f"b{i}", D2, 100 + i) for i in range(8)],
+           "k string, updated_ts timestamp, _lsn long")
+
+    got = {r["k"] for r in t.read(ts_prune=_win(D2)).collect()}
+    assert got == {f"a{i}" for i in range(8)} | {f"b{i}" for i in range(8)}
+    # invariant vs the naive residual filter, all windows
+    for w in (_win(D0), _win(D2)):
+        pruned = {tuple(r) for r in t.read(ts_prune=w).collect()}
+        naive = {
+            tuple(r)
+            for r in t.read().filter(F.col("updated_ts").between(*w)).collect()
+        }
+        assert pruned == naive, w
