@@ -1,0 +1,495 @@
+"""Declarative multi-source pipeline configuration and runner.
+
+The Spark-first analog of the reference's Variables-driven multi-database
+DAG (/root/reference/dags/data_pipeline_variables_dag.py:33-45,79-149 and
+the per-table fan-out in /root/reference/scripts/load_data.py:49-64): a
+JSON-serializable spec names the sources, destination tables, maintained
+views, and exports; ``Pipeline.run_epoch`` executes one epoch as
+
+    source reads → tagged union → routed multi-table apply (exactly-once
+    per (table, epoch)) → cross-table frontier marker → view refreshes →
+    snapshot exports
+
+Where the reference resolves ``Variable.get(...)`` per task, config values
+here interpolate ``${ENV_VAR}`` / ``${ENV_VAR:default}`` from the process
+environment at load time — same externalized-credentials contract, no
+scheduler dependency. Airflow's parallel ``task.expand`` over databases
+maps to Spark's own parallelism: the per-source reads are lazy scans
+unioned into ONE routed apply, so a 5-source epoch costs one shuffle per
+destination table, not five sequential jobs (the feed is persisted once —
+see cdc/multi.py).
+
+Everything the runner calls is the already-tested engine surface
+(sources/feed.py, sources/files.py, cdc/multi.py, lake/delta_view.py,
+lake/view.py, sinks.py); this module adds only the declarative wiring.
+
+At 100 TB: the spec is metadata (bytes); the epoch's work is the same
+single-pass routed apply regardless of how many sources feed it, and
+per-(table, epoch) commit keys make a crashed epoch resumable by simply
+re-running it (only the unapplied tables do work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from postgres_to_snowflake_data_pipeline_spark.cdc.multi import (
+    TABLE_COL,
+    MultiApplyResult,
+    apply_multi_table,
+)
+from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import ORDER_COL
+from postgres_to_snowflake_data_pipeline_spark.lake.delta_view import DeltaAggView
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+from postgres_to_snowflake_data_pipeline_spark.lake.view import IncrementalAggView
+from postgres_to_snowflake_data_pipeline_spark.sinks import (
+    export_partitioned_snapshot,
+)
+from postgres_to_snowflake_data_pipeline_spark.sources.feed import (
+    jdbc_changefeed,
+    read_feed_batch,
+)
+from postgres_to_snowflake_data_pipeline_spark.sources.files import read_csv_table
+
+_VAR = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)(?::([^}]*))?\}")
+
+
+def interpolate(value: Any) -> Any:
+    """Resolve ``${ENV}`` / ``${ENV:default}`` in strings, recursively
+    through dicts/lists — the Variables.get(name, default_var=...) analog
+    (data_pipeline_variables_dag.py:38,66-76). Unset without a default is
+    a loud error: a silently-empty credential is how the reference's jobs
+    fail three tasks later."""
+    if isinstance(value, str):
+
+        def sub(m: re.Match) -> str:
+            name, default = m.group(1), m.group(2)
+            got = os.environ.get(name, default)
+            if got is None:
+                raise KeyError(
+                    f"config references ${{{name}}} but it is not set and "
+                    "has no default"
+                )
+            return got
+
+        return _VAR.sub(sub, value)
+    if isinstance(value, dict):
+        return {k: interpolate(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [interpolate(v) for v in value]
+    return value
+
+
+# ---------------------------------------------------------------------------
+# Spec dataclasses — all JSON round-trippable
+# ---------------------------------------------------------------------------
+
+#: source kinds -> required option keys (validated at load, not mid-epoch)
+_SOURCE_KINDS = {
+    "parquet_feed": {"path"},
+    "csv": {"path", "schema_ddl"},
+    "jdbc": {"url", "dbtable"},
+    "dataframe": set(),  # injected per-run (tests, notebook handoff)
+}
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    """One change-feed source.
+
+    ``table``: fixed destination table — rows get tagged with it; omit it
+    when the feed already carries a ``_table`` routing column (the WAL
+    case). ``options['path']``/``options['dbtable']`` may contain
+    ``{epoch}``, formatted per run — the reference's templated per-run
+    data dirs (data_pipeline_variables_dag.py:38-43).
+
+    ``csv`` sources are SNAPSHOT loads (the reference's seed CSVs,
+    load_data.py:153-155): rows become inserts at a constant
+    ``options['lsn']`` (default 0) — one version per key, so the constant
+    LSN is total-order enough and needs no global row numbering."""
+
+    name: str
+    kind: str
+    table: str | None = None
+    options: dict[str, Any] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.kind not in _SOURCE_KINDS:
+            raise ValueError(
+                f"source {self.name!r}: unknown kind {self.kind!r} "
+                f"(one of {sorted(_SOURCE_KINDS)})"
+            )
+        missing = _SOURCE_KINDS[self.kind] - set(self.options)
+        if missing:
+            raise ValueError(
+                f"source {self.name!r} ({self.kind}): missing options {sorted(missing)}"
+            )
+
+    def read(self, spark: SparkSession, epoch: int) -> DataFrame:
+        opt = dict(self.options)
+        if self.kind == "parquet_feed":
+            df = read_feed_batch(spark, opt["path"].format(epoch=epoch))
+        elif self.kind == "csv":
+            df = read_csv_table(
+                spark,
+                opt["path"].format(epoch=epoch),
+                T.StructType.fromDDL(opt["schema_ddl"]),
+                drop_malformed=opt.get("drop_malformed", True),
+            )
+            df = df.withColumn("op", F.lit("insert")).withColumn(
+                ORDER_COL, F.lit(int(opt.get("lsn", 0))).cast("long")
+            )
+        elif self.kind == "jdbc":
+            df = jdbc_changefeed(
+                spark,
+                url=opt.pop("url"),
+                dbtable=opt.pop("dbtable").format(epoch=epoch),
+                **{
+                    k: v
+                    for k, v in opt.items()
+                    if k
+                    in (
+                        "lsn_column", "lower_bound", "upper_bound",
+                        "num_partitions", "fetch_size", "properties",
+                    )
+                },
+            )
+        else:  # dataframe — must be injected via run_epoch(feeds=...)
+            raise ValueError(
+                f"source {self.name!r} is kind 'dataframe': pass it via "
+                "run_epoch(feeds={name: df})"
+            )
+        if self.table is not None:
+            df = df.withColumn(TABLE_COL, F.lit(self.table))
+        elif TABLE_COL not in df.columns:
+            raise ValueError(
+                f"source {self.name!r} has no fixed table and the feed "
+                f"carries no {TABLE_COL!r} column"
+            )
+        return df
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    """One destination lake table. ``schema_ddl`` is optional: when absent
+    the schema is derived from the first epoch's feed (event columns minus
+    op/lsn/_table), the reference's create-from-seed behavior."""
+
+    name: str
+    key_cols: tuple[str, ...]
+    n_buckets: int = 16
+    schema_ddl: str | None = None
+
+    def __post_init__(self) -> None:
+        if not self.key_cols:
+            raise ValueError(f"table {self.name!r}: key_cols must be non-empty")
+
+
+@dataclass(frozen=True)
+class ViewSpec:
+    """A maintained aggregate view over one table.
+
+    kind='delta'      -> DeltaAggView: ``measures`` maps view column ->
+                         ["sum"|"count", expr] (count expr may be "*").
+    kind='incremental'-> IncrementalAggView: ``aggs`` maps view column ->
+                         SQL aggregate expression (arbitrary aggregates,
+                         dirty-group recompute)."""
+
+    name: str
+    table: str
+    group_cols: tuple[str, ...]
+    kind: str = "delta"
+    measures: dict[str, tuple[str, str]] = field(default_factory=dict)
+    aggs: dict[str, str] = field(default_factory=dict)
+    payload_cols: tuple[str, ...] | None = None
+    n_buckets: int = 8
+
+    def __post_init__(self) -> None:
+        if self.kind not in ("delta", "incremental"):
+            raise ValueError(f"view {self.name!r}: unknown kind {self.kind!r}")
+        if self.kind == "delta" and not self.measures:
+            raise ValueError(f"delta view {self.name!r}: measures required")
+        if self.kind == "incremental" and not self.aggs:
+            raise ValueError(f"incremental view {self.name!r}: aggs required")
+
+
+@dataclass(frozen=True)
+class ExportSpec:
+    """Post-epoch snapshot export of a table (the reference's
+    data/{table}/{Y}/{M}/{D} S3 layout, export_to_s3.py:103-106)."""
+
+    table: str
+    path: str
+    date_col: str = "ts"
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    lake_root: str
+    sources: tuple[SourceSpec, ...]
+    tables: tuple[TableSpec, ...]
+    views: tuple[ViewSpec, ...] = ()
+    exports: tuple[ExportSpec, ...] = ()
+    frontier: bool = True
+    salt_buckets: int | None = None
+
+    def __post_init__(self) -> None:
+        names = [t.name for t in self.tables]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate table names: {names}")
+        known = set(names)
+        for s in self.sources:
+            if s.table is not None and s.table not in known:
+                raise ValueError(
+                    f"source {s.name!r} targets unknown table {s.table!r}"
+                )
+        for v in self.views:
+            if v.table not in known:
+                raise ValueError(f"view {v.name!r} over unknown table {v.table!r}")
+        for e in self.exports:
+            if e.table not in known:
+                raise ValueError(f"export targets unknown table {e.table!r}")
+
+    # -- JSON round-trip ----------------------------------------------------
+    @classmethod
+    def from_dict(cls, raw: dict[str, Any]) -> "PipelineSpec":
+        raw = interpolate(raw)
+        return cls(
+            lake_root=raw["lake_root"],
+            sources=tuple(
+                SourceSpec(
+                    name=s["name"], kind=s["kind"], table=s.get("table"),
+                    options=s.get("options", {}),
+                )
+                for s in raw.get("sources", [])
+            ),
+            tables=tuple(
+                TableSpec(
+                    name=t["name"], key_cols=tuple(t["key_cols"]),
+                    n_buckets=t.get("n_buckets", 16),
+                    schema_ddl=t.get("schema_ddl"),
+                )
+                for t in raw.get("tables", [])
+            ),
+            views=tuple(
+                ViewSpec(
+                    name=v["name"], table=v["table"],
+                    group_cols=tuple(v["group_cols"]),
+                    kind=v.get("kind", "delta"),
+                    measures={
+                        k: (m[0], m[1]) for k, m in v.get("measures", {}).items()
+                    },
+                    aggs=dict(v.get("aggs", {})),
+                    payload_cols=(
+                        tuple(v["payload_cols"]) if v.get("payload_cols") else None
+                    ),
+                    n_buckets=v.get("n_buckets", 8),
+                )
+                for v in raw.get("views", [])
+            ),
+            exports=tuple(
+                ExportSpec(
+                    table=e["table"], path=e["path"],
+                    date_col=e.get("date_col", "ts"),
+                )
+                for e in raw.get("exports", [])
+            ),
+            frontier=raw.get("frontier", True),
+            salt_buckets=raw.get("salt_buckets"),
+        )
+
+    @classmethod
+    def from_json(cls, text_or_path: str) -> "PipelineSpec":
+        if os.path.exists(text_or_path):
+            with open(text_or_path) as f:
+                return cls.from_dict(json.load(f))
+        return cls.from_dict(json.loads(text_or_path))
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "lake_root": self.lake_root,
+            "sources": [
+                {"name": s.name, "kind": s.kind, "table": s.table,
+                 "options": s.options}
+                for s in self.sources
+            ],
+            "tables": [
+                {"name": t.name, "key_cols": list(t.key_cols),
+                 "n_buckets": t.n_buckets, "schema_ddl": t.schema_ddl}
+                for t in self.tables
+            ],
+            "views": [
+                {"name": v.name, "table": v.table,
+                 "group_cols": list(v.group_cols), "kind": v.kind,
+                 "measures": {k: list(m) for k, m in v.measures.items()},
+                 "aggs": v.aggs,
+                 "payload_cols": (
+                     list(v.payload_cols) if v.payload_cols else None
+                 ),
+                 "n_buckets": v.n_buckets}
+                for v in self.views
+            ],
+            "exports": [
+                {"table": e.table, "path": e.path, "date_col": e.date_col}
+                for e in self.exports
+            ],
+            "frontier": self.frontier,
+            "salt_buckets": self.salt_buckets,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Runner
+# ---------------------------------------------------------------------------
+
+
+class Pipeline:
+    """Executes a :class:`PipelineSpec` epoch by epoch.
+
+    Tables are loaded if they exist under ``lake_root`` and created on
+    first use otherwise (schema from ``schema_ddl`` or derived from the
+    first feed). All exactly-once machinery is the tables' own commit
+    keys — re-running a completed epoch is a per-table no-op, so crash
+    recovery is "run it again", matching the reference's retrying tasks
+    (default_args retries, data_pipeline_variables_dag.py:19-20)."""
+
+    def __init__(self, spark: SparkSession, spec: PipelineSpec):
+        self.spark = spark
+        self.spec = spec
+        self.tables: dict[str, LakeTable] = {}
+        self._views: dict[str, Any] = {}
+        for t in spec.tables:
+            try:
+                self.tables[t.name] = LakeTable.load(
+                    spark, os.path.join(spec.lake_root, t.name)
+                )
+            except FileNotFoundError:
+                if t.schema_ddl is not None:
+                    self.tables[t.name] = LakeTable.create(
+                        spark,
+                        os.path.join(spec.lake_root, t.name),
+                        T.StructType.fromDDL(t.schema_ddl),
+                        key_cols=t.key_cols,
+                        n_buckets=t.n_buckets,
+                    )
+                # else: created lazily from the first epoch's feed schema
+
+    # -- helpers ------------------------------------------------------------
+    def _table_spec(self, name: str) -> TableSpec:
+        return next(t for t in self.spec.tables if t.name == name)
+
+    def _ensure_tables(self, feed: DataFrame) -> None:
+        missing = [t for t in self.spec.tables if t.name not in self.tables]
+        if not missing:
+            return
+        derived = T.StructType(
+            [
+                f
+                for f in feed.schema.fields
+                if f.name not in (ORDER_COL, "op", TABLE_COL)
+            ]
+        )
+        for t in missing:
+            self.tables[t.name] = LakeTable.create(
+                self.spark,
+                os.path.join(self.spec.lake_root, t.name),
+                derived,
+                key_cols=t.key_cols,
+                n_buckets=t.n_buckets,
+            )
+
+    def _view_handle(self, v: ViewSpec) -> Any:
+        if v.name in self._views:
+            return self._views[v.name]
+        src = self.tables[v.table]
+        root = os.path.join(self.spec.lake_root, "_views", v.name)
+        if v.kind == "delta":
+            h = DeltaAggView(
+                self.spark, root, src, v.group_cols, dict(v.measures),
+                payload_cols=(
+                    list(v.payload_cols) if v.payload_cols is not None else None
+                ),
+                n_buckets=v.n_buckets,
+            )
+        else:
+            gcols = list(v.group_cols)
+            aggs = dict(v.aggs)
+
+            def agg_fn(rows: DataFrame, _g=gcols, _a=aggs) -> DataFrame:
+                return rows.groupBy(*_g).agg(
+                    *[F.expr(e).alias(n) for n, e in _a.items()]
+                )
+
+            h = IncrementalAggView(
+                self.spark, root, src, tuple(gcols), agg_fn,
+                n_buckets=v.n_buckets,
+            )
+        self._views[v.name] = h
+        return h
+
+    def view(self, name: str) -> DataFrame:
+        """Read a maintained view by spec name."""
+        v = next(v for v in self.spec.views if v.name == name)
+        return self._view_handle(v).read()
+
+    # -- the epoch ----------------------------------------------------------
+    def run_epoch(
+        self,
+        epoch: int,
+        feeds: dict[str, DataFrame] | None = None,
+    ) -> dict[str, Any]:
+        """Execute one epoch: read + union every source, apply routed,
+        mark the frontier, refresh views, export snapshots. ``feeds``
+        injects DataFrames for 'dataframe' sources (and may override any
+        source by name). Returns per-stage results."""
+        feeds = feeds or {}
+        parts: list[DataFrame] = []
+        for s in self.spec.sources:
+            df = feeds[s.name] if s.name in feeds else s.read(self.spark, epoch)
+            if s.table is not None and TABLE_COL not in df.columns:
+                df = df.withColumn(TABLE_COL, F.lit(s.table))
+            parts.append(df)
+        if not parts:
+            raise ValueError("spec has no sources")
+        feed = parts[0]
+        for p in parts[1:]:
+            feed = feed.unionByName(p, allowMissingColumns=True)
+        self._ensure_tables(feed)
+
+        applied: MultiApplyResult = apply_multi_table(
+            self.spark,
+            self.tables,
+            feed,
+            epoch=epoch,
+            salt_buckets=self.spec.salt_buckets,
+            frontier_root=(
+                os.path.join(self.spec.lake_root, "_frontier")
+                if self.spec.frontier
+                else None
+            ),
+        )
+        views = {
+            v.name: self._view_handle(v).refresh() for v in self.spec.views
+        }
+        exports = []
+        for e in self.spec.exports:
+            path = e.path.format(epoch=epoch)
+            export_partitioned_snapshot(
+                self.tables[e.table].read(), path, date_col=e.date_col
+            )
+            exports.append(path)
+        return {
+            "epoch": epoch,
+            "tables": applied,
+            "unknown_rows": applied.unknown_rows,
+            "views": views,
+            "exports": exports,
+        }
