@@ -14,13 +14,17 @@ Structured-Streaming CDC engine:
 
 Subpackages
 -----------
-lake       snapshot-committed table format (MERGE, schema evolution, time travel)
-cdc        change-event generator, LWW dedup, merge-apply pipeline, oracle
-streaming  Structured Streaming wrapper (readStream -> foreachBatch), resume
-operators  relational query library (reference-parity reports over testdata)
-functions  training-data-pipeline functions (dedup, similarity, text analysis)
-sources    batch/stream readers for CSV/Parquet/JSON event feeds
-plans      plan-inspection helpers (pushdown / broadcast / codegen assertions)
+lake        snapshot-committed table format (MERGE, schema evolution — rename/
+            drop/widen, time travel, zone maps, incremental + delta agg views)
+cdc         change-event generator, LWW dedup, merge-apply pipeline, multi-table
+            routing + cross-table frontier, oracle
+streaming   Structured Streaming wrapper (readStream -> foreachBatch), resume
+queries     relational query library (reference-parity reports, text/dedup/ANN/
+            multimodal operators over testdata)
+functions   shared column functions + the stdlib PNG codec
+sources     batch/stream readers for CSV/Parquet/JSON/JDBC event feeds
+plans       plan-inspection helpers (pushdown / broadcast / codegen assertions)
+orchestrate declarative multi-source pipeline config + epoch runner
 """
 
 __version__ = "0.1.0"

@@ -42,8 +42,10 @@ identical rows and read-time LWW collapses them.
 
 At 100 TB: refresh work = one shuffle of the delta keyed by group, one
 point read of the changed keys (none when append-only), one bucket-pruned
-read of the view's dirty groups. min/max/percentile have no retraction
-rule — use IncrementalAggView for those.
+read of the view's dirty groups. min/max are additionally maintainable on
+APPEND-ONLY sources (an extremum can never be invalidated there; merged
+via least/greatest); over updating sources min/max/percentile have no
+retraction rule — use IncrementalAggView for those.
 """
 
 from __future__ import annotations
@@ -93,13 +95,20 @@ class DeltaAggView:
         bad = {
             name: op
             for name, (op, _) in measures.items()
-            if op not in ("sum", "count")
+            if op not in ("sum", "count", "min", "max")
         }
         if bad:
             raise ValueError(
-                f"non-decomposable measures {bad}: only sum/count have a "
-                "retraction rule — use IncrementalAggView for min/max/"
-                "percentile groupings"
+                f"unknown measure ops {bad}: sum/count always; min/max on "
+                "append-only sources"
+            )
+        monotone = {n for n, (op, _) in measures.items() if op in ("min", "max")}
+        if monotone and not append_only:
+            raise ValueError(
+                f"min/max measures {sorted(monotone)} have no retraction "
+                "rule — they are only maintainable on append_only sources "
+                "(old extrema can never be invalidated); use "
+                "IncrementalAggView for min/max over updating sources"
             )
         if N_ROWS in measures or N_ROWS in group_cols:
             raise ValueError(f"column name {N_ROWS!r} is reserved")
@@ -164,6 +173,11 @@ class DeltaAggView:
             v = F.col(f"_v_{name}")
             if op == "sum":
                 out.append(F.coalesce(F.sum(sign * v), F.lit(0)).alias(name))
+            elif op in ("min", "max"):
+                # append-only contract (enforced in __init__): every window
+                # row carries sign +1, so the window extremum merges with
+                # the stored one via least/greatest in _apply_adjustment
+                out.append((F.min(v) if op == "min" else F.max(v)).alias(name))
             elif expr == "*":
                 out.append(F.sum(sign).cast("long").alias(name))
             else:
@@ -381,21 +395,25 @@ class DeltaAggView:
             )
             old = self._table.read(buckets=view_buckets, semi_keys=F.broadcast(dirty))
             joined = adj.alias("d").join(old.alias("o"), on=gcols, how="left")
+            ops = {n: op for n, (op, _) in self.measures.items()}
+
+            def merge_expr(c: str) -> F.Column:
+                o, d = F.col(f"o.{c}"), F.col(f"d.{c}")
+                op = ops.get(c)
+                if op == "min":
+                    return F.least(o, d)  # least/greatest skip NULLs
+                if op == "max":
+                    return F.greatest(o, d)
+                # additive (sums/counts/_nn_ counters): d.c is never NULL
+                # for freshly-aggregated windows, but coalesce keeps stored
+                # totals 0-based even if an old stored row carried NULL
+                # (full-rebuild rows of all-NULL groups)
+                zero = F.lit(0).cast(schema[c].dataType)
+                return F.coalesce(o, zero) + F.coalesce(d, zero)
+
             new = joined.select(
                 *gcols,
-                *[
-                    (
-                        F.coalesce(F.col(f"o.{c}"), F.lit(0).cast(schema[c].dataType))
-                        # d.c is never NULL for freshly-aggregated windows,
-                        # but coalesce keeps stored totals 0-based even if
-                        # an old stored row carried NULL (full-rebuild rows
-                        # of all-NULL groups)
-                        + F.coalesce(F.col(f"d.{c}"), F.lit(0).cast(schema[c].dataType))
-                    )
-                    .cast(schema[c].dataType)
-                    .alias(c)
-                    for c in mcols
-                ],
+                *[merge_expr(c).cast(schema[c].dataType).alias(c) for c in mcols],
             )
             gone = None
 

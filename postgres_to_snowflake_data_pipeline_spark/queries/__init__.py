@@ -32,6 +32,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # delta-aggregated view (non-key grouping, retraction math over the
     # changefeed alone); oracle = full recompute over LWW state
     "c03_delta_agg_view": (cdcq.c03_delta_agg_view, cdcq.C03_SQL),
+    # declarative pipeline config end-to-end: tagged routing to two lake
+    # tables via PipelineSpec + frontier-pinned read-back; oracle = routed
+    # LWW recompute
+    "c04_routed_pipeline": (cdcq.c04_routed_pipeline, cdcq.C04_SQL),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),

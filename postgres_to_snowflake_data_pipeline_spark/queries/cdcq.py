@@ -181,6 +181,86 @@ def c03_delta_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read().select("role", "n_rows", "n_turns", "chars")
 
 
+def c04_routed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECLARATIVE pipeline end-to-end: the change feed is routed by a
+    ``_table`` tag (user parity) to two lake tables through a JSON
+    ``PipelineSpec`` — two epochs of tagged-union → multi-table apply →
+    cross-table frontier — then both tables' final states are read back
+    under the frontier-pinned snapshots.
+
+    This puts the orchestration layer itself (orchestrate.py, the analog
+    of the reference's Variables-driven DAG,
+    /root/reference/dags/data_pipeline_variables_dag.py:33-45,96,149)
+    under the driver's value-hash gate: the oracle recomputes the same
+    routed LWW states declaratively."""
+    from postgres_to_snowflake_data_pipeline_spark.orchestrate import (
+        Pipeline,
+        PipelineSpec,
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(), "cdcp-" + sf_dir.strip("/").replace("/", "-")
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    shard = F.when(
+        F.expr("CAST(substr(conv_id, 2) AS INT) % 2 = 0"), "even"
+    ).otherwise("odd")
+    feed = events_as_change_feed(spark, sf_dir).withColumn("_table", shard)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    spec = PipelineSpec.from_dict(
+        {
+            "lake_root": os.path.join(work, "lake"),
+            "sources": [{"name": "wal", "kind": "dataframe"}],
+            "tables": [
+                {"name": "even", "key_cols": ["conv_id", "turn_idx"],
+                 "n_buckets": 4},
+                {"name": "odd", "key_cols": ["conv_id", "turn_idx"],
+                 "n_buckets": 4},
+            ],
+        }
+    )
+    pipe = Pipeline(spark, spec)
+    pipe.run_epoch(0, feeds={"wal": feed.filter(F.col("lsn") <= mid)})
+    pipe.run_epoch(1, feeds={"wal": feed.filter(F.col("lsn") > mid)})
+    from postgres_to_snowflake_data_pipeline_spark.cdc.multi import (
+        latest_frontier,
+        read_at_frontier,
+    )
+
+    fr = latest_frontier(os.path.join(spec.lake_root, "_frontier"))
+    states = read_at_frontier(pipe.tables, fr)
+    out = None
+    for name in ("even", "odd"):
+        part = states[name].select(
+            F.lit(name).alias("shard"), "conv_id", "turn_idx", "role", "text",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+C04_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS shard,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL ELSE event_type END AS role,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL ELSE props END AS text
+  FROM events
+),
+w AS (
+  SELECT shard, conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text
+  FROM feed GROUP BY 1, 2, 3
+)
+SELECT shard, conv_id, turn_idx, role, text FROM w WHERE op <> 'delete'
+"""
+
+
 C03_SQL = f"""
 WITH feed AS (
   SELECT event_id AS lsn,

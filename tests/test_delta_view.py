@@ -260,3 +260,42 @@ def test_full_rebuild_read_is_pinned_to_watermark(spark, tmp_path, source):
     assert stats is not None and stats["full_rebuild"] is True
     assert seen["snapshot_id"] == stats["source_snapshot"]
     _assert_exact(view, source)
+
+
+def test_append_only_min_max_measures(spark, tmp_path, source):
+    """min/max are delta-maintainable on append-only sources (extrema are
+    never invalidated); rejected loudly on updating sources."""
+    with pytest.raises(ValueError, match="append_only"):
+        DeltaAggView(
+            spark, str(tmp_path / "bad"), source, ("role",),
+            {"first_ts": ("min", "ts")},
+        )
+    measures = {
+        "n": ("count", "*"),
+        "first_lsn": ("min", "lsn_val"),
+        "last_lsn": ("max", "lsn_val"),
+        "first_ts": ("min", "ts"),
+    }
+    ev = change_events(spark, 4000, n_convs=4000).localCheckpoint()
+    ins = ev.filter(F.col("op") != "delete").dropDuplicates(
+        ["conv_id", "turn_idx"]
+    ).withColumn("lsn_val", F.col("lsn")).localCheckpoint()
+    # lsn_val must live in the table schema: feed it as an evolved column
+    view = DeltaAggView(
+        spark, str(tmp_path / "mm"), source, ("role",), measures,
+        payload_cols=["role", "lsn_val", "ts"], append_only=True, n_buckets=2,
+    )
+    for e in range(3):
+        apply_batch(spark, source, ins.filter(F.col("lsn") % 3 == e), epoch=e)
+        view.refresh()
+        got = view.read()
+        want = source.read().filter(F.col("role").isNotNull()).groupBy("role").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("lsn_val").alias("first_lsn"),
+            F.max("lsn_val").alias("last_lsn"),
+            F.min("ts").alias("first_ts"),
+        )
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty(), (
+            sorted(got.collect()), sorted(want.collect()),
+        )
