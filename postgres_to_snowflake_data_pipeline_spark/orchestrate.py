@@ -493,3 +493,52 @@ class Pipeline:
             "views": views,
             "exports": exports,
         }
+
+    # -- streaming ----------------------------------------------------------
+    def run_stream(
+        self,
+        feed_path: str,
+        event_schema: T.StructType,
+        checkpoint_dir: str,
+        source_name: str | None = None,
+        max_files_per_trigger: int = 1,
+        available_now: bool = True,
+    ):
+        """Run the declarative pipeline CONTINUOUSLY: a readStream over the
+        WAL feed whose micro-batches become epochs (``epoch = batch_id``),
+        each executed by :meth:`run_epoch` — routing, frontier, views and
+        exports identical to batch.
+
+        Exactly-once layering is the same proof as streaming/pipeline.py:
+        Spark's checkpoint re-delivers an uncommitted batch with the SAME
+        id; per-(table, batch) commit keys make the re-delivery a no-op;
+        the frontier marker and view refreshes are idempotent. ``spec``
+        must contain exactly one ``dataframe`` source (or name one via
+        ``source_name``) — the stream feeds it; other sources are read
+        fresh each micro-batch."""
+        from postgres_to_snowflake_data_pipeline_spark.streaming.pipeline import (
+            read_feed_stream,
+        )
+
+        if source_name is None:
+            df_sources = [s.name for s in self.spec.sources if s.kind == "dataframe"]
+            if len(df_sources) != 1:
+                raise ValueError(
+                    "run_stream needs exactly one 'dataframe' source in the "
+                    f"spec (found {df_sources}) or an explicit source_name"
+                )
+            source_name = df_sources[0]
+
+        events = read_feed_stream(
+            self.spark, feed_path, event_schema, max_files_per_trigger
+        )
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            self.run_epoch(int(batch_id), feeds={source_name: batch_df})
+
+        writer = events.writeStream.foreachBatch(_apply).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
