@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgres_to_snowflake_data_pipeline_spark.cdc.apply import ApplyResult, apply_batch
+from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import ORDER_COL
 from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
 
 TABLE_COL = "_table"
@@ -57,6 +58,7 @@ def apply_multi_table(
     epoch: int,
     salt_buckets: int | None = None,
     frontier_root: str | None = None,
+    table_columns: dict[str, set[str]] | None = None,
 ) -> MultiApplyResult:
     """Apply one epoch of a table-tagged change feed to every target table.
 
@@ -64,6 +66,13 @@ def apply_multi_table(
     tagged with unknown tables are skipped (tolerant routing, like the
     reference's ON_ERROR='CONTINUE') and reported via
     ``result.unknown_rows``.
+
+    ``table_columns`` scopes each table's slice to its own payload columns
+    (plus op/lsn). A heterogeneous multi-source union carries the SUPERSET
+    of all sources' columns; without scoping, apply_batch's additive
+    schema evolution would permanently append every other source's
+    columns (all NULL) to every table. Omit it (None) when the feed's
+    columns are genuinely common to all tables.
 
     With ``frontier_root``, a cross-table ATOMIC-VISIBILITY marker is
     written after (and only after) every table's epoch commit succeeds:
@@ -82,6 +91,13 @@ def apply_multi_table(
         results = MultiApplyResult()
         for name, table in tables.items():
             slice_df = events.filter(F.col(TABLE_COL) == name).drop(TABLE_COL)
+            if table_columns is not None:
+                keep = [
+                    c
+                    for c in slice_df.columns
+                    if c in table_columns[name] or c in ("op", ORDER_COL)
+                ]
+                slice_df = slice_df.select(*keep)
             results[name] = apply_batch(
                 spark, table, slice_df, epoch=epoch, salt_buckets=salt_buckets
             )

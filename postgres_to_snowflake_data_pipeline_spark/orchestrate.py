@@ -48,6 +48,7 @@ from postgres_to_snowflake_data_pipeline_spark.cdc.multi import (
 )
 from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import ORDER_COL
 from postgres_to_snowflake_data_pipeline_spark.lake.delta_view import DeltaAggView
+from postgres_to_snowflake_data_pipeline_spark.lake.metadata import epoch_of
 from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
 from postgres_to_snowflake_data_pipeline_spark.lake.view import IncrementalAggView
 from postgres_to_snowflake_data_pipeline_spark.sinks import (
@@ -56,6 +57,7 @@ from postgres_to_snowflake_data_pipeline_spark.sinks import (
 from postgres_to_snowflake_data_pipeline_spark.sources.feed import (
     jdbc_changefeed,
     read_feed_batch,
+    read_feed_stream,
 )
 from postgres_to_snowflake_data_pipeline_spark.sources.files import read_csv_table
 
@@ -67,8 +69,26 @@ def interpolate(value: Any) -> Any:
     through dicts/lists — the Variables.get(name, default_var=...) analog
     (data_pipeline_variables_dag.py:38,66-76). Unset without a default is
     a loud error: a silently-empty credential is how the reference's jobs
-    fail three tasks later."""
+    fail three tasks later.
+
+    A value that is ENTIRELY one template keeps its JSON type:
+    ``"${PORT:5432}"`` -> 5432 (int), ``"${DROP_MALFORMED:false}"`` ->
+    False (bool) — otherwise boolean/numeric options read from the
+    environment would arrive as truthy strings (``"false"`` is truthy) and
+    silently flip reader behavior. Non-JSON text stays a string."""
     if isinstance(value, str):
+        whole = _VAR.fullmatch(value)
+        if whole is not None:
+            got = os.environ.get(whole.group(1), whole.group(2))
+            if got is None:
+                raise KeyError(
+                    f"config references ${{{whole.group(1)}}} but it is not "
+                    "set and has no default"
+                )
+            try:
+                return json.loads(got)
+            except ValueError:
+                return got
 
         def sub(m: re.Match) -> str:
             name, default = m.group(1), m.group(2)
@@ -198,10 +218,16 @@ class ViewSpec:
     """A maintained aggregate view over one table.
 
     kind='delta'      -> DeltaAggView: ``measures`` maps view column ->
-                         ["sum"|"count", expr] (count expr may be "*").
+                         ["sum"|"count"|"min"|"max", expr] (count expr may
+                         be "*"); min/max require ``append_only: true``
+                         (no retraction rule on updating sources).
     kind='incremental'-> IncrementalAggView: ``aggs`` maps view column ->
                          SQL aggregate expression (arbitrary aggregates,
-                         dirty-group recompute)."""
+                         dirty-group recompute).
+
+    Measure ops are validated here — at spec LOAD — so a typo'd op or a
+    min/max without append_only fails before any epoch runs, not after
+    the tables have already committed."""
 
     name: str
     table: str
@@ -210,13 +236,28 @@ class ViewSpec:
     measures: dict[str, tuple[str, str]] = field(default_factory=dict)
     aggs: dict[str, str] = field(default_factory=dict)
     payload_cols: tuple[str, ...] | None = None
+    append_only: bool = False
     n_buckets: int = 8
 
     def __post_init__(self) -> None:
         if self.kind not in ("delta", "incremental"):
             raise ValueError(f"view {self.name!r}: unknown kind {self.kind!r}")
-        if self.kind == "delta" and not self.measures:
-            raise ValueError(f"delta view {self.name!r}: measures required")
+        if self.kind == "delta":
+            if not self.measures:
+                raise ValueError(f"delta view {self.name!r}: measures required")
+            for col, m in self.measures.items():
+                if len(m) != 2 or m[0] not in ("sum", "count", "min", "max"):
+                    raise ValueError(
+                        f"delta view {self.name!r}, measure {col!r}: want "
+                        f"[op, expr] with op in sum/count/min/max, got {m!r}"
+                    )
+                if m[0] in ("min", "max") and not self.append_only:
+                    raise ValueError(
+                        f"delta view {self.name!r}, measure {col!r}: "
+                        f"{m[0]} is only maintainable with append_only=true "
+                        "(old extrema can never be retracted); use "
+                        "kind='incremental' over updating sources"
+                    )
         if self.kind == "incremental" and not self.aggs:
             raise ValueError(f"incremental view {self.name!r}: aggs required")
 
@@ -291,6 +332,7 @@ class PipelineSpec:
                     payload_cols=(
                         tuple(v["payload_cols"]) if v.get("payload_cols") else None
                     ),
+                    append_only=v.get("append_only", False),
                     n_buckets=v.get("n_buckets", 8),
                 )
                 for v in raw.get("views", [])
@@ -334,6 +376,7 @@ class PipelineSpec:
                  "payload_cols": (
                      list(v.payload_cols) if v.payload_cols else None
                  ),
+                 "append_only": v.append_only,
                  "n_buckets": v.n_buckets}
                 for v in self.views
             ],
@@ -383,28 +426,42 @@ class Pipeline:
                 # else: created lazily from the first epoch's feed schema
 
     # -- helpers ------------------------------------------------------------
-    def _table_spec(self, name: str) -> TableSpec:
-        return next(t for t in self.spec.tables if t.name == name)
-
-    def _ensure_tables(self, feed: DataFrame) -> None:
+    def _ensure_tables(
+        self, feed: DataFrame, table_columns: dict[str, set[str]]
+    ) -> None:
+        """Create lazily-derived tables from the feed schema, each scoped to
+        ITS OWN sources' columns — not the heterogeneous union's superset
+        (which would bake every other source's columns into every table)."""
         missing = [t for t in self.spec.tables if t.name not in self.tables]
-        if not missing:
-            return
-        derived = T.StructType(
-            [
-                f
-                for f in feed.schema.fields
-                if f.name not in (ORDER_COL, "op", TABLE_COL)
-            ]
-        )
         for t in missing:
+            fields = [
+                f for f in feed.schema.fields if f.name in table_columns[t.name]
+            ]
+            if not fields:
+                raise ValueError(
+                    f"table {t.name!r}: no source contributes columns to it "
+                    "and no schema_ddl was given"
+                )
             self.tables[t.name] = LakeTable.create(
                 self.spark,
                 os.path.join(self.spec.lake_root, t.name),
-                derived,
+                T.StructType(fields),
                 key_cols=t.key_cols,
                 n_buckets=t.n_buckets,
             )
+
+    def _max_committed_epoch(self) -> int:
+        """Highest epoch any already-existing spec table has committed
+        (watermark plus residual epoch keys); -1 when none have."""
+        best = -1
+        for table in self.tables.values():
+            snap = table.current()
+            best = max(best, snap.epoch_watermark)
+            for k in snap.commit_keys:
+                e = epoch_of(k)
+                if e is not None:
+                    best = max(best, e)
+        return best
 
     def _view_handle(self, v: ViewSpec) -> Any:
         if v.name in self._views:
@@ -417,6 +474,7 @@ class Pipeline:
                 payload_cols=(
                     list(v.payload_cols) if v.payload_cols is not None else None
                 ),
+                append_only=v.append_only,
                 n_buckets=v.n_buckets,
             )
         else:
@@ -437,8 +495,13 @@ class Pipeline:
 
     def view(self, name: str) -> DataFrame:
         """Read a maintained view by spec name."""
-        v = next(v for v in self.spec.views if v.name == name)
-        return self._view_handle(v).read()
+        for v in self.spec.views:
+            if v.name == name:
+                return self._view_handle(v).read()
+        raise ValueError(
+            f"unknown view {name!r} (spec views: "
+            f"{[v.name for v in self.spec.views]})"
+        )
 
     # -- the epoch ----------------------------------------------------------
     def run_epoch(
@@ -449,20 +512,54 @@ class Pipeline:
         """Execute one epoch: read + union every source, apply routed,
         mark the frontier, refresh views, export snapshots. ``feeds``
         injects DataFrames for 'dataframe' sources (and may override any
-        source by name). Returns per-stage results."""
+        source by name); keys must name spec sources (a typo'd key would
+        otherwise silently fall back to the file-backed read).
+
+        The union carries the SUPERSET of all sources' columns, but each
+        destination table only ever sees columns its own sources produce
+        (fixed-table sources targeting it plus every ``_table``-routed
+        source): per-table column scoping below stops a heterogeneous
+        5-source epoch from additively schema-evolving every table with
+        every other source's columns. Returns per-stage results."""
         feeds = feeds or {}
+        known = {s.name for s in self.spec.sources}
+        unknown = set(feeds) - known
+        if unknown:
+            raise ValueError(
+                f"feeds for unknown sources {sorted(unknown)} "
+                f"(spec sources: {sorted(known)})"
+            )
         parts: list[DataFrame] = []
+        routed_cols: set[str] = set()
+        fixed_cols: dict[str, set[str]] = {}
         for s in self.spec.sources:
             df = feeds[s.name] if s.name in feeds else s.read(self.spark, epoch)
-            if s.table is not None and TABLE_COL not in df.columns:
-                df = df.withColumn(TABLE_COL, F.lit(s.table))
+            if s.table is not None:
+                if TABLE_COL not in df.columns:
+                    df = df.withColumn(TABLE_COL, F.lit(s.table))
+            elif TABLE_COL not in df.columns:
+                # same loud contract as SourceSpec.read — injected frames
+                # must not fail three stages later as an unresolved column
+                raise ValueError(
+                    f"source {s.name!r} has no fixed table and the injected "
+                    f"feed carries no {TABLE_COL!r} column"
+                )
+            payload = set(df.columns) - {ORDER_COL, "op", TABLE_COL}
+            if s.table is not None:
+                fixed_cols.setdefault(s.table, set()).update(payload)
+            else:
+                routed_cols |= payload
             parts.append(df)
         if not parts:
             raise ValueError("spec has no sources")
         feed = parts[0]
         for p in parts[1:]:
             feed = feed.unionByName(p, allowMissingColumns=True)
-        self._ensure_tables(feed)
+        table_columns = {
+            t.name: fixed_cols.get(t.name, set()) | routed_cols
+            for t in self.spec.tables
+        }
+        self._ensure_tables(feed, table_columns)
 
         applied: MultiApplyResult = apply_multi_table(
             self.spark,
@@ -475,6 +572,7 @@ class Pipeline:
                 if self.spec.frontier
                 else None
             ),
+            table_columns=table_columns,
         )
         views = {
             v.name: self._view_handle(v).refresh() for v in self.spec.views
@@ -505,21 +603,27 @@ class Pipeline:
         available_now: bool = True,
     ):
         """Run the declarative pipeline CONTINUOUSLY: a readStream over the
-        WAL feed whose micro-batches become epochs (``epoch = batch_id``),
-        each executed by :meth:`run_epoch` — routing, frontier, views and
-        exports identical to batch.
+        WAL feed whose micro-batches become epochs, each executed by
+        :meth:`run_epoch` — routing, frontier, views and exports identical
+        to batch.
+
+        ``epoch = base + batch_id``, where ``base`` is one past the highest
+        epoch any spec table has already committed (batch ``run_epoch``
+        seeds, a previous stream run): without the offset, a seed-then-
+        stream flow would hand micro-batch 0 the already-committed commit
+        key ``epoch:0`` and the batch's rows would be silently skipped as
+        a replay. The base is recorded in ``checkpoint_dir`` on first
+        start, so a RESTARTED stream replays re-delivered batch ids under
+        identical epoch numbers (the exactly-once proof needs stable
+        batch→epoch mapping, not a recomputed one).
 
         Exactly-once layering is the same proof as streaming/pipeline.py:
         Spark's checkpoint re-delivers an uncommitted batch with the SAME
-        id; per-(table, batch) commit keys make the re-delivery a no-op;
+        id; per-(table, epoch) commit keys make the re-delivery a no-op;
         the frontier marker and view refreshes are idempotent. ``spec``
         must contain exactly one ``dataframe`` source (or name one via
         ``source_name``) — the stream feeds it; other sources are read
         fresh each micro-batch."""
-        from postgres_to_snowflake_data_pipeline_spark.streaming.pipeline import (
-            read_feed_stream,
-        )
-
         if source_name is None:
             df_sources = [s.name for s in self.spec.sources if s.kind == "dataframe"]
             if len(df_sources) != 1:
@@ -529,12 +633,22 @@ class Pipeline:
                 )
             source_name = df_sources[0]
 
+        base_path = os.path.join(checkpoint_dir, "epoch_base.json")
+        if os.path.exists(base_path):
+            with open(base_path) as f:
+                base = int(json.load(f)["base"])
+        else:
+            base = self._max_committed_epoch() + 1
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            with open(base_path, "w") as f:
+                json.dump({"base": base}, f)
+
         events = read_feed_stream(
             self.spark, feed_path, event_schema, max_files_per_trigger
         )
 
         def _apply(batch_df: DataFrame, batch_id: int) -> None:
-            self.run_epoch(int(batch_id), feeds={source_name: batch_df})
+            self.run_epoch(base + int(batch_id), feeds={source_name: batch_df})
 
         writer = events.writeStream.foreachBatch(_apply).option(
             "checkpointLocation", checkpoint_dir

@@ -205,7 +205,14 @@ def c04_routed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = F.when(
         F.expr("CAST(substr(conv_id, 2) AS INT) % 2 = 0"), "even"
     ).otherwise("odd")
-    feed = events_as_change_feed(spark, sf_dir).withColumn("_table", shard)
+    # materialize the tagged feed ONCE (as c01-c03 do): the min/max job and
+    # both epoch filters read the parquet, not three re-derivations of the
+    # events scan + projection
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).withColumn("_table", shard).write.mode(
+        "overwrite"
+    ).parquet(feed_path)
+    feed = spark.read.parquet(feed_path)
     lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
     mid = (lo + hi) // 2
     spec = PipelineSpec.from_dict(

@@ -31,21 +31,11 @@ from pyspark.sql.streaming import StreamingQuery
 from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
 from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
 
-
-def read_feed_stream(
-    spark: SparkSession,
-    feed_path: str,
-    schema: T.StructType,
-    max_files_per_trigger: int = 1,
-) -> DataFrame:
-    """File-backed WAL tail: each parquet file is an LSN slice; new files
-    appear over time. On a production cluster this source is swapped for a
-    Kafka/Kinesis reader — everything downstream is source-agnostic."""
-    return (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(feed_path)
-    )
+# canonical definition lives with the other feed readers; re-exported here
+# because streaming callers historically import it from this module
+from postgres_to_snowflake_data_pipeline_spark.sources.feed import (  # noqa: F401
+    read_feed_stream,
+)
 
 
 def run_stream(

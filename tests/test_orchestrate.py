@@ -256,3 +256,128 @@ def test_streaming_pipeline_resumes_exactly_once(spark, tmp_path):
         .agg(F.count(F.lit(1)).cast("long").alias("n")).collect()
     }
     assert got == want
+
+
+def test_whole_template_values_keep_json_types(monkeypatch):
+    """An option that is ENTIRELY one template coerces via JSON: booleans
+    and numbers from the environment must not arrive as truthy strings
+    ('false' would silently flip drop_malformed to DROPMALFORMED)."""
+    monkeypatch.delenv("ORCH_DROP", raising=False)
+    monkeypatch.delenv("ORCH_PORT", raising=False)
+    assert interpolate("${ORCH_DROP:false}") is False
+    assert interpolate("${ORCH_PORT:5432}") == 5432
+    monkeypatch.setenv("ORCH_DROP", "true")
+    assert interpolate("${ORCH_DROP:false}") is True
+    monkeypatch.setenv("ORCH_HOST2", "db1")
+    assert interpolate("${ORCH_HOST2}") == "db1"  # non-JSON stays a string
+    # embedded templates still substitute as text
+    assert interpolate("p=${ORCH_PORT:5432}") == "p=5432"
+
+
+def test_viewspec_validates_measures_at_load():
+    base = {
+        "lake_root": "/tmp/x",
+        "sources": [{"name": "wal", "kind": "dataframe"}],
+        "tables": [{"name": "ta", "key_cols": ["conv_id", "turn_idx"]}],
+    }
+    with pytest.raises(ValueError, match="sum/count/min/max"):
+        PipelineSpec.from_dict(dict(base, views=[
+            {"name": "v", "table": "ta", "group_cols": ["role"],
+             "measures": {"n": ["avg", "x"]}}]))
+    with pytest.raises(ValueError, match="append_only"):
+        PipelineSpec.from_dict(dict(base, views=[
+            {"name": "v", "table": "ta", "group_cols": ["role"],
+             "measures": {"lo": ["min", "lsn"]}}]))
+    # with append_only: true it loads (round-trips too)
+    spec = PipelineSpec.from_dict(dict(base, views=[
+        {"name": "v", "table": "ta", "group_cols": ["role"],
+         "measures": {"lo": ["min", "lsn"]}, "append_only": True}]))
+    assert PipelineSpec.from_dict(spec.to_dict()) == spec
+
+
+def test_heterogeneous_sources_do_not_cross_pollute_schemas(spark, tmp_path):
+    """Two fixed-table sources with disjoint payload columns: each table's
+    schema must contain only ITS source's columns, not the union superset
+    (additive evolution would otherwise bake NULL columns into both)."""
+    orders = spark.createDataFrame(
+        [(1, "insert", "c0", 0, 42.5)],
+        "lsn long, op string, conv_id string, turn_idx int, amount double",
+    )
+    users = spark.createDataFrame(
+        [(2, "insert", "u0", 0, "ada")],
+        "lsn long, op string, conv_id string, turn_idx int, name string",
+    )
+    spec = PipelineSpec.from_dict({
+        "lake_root": str(tmp_path / "lake"),
+        "sources": [
+            {"name": "so", "kind": "dataframe", "table": "orders"},
+            {"name": "su", "kind": "dataframe", "table": "users"},
+        ],
+        "tables": [
+            {"name": "orders", "key_cols": ["conv_id", "turn_idx"], "n_buckets": 2},
+            {"name": "users", "key_cols": ["conv_id", "turn_idx"], "n_buckets": 2},
+        ],
+        "frontier": False,
+    })
+    pipe = Pipeline(spark, spec)
+    pipe.run_epoch(0, feeds={"so": orders, "su": users})
+    o_cols = set(pipe.tables["orders"].current().schema.fieldNames())
+    u_cols = set(pipe.tables["users"].current().schema.fieldNames())
+    assert "name" not in o_cols and "amount" in o_cols
+    assert "amount" not in u_cols and "name" in u_cols
+    assert pipe.tables["orders"].read().collect()[0]["amount"] == 42.5
+
+
+def test_run_epoch_rejects_bad_feeds(spark, tmp_path):
+    spec = PipelineSpec.from_dict({
+        "lake_root": str(tmp_path / "lake"),
+        "sources": [{"name": "wal", "kind": "dataframe"}],
+        "tables": [{"name": "ta", "key_cols": ["conv_id", "turn_idx"]}],
+        "frontier": False,
+    })
+    pipe = Pipeline(spark, spec)
+    df = spark.createDataFrame(
+        [(1, "insert", "c0", 0)],
+        "lsn long, op string, conv_id string, turn_idx int",
+    )
+    with pytest.raises(ValueError, match="unknown sources"):
+        pipe.run_epoch(0, feeds={"wall": df.withColumn("_table", F.lit("ta"))})
+    # routed source (no fixed table) injected without a _table column
+    with pytest.raises(ValueError, match="_table"):
+        pipe.run_epoch(0, feeds={"wal": df})
+    with pytest.raises(ValueError, match="unknown view"):
+        pipe.view("nope")
+
+
+def test_seed_then_stream_epochs_do_not_collide(spark, tmp_path):
+    """run_epoch(0) seeds the table, then run_stream tails new WAL files:
+    the stream's first micro-batch must NOT be skipped as a replay of the
+    seed's commit key (epoch = base + batch_id, base past the seed)."""
+    seed = spark.createDataFrame(
+        [(1, "insert", "c0", 0, "seeded")],
+        "lsn long, op string, conv_id string, turn_idx int, text string",
+    ).withColumn("_table", F.lit("ta"))
+    live = spark.createDataFrame(
+        [(10, "insert", "c1", 0, "streamed"),
+         (11, "update", "c0", 0, "updated")],
+        "lsn long, op string, conv_id string, turn_idx int, text string",
+    ).withColumn("_table", F.lit("ta"))
+    spec = PipelineSpec.from_dict({
+        "lake_root": str(tmp_path / "lake"),
+        "sources": [{"name": "wal", "kind": "dataframe"}],
+        "tables": [{"name": "ta", "key_cols": ["conv_id", "turn_idx"],
+                    "n_buckets": 2}],
+    })
+    pipe = Pipeline(spark, spec)
+    pipe.run_epoch(0, feeds={"wal": seed})
+
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    live.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob, shutil
+    shutil.move(glob.glob(str(tmp_path / "stage" / "*.parquet"))[0],
+                feed_dir / "slice-0.parquet")
+    q = pipe.run_stream(str(feed_dir), live.schema, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    got = {r["conv_id"]: r["text"] for r in pipe.tables["ta"].read().collect()}
+    assert got == {"c0": "updated", "c1": "streamed"}
