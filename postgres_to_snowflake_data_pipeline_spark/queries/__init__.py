@@ -36,6 +36,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # tables via PipelineSpec + frontier-pinned read-back; oracle = routed
     # LWW recompute
     "c04_routed_pipeline": (cdcq.c04_routed_pipeline, cdcq.C04_SQL),
+    # zone-map time-window read: merge-on-read with LWW-sound ts pruning;
+    # oracle = full LWW state filtered to the identical window
+    "c05_time_window_read": (cdcq.c05_time_window_read, cdcq.C05_SQL),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),

@@ -246,6 +246,84 @@ def c04_routed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def c05_time_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the feed in 4 epochs (NO compaction — the deltas stay as many
+    small files), then read the middle third of event time through
+    ``read(ts_prune=...)``: the secondary zone map (ts min/max + LSN ranges
+    in manifests, lake/table.py) opens only files it cannot rule out, with
+    the LWW-soundness rule keeping every potential winner.
+
+    Window bounds derive from the data in exact integer microseconds
+    (``floor((max-min)/3)`` arithmetic both engines replay identically), so
+    the oracle — the full LWW state filtered to the same window — value-
+    hash checks the pruned merge-on-read path end-to-end."""
+    from datetime import datetime, timedelta, timezone
+
+    work = os.path.join(
+        tempfile.gettempdir(), "cdct-" + sf_dir.strip("/").replace("/", "-")
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    replay_feed(spark, table, feed_path, epochs=4)
+    # ts is TIMESTAMP_NTZ; unix_micros wants TIMESTAMP — identity cast
+    # under the engine's pinned UTC session TZ
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mn, mx = (
+        spark.read.parquet(feed_path).select(F.min(us), F.max(us)).first()
+    )
+    # upper two-thirds of event time: LWW winners carry the MAX lsn per
+    # key and the feed's lsn order tracks event time, so a middle-third
+    # window would be empty of winners (every key's current version is
+    # late) — the upper window keeps the oracle non-trivial while the zone
+    # map still skips the early files
+    lo_us = mn + (mx - mn) // 3
+    hi_us = mx
+
+    def _dt(us: int) -> datetime:
+        return datetime.fromtimestamp(us // 1_000_000, tz=timezone.utc).replace(
+            tzinfo=None
+        ) + timedelta(microseconds=us % 1_000_000)
+
+    return table.read(ts_prune=(_dt(lo_us), _dt(hi_us))).select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    )
+
+
+C05_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text, ts
+  FROM events
+),
+b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM feed
+),
+w AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text,
+         arg_max(ts, lsn) AS ts
+  FROM feed GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, role, text, ts
+FROM w, b
+WHERE op <> 'delete'
+  AND epoch_us(ts) BETWEEN mn + (mx - mn) // 3 AND mx
+"""
+
+
 C04_SQL = f"""
 WITH feed AS (
   SELECT event_id AS lsn,
