@@ -50,8 +50,108 @@ def write_report_jdbc(
     """JDBC report writeback (the reference recomputes the report into
     Supabase, silver_layer_dag.py:82-127; we write the already-computed
     DataFrame). Exercised end-to-end against embedded Derby in
-    tests/test_jdbc.py."""
+    tests/test_jdbc.py.
+
+    NOTE: ``mode='overwrite'`` DROPs the target and reloads it row by
+    row — a concurrent reader of the report sees an empty or partially
+    loaded table for the whole load window, and a crash mid-load loses
+    the previous report entirely. For a report with live readers use
+    :func:`write_report_jdbc_staged`."""
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.mode(mode).save()
+
+
+def _jdbc_connect(spark_jvm, url: str, properties: dict[str, str] | None):
+    """Open a driver-side java.sql.Connection through the session JVM (the
+    same classpath Spark's own JDBC writer uses, so no new dependency)."""
+    props = spark_jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        if k == "driver":
+            # Spark reader/writer option; for DriverManager we must load
+            # the class so the driver self-registers (Class.forName is the
+            # documented JDBC bootstrap for drivers outside the app jar)
+            spark_jvm.java.lang.Class.forName(v)
+        else:
+            props.setProperty(k, v)
+    return spark_jvm.java.sql.DriverManager.getConnection(url, props)
+
+
+def _table_exists(conn, table: str) -> bool:
+    """Dialect-portable existence probe: a zero-row scan either resolves
+    (exists) or raises (doesn't) — metadata catalogs case identifiers
+    differently per engine, a probe query does not."""
+    try:
+        st = conn.createStatement()
+        try:
+            st.executeQuery(
+                f"SELECT 1 FROM {table} FETCH FIRST 1 ROWS ONLY"
+            ).close()
+        finally:
+            st.close()
+        return True
+    except Exception:
+        return False
+
+
+def write_report_jdbc_staged(
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    rename_fmt: str = "RENAME TABLE {old} TO {new}",
+) -> None:
+    """Transactional create-or-replace report writeback.
+
+    The reference's writeback truncates-and-reloads the warehouse report
+    (silver_layer_dag.py:82-127), so dashboard readers racing the load see
+    a partial report. This variant keeps the live table readable with the
+    OLD rows until one atomic metadata transaction swaps the new ones in:
+
+    1. load the new report into ``{table}__stage`` (Spark JDBC overwrite —
+       also clears a stage left by a crashed previous run);
+    2. in ONE transaction: rename live -> ``{table}__retired``, rename
+       stage -> live (DDL is transactional in Derby/Postgres, the two
+       engines this targets; ``rename_fmt`` defaults to Derby/MySQL
+       ``RENAME TABLE``, pass ``"ALTER TABLE {old} RENAME TO {new}"`` for
+       Postgres);
+    3. drop the retired table.
+
+    Crash before (2): live table untouched, stale stage is overwritten on
+    the next run. Crash inside (2): the transaction rolls back, live table
+    untouched. Crash after commit: only a retired table is left, dropped
+    at the start of the next run. Exercised against embedded Derby in
+    tests/test_jdbc.py (happy path, leftover-stage recovery, retired GC).
+    """
+    stage, retired = f"{table}__stage", f"{table}__retired"
+    write_report_jdbc(df, url, stage, mode="overwrite", properties=properties)
+    conn = _jdbc_connect(df.sparkSession._sc._jvm, url, properties)
+    try:
+        st = conn.createStatement()
+        try:
+            # existence probes run under autocommit, BEFORE the swap
+            # transaction opens: in engines where a statement error aborts
+            # the whole transaction (Postgres), a probe miss inside the
+            # transaction would poison the renames
+            live_exists = _table_exists(conn, table)
+            # clear a retired table a crashed previous run left behind —
+            # the rename target must not exist (autocommit: plain GC)
+            if _table_exists(conn, retired):
+                st.execute(f"DROP TABLE {retired}")
+            conn.setAutoCommit(False)
+            if live_exists:
+                st.execute(rename_fmt.format(old=table, new=retired))
+            st.execute(rename_fmt.format(old=stage, new=table))
+            conn.commit()
+            conn.setAutoCommit(True)
+            if live_exists:
+                st.execute(f"DROP TABLE {retired}")
+        except Exception:
+            if not conn.getAutoCommit():
+                conn.rollback()
+            raise
+        finally:
+            st.close()
+    finally:
+        conn.close()

@@ -22,7 +22,10 @@ from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_event
 from postgres_to_snowflake_data_pipeline_spark.cdc.oracle import assert_matches_oracle
 from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
 from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
-from postgres_to_snowflake_data_pipeline_spark.sinks import write_report_jdbc
+from postgres_to_snowflake_data_pipeline_spark.sinks import (
+    write_report_jdbc,
+    write_report_jdbc_staged,
+)
 from postgres_to_snowflake_data_pipeline_spark.sources.feed import jdbc_changefeed
 
 DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
@@ -87,3 +90,66 @@ def test_jdbc_report_writeback_reads_back_identically(spark):
     a = report.orderBy("role").collect()
     b = back.orderBy("role").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def _read_jdbc(spark, url: str, table: str):
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", DRIVER)
+        .load()
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _report(spark, tag: str):
+    return spark.createDataFrame(
+        [(tag, i, i * 10) for i in range(5)], "tag string, k int, v int"
+    )
+
+
+def test_staged_writeback_create_then_replace(spark):
+    """First staged run creates the live table; the second replaces its
+    contents atomically; neither leaves a stage or retired table behind."""
+    url = _url("stagedb1")
+    props = {"driver": DRIVER}
+    write_report_jdbc_staged(_report(spark, "v1"), url, "report", props)
+    assert _rows(_read_jdbc(spark, url, "report")) == _rows(_report(spark, "v1"))
+    write_report_jdbc_staged(_report(spark, "v2"), url, "report", props)
+    assert _rows(_read_jdbc(spark, url, "report")) == _rows(_report(spark, "v2"))
+    # no working tables linger after a clean run
+    for leftover in ("report__stage", "report__retired"):
+        with pytest.raises(Exception):
+            _read_jdbc(spark, url, leftover).collect()
+
+
+def test_staged_writeback_recovers_from_leftover_stage(spark):
+    """A stage table abandoned by a crash between load and swap is simply
+    overwritten by the next run (crash-before-swap recovery)."""
+    url = _url("stagedb2")
+    props = {"driver": DRIVER}
+    write_report_jdbc_staged(_report(spark, "live"), url, "report", props)
+    # simulate the crash: a half-loaded stage with a DIFFERENT schema
+    junk = spark.createDataFrame([("junk",)], "junk string")
+    write_report_jdbc(junk, url, "report__stage", properties=props)
+    write_report_jdbc_staged(_report(spark, "next"), url, "report", props)
+    assert _rows(_read_jdbc(spark, url, "report")) == _rows(_report(spark, "next"))
+
+
+def test_staged_writeback_gc_of_leftover_retired(spark):
+    """A retired table abandoned by a crash after commit-but-before-drop is
+    GCed at the start of the next run (it would otherwise block the
+    live->retired rename forever)."""
+    url = _url("stagedb3")
+    props = {"driver": DRIVER}
+    write_report_jdbc_staged(_report(spark, "live"), url, "report", props)
+    junk = spark.createDataFrame([("junk",)], "junk string")
+    write_report_jdbc(junk, url, "report__retired", properties=props)
+    write_report_jdbc_staged(_report(spark, "next"), url, "report", props)
+    assert _rows(_read_jdbc(spark, url, "report")) == _rows(_report(spark, "next"))
+    with pytest.raises(Exception):
+        _read_jdbc(spark, url, "report__retired").collect()
