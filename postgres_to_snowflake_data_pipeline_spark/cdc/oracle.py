@@ -9,9 +9,10 @@ O(n) driver memory: tests only, never the engine path.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def replay_oracle(events_rows: list[dict[str, Any]], payload_cols: list[str]) -> dict[tuple, dict]:
@@ -27,6 +28,37 @@ def replay_oracle(events_rows: list[dict[str, Any]], payload_cols: list[str]) ->
         else:
             state[key] = {c: r.get(c) for c in payload_cols}
     return state
+
+
+def lww_state_oracle(
+    events: DataFrame,
+    key_cols: Sequence[str],
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Distributed twin of :func:`replay_oracle` for sizes the driver
+    can't collect (the soaks): LWW winner per key via
+    ``max(struct(lsn, delete-flag, payload...))``, deletes dropped.
+    The ``_dr`` flag replays the same lsn-tie rule as replay_oracle's
+    sort (delete applied after non-delete at equal lsn). Compare with
+    :func:`diff_count` — independent of the engine's merge path."""
+    other = [c for c in events.columns if c not in key_cols and c != "lsn"]
+    ordered = F.struct(
+        F.col("lsn"),
+        (F.col("op") == "delete").cast("int").alias("_dr"),
+        *[F.col(c) for c in other],
+    )
+    return (
+        events.groupBy(*key_cols)
+        .agg(F.max(ordered).alias("_w"))
+        .select(*key_cols, "_w.*")
+        .filter(F.col("op") != "delete")
+        .select(*payload_cols)
+    )
+
+
+def diff_count(a: DataFrame, b: DataFrame) -> int:
+    """Symmetric multiset difference row count (0 == exactly equal)."""
+    return a.exceptAll(b).count() + b.exceptAll(a).count()
 
 
 def assert_matches_oracle(

@@ -248,7 +248,7 @@ def c04_routed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def c05_time_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the feed in 4 epochs (NO compaction — the deltas stay as many
-    small files), then read the middle third of event time through
+    small files), then read the upper two-thirds of event time through
     ``read(ts_prune=...)``: the secondary zone map (ts min/max + LSN ranges
     in manifests, lake/table.py) opens only files it cannot rule out, with
     the LWW-soundness rule keeping every potential winner.

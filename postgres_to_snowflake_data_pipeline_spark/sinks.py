@@ -79,20 +79,31 @@ def _jdbc_connect(spark_jvm, url: str, properties: dict[str, str] | None):
 
 
 def _table_exists(conn, table: str) -> bool:
-    """Dialect-portable existence probe: a zero-row scan either resolves
-    (exists) or raises (doesn't) — metadata catalogs case identifiers
-    differently per engine, a probe query does not."""
+    """Dialect-portable existence probe: a zero-row scan (``WHERE 1=0``,
+    universal SQL — unlike FETCH FIRST, which MySQL rejects) either
+    resolves (exists) or raises undefined-table. Only missing-relation
+    SQLStates map to False — class 42 covers Derby 42X05, Postgres 42P01,
+    MySQL/SQL Server 42S02; anything else (lock timeout, connection loss)
+    re-raises, because a transient error misread as absence would make
+    the swap skip the live->retired rename and then fail against the
+    still-existing live table with a misleading cause."""
+    st = conn.createStatement()
     try:
-        st = conn.createStatement()
-        try:
-            st.executeQuery(
-                f"SELECT 1 FROM {table} FETCH FIRST 1 ROWS ONLY"
-            ).close()
-        finally:
-            st.close()
+        st.executeQuery(f"SELECT 1 FROM {table} WHERE 1=0").close()
         return True
-    except Exception:
-        return False
+    except Exception as exc:
+        state = None
+        j = getattr(exc, "java_exception", None)
+        if j is not None:
+            try:
+                state = j.getSQLState()
+            except Exception:
+                state = None
+        if state is not None and str(state).startswith("42"):
+            return False
+        raise
+    finally:
+        st.close()
 
 
 def write_report_jdbc_staged(

@@ -138,3 +138,28 @@ def test_time_travel(spark, table):
     e2 = change_events(spark, 2000, n_convs=100, seed=43)
     apply_batch(spark, table, e2, epoch=1)
     assert table.read(snapshot_id=sid1).count() == count1
+
+
+def test_distributed_lww_oracle_matches_driver_oracle(spark):
+    """The soaks' distributed oracle (max-struct with the delete-wins
+    lsn tie-break) must agree key-for-key, column-for-column with the
+    sequential driver-side replay_oracle on the same feed — the two
+    independent oracles pin each other."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.oracle import (
+        lww_state_oracle,
+        replay_oracle,
+    )
+
+    events = change_events(spark, 3000, n_convs=150)
+    payload = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    want = replay_oracle([r.asDict() for r in events.collect()], payload)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in lww_state_oracle(
+            events, ["conv_id", "turn_idx"], payload
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for key, exp in want.items():
+        for c in payload:
+            assert got[key][c] == exp[c], (key, c)

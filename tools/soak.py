@@ -202,18 +202,18 @@ def main() -> None:
     # retention + GC, then verify
     gc = table.expire_snapshots(keep_last=3, orphan_grace_seconds=0)
 
-    state = table.read().persist()
+    from postgres_to_snowflake_data_pipeline_spark.cdc.oracle import (
+        diff_count,
+        lww_state_oracle,
+    )
+
+    payload = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    state = table.read().select(*payload).persist()
     n_state = state.count()
     # oracle: LWW winner per key over the FULL feed, deletes dropped
-    keys = ["conv_id", "turn_idx"]
-    other = [c for c in full.columns if c not in keys and c != "lsn"]
-    ordered = F.struct(F.col("lsn"), (F.col("op") == "delete").cast("int").alias("_dr"),
-                       *[F.col(c) for c in other])
-    oracle = (full.groupBy(*keys).agg(F.max(ordered).alias("_w"))
-              .select(*keys, "_w.*")
-              .filter(F.col("op") != "delete")
-              .select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
-    mismatch = state.exceptAll(oracle).count() + oracle.exceptAll(state).count()
+    # (shared distributed twin of the driver-side replay_oracle)
+    oracle = lww_state_oracle(full, ["conv_id", "turn_idx"], payload)
+    mismatch = diff_count(state, oracle)
 
     lin = spark.read.parquet(lineage_path)
     rows_in = lin.agg(F.sum("rows_in")).first()[0]
@@ -238,7 +238,7 @@ def main() -> None:
     view.refresh()
     vr = view.read()
     want_view = view_agg(table.read())
-    view_mismatch = vr.exceptAll(want_view).count() + want_view.exceptAll(vr).count()
+    view_mismatch = diff_count(vr, want_view)
 
     ok = (mismatch == 0 and rows_in == feed_rows and meta_bounded
           and listener_mismatches == 0 and len(progress) > 0

@@ -48,7 +48,10 @@ def main() -> None:
     from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events
     from postgres_to_snowflake_data_pipeline_spark.cdc.multi import (
         latest_frontier,
-        read_at_frontier,
+    )
+    from postgres_to_snowflake_data_pipeline_spark.cdc.oracle import (
+        diff_count,
+        lww_state_oracle,
     )
     from postgres_to_snowflake_data_pipeline_spark.orchestrate import (
         Pipeline,
@@ -112,10 +115,8 @@ def main() -> None:
                 f"frontier epoch went backwards: {last_frontier_epoch} -> {fr.epoch}"
             )
         last_frontier_epoch = max(last_frontier_epoch, fr.epoch)
-        for name, df in read_at_frontier(p.tables, fr).items():
-            df = p.tables[name].read(
-                snapshot_id=fr.snapshot_ids[name], include_internal=True
-            )
+        for name, sid in fr.snapshot_ids.items():
+            df = p.tables[name].read(snapshot_id=sid, include_internal=True)
             dups = (
                 df.groupBy("conv_id", "turn_idx").count()
                 .filter("count > 1").count()
@@ -140,7 +141,8 @@ def main() -> None:
          .coalesce(1).write.mode("append").parquet(feed))
         if s == n_slices // 2 and not killed:
             q.stop()  # crash mid-flight
-            q.awaitTermination(60)
+            if not q.awaitTermination(60):
+                raise RuntimeError("stream did not stop within 60s")
             killed = True
             pipe = Pipeline(spark, spec)  # fresh instance, same checkpoint
             q = pipe.run_stream(feed, stream_schema, ckpt,
@@ -149,35 +151,27 @@ def main() -> None:
             probe_frontier(pipe)
         time.sleep(0.5)
     q.stop()
-    q.awaitTermination(60)
-    # catch-up drain of anything unprocessed
+    if not q.awaitTermination(60):
+        raise RuntimeError("stream did not stop within 60s")
+    # catch-up drain of anything unprocessed; an un-finished drain must
+    # fail loudly, not let the oracle comparison race a live stream
     pipe = Pipeline(spark, spec)
     q2 = pipe.run_stream(feed, stream_schema, ckpt, max_files_per_trigger=4)
-    q2.awaitTermination(300)
+    drain_ok = q2.awaitTermination(300)
     probe_frontier(pipe)
     wall = time.perf_counter() - t0
 
-    # final states vs the LWW oracle over the full routed feed
-    keys = ["conv_id", "turn_idx"]
+    # final states vs the LWW oracle over the full routed feed (shared
+    # distributed twin of the driver-side replay_oracle)
     payload = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-    other = [c for c in full.columns
-             if c not in keys and c not in ("lsn", "_table")]
-    ordered = F.struct(
-        F.col("lsn"), (F.col("op") == "delete").cast("int").alias("_dr"),
-        *[F.col(c) for c in other],
-    )
     mismatches = {}
     for name in ("ta", "tb"):
-        oracle = (
-            full.filter(F.col("_table") == name)
-            .groupBy(*keys).agg(F.max(ordered).alias("_w"))
-            .select(*keys, "_w.*")
-            .filter(F.col("op") != "delete")
-            .select(*payload)
+        oracle = lww_state_oracle(
+            full.filter(F.col("_table") == name).drop("_table"),
+            ["conv_id", "turn_idx"], payload,
         )
-        state = pipe.tables[name].read().select(*payload)
-        mismatches[name] = (
-            state.exceptAll(oracle).count() + oracle.exceptAll(state).count()
+        mismatches[name] = diff_count(
+            pipe.tables[name].read().select(*payload), oracle
         )
 
     # views vs from-scratch recompute of the final table states
@@ -186,23 +180,20 @@ def main() -> None:
         pipe.tables["ta"].read().groupBy("role")
         .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
     )
-    view_mismatch_rc = (
-        got_rc.select("role", "n_turns").exceptAll(want_rc).count()
-        + want_rc.exceptAll(got_rc.select("role", "n_turns")).count()
-    )
+    view_mismatch_rc = diff_count(got_rc.select("role", "n_turns"), want_rc)
     got_cs = pipe.view("conv_sizes")
     want_cs = (
         pipe.tables["tb"].read().groupBy("conv_id")
         .agg(F.count(F.lit(1)).alias("n_turns"), F.max("ts").alias("last_ts"))
     )
     cs_cols = ["conv_id", "n_turns", "last_ts"]
-    view_mismatch_cs = (
-        got_cs.select(*cs_cols).exceptAll(want_cs.select(*cs_cols)).count()
-        + want_cs.select(*cs_cols).exceptAll(got_cs.select(*cs_cols)).count()
+    view_mismatch_cs = diff_count(
+        got_cs.select(*cs_cols), want_cs.select(*cs_cols)
     )
 
     ok = (
         killed
+        and drain_ok
         and all(v == 0 for v in mismatches.values())
         and view_mismatch_rc == 0
         and view_mismatch_cs == 0
@@ -212,7 +203,8 @@ def main() -> None:
     )
     print(json.dumps({
         "soak_events": n_events, "slices": n_slices,
-        "killed_and_restarted": killed, "wall_sec": round(wall, 1),
+        "killed_and_restarted": killed, "drain_ok": drain_ok,
+        "wall_sec": round(wall, 1),
         "final_rows": {n: pipe.tables[n].read().count() for n in ("ta", "tb")},
         "state_mismatch_rows": mismatches,
         "view_mismatch_rows": {"role_counts": view_mismatch_rc,

@@ -13,11 +13,13 @@ Usage: python tools/verify_drive.py
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
 
-sys.path.insert(0, "/root/repo")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 import duckdb  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
@@ -129,10 +131,9 @@ def main() -> int:
               == sorted(map(tuple, back.collect())))
 
         # 7. __spark_entry__ flagship + two oracle spot-checks
-        sys.path.insert(0, "/root/repo")
         import __spark_entry__ as entrymod
         flagship = entrymod.entry(spark)
-        check("entry() returns rows", flagship.count() >= 0,
+        check("entry() returns rows", flagship.count() > 0,
               f"schema={flagship.schema.simpleString()[:80]}")
         sf_dir = "/root/testdata/sf0.01"
         con = duckdb.connect()
