@@ -368,6 +368,30 @@ class LakeTable:
             return list(entries)  # a covering file without lsn stats: keep all
         floor = min(floors)
         cover_ids = {id(e) for e in covering}
+        cover_groups = {e.get("lww_group") for e in covering}
+        if len(cover_groups) == 1 and None not in cover_groups:
+            # Every covering entry came from ONE time-sliced compaction
+            # pass. Within a pass each key appears in exactly one file
+            # (LWW fully resolved at compaction), so a same-pass sibling
+            # outside the window can hold neither a better version of a
+            # covering key nor any in-window row (non-covering entries
+            # all have usable ts stats — statless ones count as covering)
+            # — prune it regardless of lsn. Entries from other passes or
+            # later deltas still pass through the lsn-floor rule: a late
+            # lower-lsn delta inside the window makes this branch
+            # unreachable (it is a covering entry with a different
+            # group), falling back to the general rule that retains the
+            # out-of-window winners which must beat it.
+            g = next(iter(cover_groups))
+            return [
+                e
+                for e in entries
+                if id(e) in cover_ids
+                or (
+                    e.get("lww_group") != g
+                    and (e.get("lsn_max") is None or e["lsn_max"] >= floor)
+                )
+            ]
         return [
             e
             for e in entries
@@ -1415,18 +1439,40 @@ class LakeTable:
             if len(fs) > max_files
         )
 
-    def compact(self, buckets: list[int] | None = None) -> Snapshot:
+    def compact(
+        self, buckets: list[int] | None = None, ts_slices: int = 1
+    ) -> Snapshot:
         """Fold delta files into per-bucket base files (copy-on-write).
 
         Resolves LWW per key across base+delta, keeps tombstones (they guard
         against late lower-LSN arrivals), sorts within buckets by key for
-        locality, and replaces the affected buckets' file lists."""
+        locality, and replaces the affected buckets' file lists.
+
+        ``ts_slices > 1`` additionally TIME-CLUSTERS the output: each
+        bucket's resolved rows are split at event-time quantiles into up to
+        ``ts_slices`` base files with disjoint ts ranges, so the manifest
+        zone maps stay selective for ``read(ts_prune=...)`` AFTER
+        compaction (a single base file per bucket spans the table's whole
+        time range and can never be skipped). All slices of one pass share
+        an ``lww_group`` token recording that each key appears in at most
+        ONE of them — ``_ts_prune_entries`` uses that to skip same-pass
+        siblings outside the window without the lsn-floor re-add. The
+        trade-off is point-lookup fan-out: a key's bucket now holds up to
+        ``ts_slices`` files whose key ranges all span the bucket (time
+        slicing is orthogonal to key order), so ``read_key`` opens up to
+        ``ts_slices`` files instead of one. Default 1 keeps today's
+        layout."""
         snap = self.current()
         todo = []
         for b, fs in snap.files.items():
             if buckets is not None and int(b) not in buckets:
                 continue
-            if any(e.get("kind") == "delta" for e in fs) or len(fs) > 1:
+            groups = {e.get("lww_group") for e in fs}
+            # one compaction pass's slices are already fully folded —
+            # without this, a ts-sliced bucket (k sibling files, no
+            # deltas) would be pointlessly rewritten every compact()
+            folded = len(fs) <= 1 or (len(groups) == 1 and None not in groups)
+            if any(e.get("kind") == "delta" for e in fs) or not folded:
                 todo.append(int(b))
         if not todo:
             return snap
@@ -1434,18 +1480,56 @@ class LakeTable:
         df = df.repartition(max(len(todo) // 4, 1), "_bucket").sortWithinPartitions(
             "_bucket", *snap.key_cols
         )
-        commit_dir = os.path.join(
-            "data", f"compact-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
-        )
+        group = f"compact-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
         zcol = self._zone_ts_col(snap.schema)
-        raw, _stats = self._write_data(
-            df,
-            commit_dir,
+        write_kwargs = dict(
             key_col=snap.key_cols[0],
             ts_col=zcol,
             ts_col_id=snap.column_ids.get(zcol) if zcol else None,
         )
-        new_files = {b: [dict(e, kind="base") for e in es] for b, es in raw.items()}
+        if ts_slices > 1 and zcol is not None:
+            # slice at event-time quantiles of the resolved rows; each
+            # slice is its own _write_data call so its (bucket, file)
+            # manifest entries carry THAT slice's ts range — the stats
+            # machinery is unchanged. Null ts rows ride the first slice.
+            us = F.unix_micros(F.col(zcol).cast("timestamp")).cast("double")
+            df = df.withColumn("_us", us).persist()
+            try:
+                probs = [i / ts_slices for i in range(1, ts_slices)]
+                bounds = sorted(set(df.stat.approxQuantile("_us", probs, 0.001)))
+                conds: list[F.Column] = []
+                lo: float | None = None
+                for bnd in bounds:
+                    c = F.col("_us") < F.lit(bnd)
+                    if lo is None:
+                        c = c | F.col("_us").isNull()
+                    else:
+                        c = c & (F.col("_us") >= F.lit(lo))
+                    conds.append(c)
+                    lo = bnd
+                if lo is None:  # degenerate ts distribution: one slice
+                    conds = [F.lit(True)]
+                else:
+                    conds.append(F.col("_us") >= F.lit(lo))
+                raw: dict[str, list[dict[str, Any]]] = {}
+                for i, cond in enumerate(conds):
+                    r_i, _ = self._write_data(
+                        df.filter(cond).drop("_us"),
+                        os.path.join("data", f"{group}-s{i}"),
+                        **write_kwargs,
+                    )
+                    for b, es in r_i.items():
+                        raw.setdefault(b, []).extend(es)
+            finally:
+                df.unpersist()
+        else:
+            raw, _stats = self._write_data(
+                df, os.path.join("data", group), **write_kwargs
+            )
+        new_files = {
+            b: [dict(e, kind="base", lww_group=group) for e in es]
+            for b, es in raw.items()
+        }
         for b in todo:  # buckets whose rows were all... always rewritten
             new_files.setdefault(str(b), [])
         out = self._next_commit(

@@ -235,3 +235,71 @@ def test_drop_of_zone_column_invalidates_stale_ts_stats(spark, tmp_path):
             for r in t.read().filter(F.col("updated_ts").between(*w)).collect()
         }
         assert pruned == naive, w
+
+
+def test_ts_sliced_compaction_preserves_window_pruning(spark, tmp_path):
+    """compact(ts_slices=3) splits each bucket's base at event-time
+    quantiles: a newest-day window over the COMPACTED table still opens a
+    strict subset of files (un-sliced compaction collapses each bucket to
+    one full-span file that can never be skipped), with identical
+    results."""
+    table = _mk_table(spark, tmp_path / "t", n_buckets=4)
+    keys = [f"c{i:03d}" for i in range(24)]
+    for e, day in enumerate((D0, D1, D2)):
+        apply_batch(spark, table, _batch(
+            spark, _epoch_rows([k + "abc"[e] for k in keys], e * 1000, day)),
+            epoch=e)
+    before = {tuple(r) for r in table.read().collect()}
+    table.compact(ts_slices=3)
+    after_files = set(table.read().inputFiles())
+    assert {tuple(r) for r in table.read().collect()} == before
+    pruned = table.read(ts_prune=_win(D2))
+    opened = set(pruned.inputFiles())
+    assert opened < after_files, (len(opened), len(after_files))
+    # exactly one slice of each bucket covers the newest day
+    slices_opened = {f.rsplit("/_bdir", 1)[0] for f in opened}
+    assert len(slices_opened) == 1, slices_opened
+    got = {r["conv_id"] for r in pruned.collect()}
+    assert got == {k + "c" for k in keys}
+
+
+def test_ts_sliced_bucket_is_not_recompacted(spark, tmp_path):
+    """A bucket holding only one pass's slices (no deltas) is already
+    folded — a second compact() must be a no-op, not a rewrite."""
+    table = _mk_table(spark, tmp_path / "t", n_buckets=2)
+    keys = [f"c{i:03d}" for i in range(12)]
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "a" for k in keys], 0, D0)), epoch=0)
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "b" for k in keys], 1000, D1)), epoch=1)
+    snap1 = table.compact(ts_slices=2)
+    assert any(len(fs) > 1 for fs in snap1.files.values())  # really sliced
+    snap2 = table.compact()
+    assert snap2.snapshot_id == snap1.snapshot_id
+
+
+def test_late_low_lsn_arrival_after_sliced_compaction_stays_invisible(
+    spark, tmp_path
+):
+    """The soundness case the lsn-floor rule exists for, on a sliced base:
+    a key's winner lives in an OLD time slice; a later-applied but
+    LOWER-lsn update carries an in-window ts. The window read must keep
+    the out-of-window winner file (mixed covering -> floor rule, no
+    same-group shortcut) so the stale in-window version loses and the key
+    stays absent."""
+    table = _mk_table(spark, tmp_path / "t", n_buckets=2)
+    keys = [f"c{i:03d}" for i in range(12)]
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "a" for k in keys], 1000, D0)), epoch=0)
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "b" for k in keys], 2000, D1)), epoch=1)
+    table.compact(ts_slices=2)
+    # late lower-lsn update of an epoch-0 key, event-time in the D2 window
+    stale = [(5, "update", keys[0] + "a", 0, "user", "stale", None, D2)]
+    apply_batch(spark, table, _batch(spark, stale), epoch=2)
+    win = table.read(ts_prune=_win(D2))
+    assert win.filter(f"conv_id = '{keys[0]}a'").count() == 0
+    assert win.count() == 0
+    # and the full read still shows the true winner, not the stale text
+    row = table.read().filter(f"conv_id = '{keys[0]}a'").collect()
+    assert len(row) == 1 and row[0]["text"] != "stale"

@@ -109,6 +109,18 @@ def main() -> None:
         full_times.append(tf)
         pruned_times.append(tp)
 
+    # after TIME-CLUSTERED compaction the zone maps must stay selective:
+    # plain compaction folds each bucket into one full-time-span file
+    # (nothing skippable); ts_slices keeps per-file ranges disjoint
+    table.compact(ts_slices=8)
+    compact_full, compact_pruned = [], []
+    for _ in range(3):
+        tf, cfull_files, full_row = run_full()
+        tp, cpruned_files, pruned_row = run_pruned()
+        assert full_row == pruned_row, (full_row, pruned_row)
+        compact_full.append(tf)
+        compact_pruned.append(tp)
+
     out = {
         "metric": "zonemap_window_read",
         "n_epochs": n_epochs,
@@ -123,6 +135,17 @@ def main() -> None:
         "speedup": round(
             statistics.median(full_times) / statistics.median(pruned_times), 2
         ),
+        "compacted": {
+            "ts_slices": 8,
+            "files_full": cfull_files,
+            "files_pruned": cpruned_files,
+            "full_sec": round(statistics.median(compact_full), 3),
+            "pruned_sec": round(statistics.median(compact_pruned), 3),
+            "speedup": round(
+                statistics.median(compact_full)
+                / statistics.median(compact_pruned), 2
+            ),
+        },
         "results_identical": True,
     }
     print(json.dumps(out))
