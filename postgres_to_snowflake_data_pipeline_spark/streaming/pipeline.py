@@ -48,6 +48,7 @@ def run_stream(
     max_files_per_trigger: int = 1,
     compact_every: int = 16,
     compact_max_files: int | None = None,
+    compact_ts_slices: int = 1,
     salt_buckets: int | None = None,
     available_now: bool = True,
     watermark_delay: str | None = None,
@@ -74,7 +75,10 @@ def run_stream(
     compacts just the buckets whose file count exceeded the bound — the
     read-amplification guard when batch sizes vary wildly (a cadence-only
     trigger lets per-bucket file counts grow unbounded between firings when
-    many small batches arrive).
+    many small batches arrive). ``compact_ts_slices > 1`` time-clusters
+    the compacted bases (lake/table.py::compact) so manifest zone maps
+    keep skipping files for ``read(ts_prune=...)`` on the long-running
+    table; leave at 1 when the workload has no time-window reads.
 
     ``views``: IncrementalAggViews (lake/view.py) refreshed after every
     merge — idempotency is watermark-based, not commit-keyed: a replayed
@@ -98,11 +102,11 @@ def run_stream(
             salt_buckets=salt_buckets,
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            table.compact()
+            table.compact(ts_slices=compact_ts_slices)
         elif compact_max_files:
             over = table.buckets_needing_compaction(compact_max_files)
             if over:
-                table.compact(buckets=over)
+                table.compact(buckets=over, ts_slices=compact_ts_slices)
         for v in views or ():
             v.refresh()
 

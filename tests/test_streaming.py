@@ -119,3 +119,22 @@ def test_file_count_compaction_trigger_bounds_read_amplification(spark, setup):
     # one over-bound epoch may land after the last compaction check
     assert worst <= 3 + 1, f"bucket has {worst} files despite trigger"
     assert_matches_oracle(table.read(), events, PAYLOAD)
+
+
+def test_stream_time_clustered_compaction(spark, setup):
+    """compact_ts_slices rides the streaming cadence trigger: after the
+    drain the buckets hold one pass's lww_group-tagged slices, the state
+    still matches the oracle, and a follow-up compact() treats the sliced
+    buckets as already folded."""
+    events, feed, table, ckpt, _ = setup
+    q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
+                   max_files_per_trigger=2, compact_every=2,
+                   compact_ts_slices=3)
+    q.awaitTermination(300)
+    assert_matches_oracle(table.read(), events, PAYLOAD)
+    snap = table.current()
+    sliced = [fs for fs in snap.files.values()
+              if len(fs) > 1 and len({e.get("lww_group") for e in fs}) == 1
+              and all(e.get("lww_group") for e in fs)]
+    assert sliced, "no bucket ended as a single pass of time slices"
+    assert table.compact().snapshot_id == snap.snapshot_id
