@@ -369,35 +369,30 @@ class LakeTable:
         floor = min(floors)
         cover_ids = {id(e) for e in covering}
         cover_groups = {e.get("lww_group") for e in covering}
-        if len(cover_groups) == 1 and None not in cover_groups:
-            # Every covering entry came from ONE time-sliced compaction
-            # pass. Within a pass each key appears in exactly one file
-            # (LWW fully resolved at compaction), so a same-pass sibling
-            # outside the window can hold neither a better version of a
-            # covering key nor any in-window row (non-covering entries
-            # all have usable ts stats — statless ones count as covering)
-            # — prune it regardless of lsn. Entries from other passes or
-            # later deltas still pass through the lsn-floor rule: a late
-            # lower-lsn delta inside the window makes this branch
-            # unreachable (it is a covering entry with a different
-            # group), falling back to the general rule that retains the
-            # out-of-window winners which must beat it.
-            g = next(iter(cover_groups))
-            return [
-                e
-                for e in entries
-                if id(e) in cover_ids
-                or (
-                    e.get("lww_group") != g
-                    and (e.get("lsn_max") is None or e["lsn_max"] >= floor)
-                )
-            ]
+        # When every covering entry came from ONE time-sliced compaction
+        # pass, a same-pass sibling outside the window can be pruned
+        # regardless of lsn: within a pass each key appears in exactly one
+        # file (LWW fully resolved at compaction), so the sibling holds
+        # neither a better version of a covering key nor any in-window row
+        # (non-covering entries all have usable ts stats — statless ones
+        # count as covering). Entries from other passes or later deltas
+        # still pass through the lsn-floor rule; a late lower-lsn delta
+        # inside the window is itself covering with a different group,
+        # which disables the shortcut and retains the out-of-window
+        # winners that must beat it.
+        g = (
+            next(iter(cover_groups))
+            if len(cover_groups) == 1 and None not in cover_groups
+            else None
+        )
         return [
             e
             for e in entries
             if id(e) in cover_ids
-            or e.get("lsn_max") is None
-            or e["lsn_max"] >= floor
+            or (
+                (g is None or e.get("lww_group") != g)
+                and (e.get("lsn_max") is None or e["lsn_max"] >= floor)
+            )
         ]
 
     def _bucket_of(self, key_value: str, n_buckets: int) -> int:
@@ -821,6 +816,20 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out)
         )
+        return self._collect_entries(out, commit_dir, key_col, ts_col, ts_col_id)
+
+    def _collect_entries(
+        self,
+        out: str,
+        commit_dir: str,
+        key_col: str | None = None,
+        ts_col: str | None = None,
+        ts_col_id: int | None = None,
+    ) -> tuple[dict[str, list[dict[str, Any]]], list[dict[str, Any]]]:
+        """Stats + manifest entries for the ``_bdir=`` dirs under ``out``
+        (the second half of ``_write_data``, callable on its own so a
+        multi-dir writer — time-sliced compaction — can write ONCE and
+        collect per-subdir entries)."""
         bdirs = [d for d in os.listdir(out) if d.startswith("_bdir=")]
         if not bdirs:
             return {}, []
@@ -1432,15 +1441,31 @@ class LakeTable:
     def buckets_needing_compaction(self, max_files: int) -> list[int]:
         """Buckets whose file count exceeds ``max_files`` — the read-
         amplification trigger. O(metadata): consults the in-memory file map
-        only, no storage listing."""
-        return sorted(
-            int(b)
-            for b, fs in self.current().files.items()
-            if len(fs) > max_files
-        )
+        only, no storage listing.
+
+        A compaction pass's time slices (same ``lww_group``) count as ONE
+        file-equivalent: the guard bounds amplification from unfolded
+        deltas, not from the table's chosen time clustering — otherwise a
+        ts-sliced steady state would either permanently exceed the bound
+        (useless trigger every batch) or consume it (deltas never
+        trigger)."""
+        over = []
+        for b, fs in self.current().files.items():
+            n, seen = 0, set()
+            for e in fs:
+                g = e.get("lww_group")
+                if e.get("kind") == "base" and g is not None:
+                    if g not in seen:
+                        seen.add(g)
+                        n += 1
+                else:
+                    n += 1
+            if n > max_files:
+                over.append(int(b))
+        return sorted(over)
 
     def compact(
-        self, buckets: list[int] | None = None, ts_slices: int = 1
+        self, buckets: list[int] | None = None, ts_slices: int | None = None
     ) -> Snapshot:
         """Fold delta files into per-bucket base files (copy-on-write).
 
@@ -1456,22 +1481,50 @@ class LakeTable:
         time range and can never be skipped). All slices of one pass share
         an ``lww_group`` token recording that each key appears in at most
         ONE of them — ``_ts_prune_entries`` uses that to skip same-pass
-        siblings outside the window without the lsn-floor re-add. The
-        trade-off is point-lookup fan-out: a key's bucket now holds up to
+        siblings outside the window without the lsn-floor re-add — plus a
+        ``ts_k`` field recording the pass's slicing policy. The trade-off
+        is point-lookup fan-out: a key's bucket now holds up to
         ``ts_slices`` files whose key ranges all span the bucket (time
         slicing is orthogonal to key order), so ``read_key`` opens up to
-        ``ts_slices`` files instead of one. Default 1 keeps today's
-        layout."""
+        ``ts_slices`` files instead of one.
+
+        ``ts_slices=None`` (default) PRESERVES the table's existing
+        clustering — the effective k is the max ``ts_k`` any current base
+        entry carries — so a default-args maintenance ``compact()`` (e.g.
+        ``replay_feed``'s cadence) never silently un-slices a
+        time-clustered table. An EXPLICIT ``ts_slices`` is a layout
+        request: buckets folded at a different k are rewritten to the new
+        k. Explicit ``ts_slices > 1`` on a schema with no timestamp column
+        raises (mirroring ``read(ts_prune=...)``)."""
         snap = self.current()
+        zcol = self._zone_ts_col(snap.schema)
+        if ts_slices is None:
+            want_k = max(
+                (e.get("ts_k", 1) for fs in snap.files.values() for e in fs
+                 if e.get("kind") == "base"),
+                default=1,
+            )
+        else:
+            if ts_slices > 1 and zcol is None:
+                raise ValueError(
+                    "compact(ts_slices>1): schema has no timestamp column "
+                    "to cluster by"
+                )
+            want_k = max(int(ts_slices), 1)
         todo = []
         for b, fs in snap.files.items():
             if buckets is not None and int(b) not in buckets:
                 continue
+            if not fs:
+                continue
             groups = {e.get("lww_group") for e in fs}
-            # one compaction pass's slices are already fully folded —
-            # without this, a ts-sliced bucket (k sibling files, no
-            # deltas) would be pointlessly rewritten every compact()
-            folded = len(fs) <= 1 or (len(groups) == 1 and None not in groups)
+            # a bucket is folded AT THE REQUESTED k when all its files are
+            # one pass's slices (or a lone pre-group base) sliced at k —
+            # without this, a ts-sliced bucket would be pointlessly
+            # rewritten every compact(), and an explicit re-slice request
+            # (different k) would silently no-op
+            one_pass = len(fs) <= 1 or (len(groups) == 1 and None not in groups)
+            folded = one_pass and {e.get("ts_k", 1) for e in fs} == {want_k}
             if any(e.get("kind") == "delta" for e in fs) or not folded:
                 todo.append(int(b))
         if not todo:
@@ -1481,53 +1534,54 @@ class LakeTable:
             "_bucket", *snap.key_cols
         )
         group = f"compact-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
-        zcol = self._zone_ts_col(snap.schema)
-        write_kwargs = dict(
+        commit_dir = os.path.join("data", group)
+        stat_kwargs = dict(
             key_col=snap.key_cols[0],
             ts_col=zcol,
             ts_col_id=snap.column_ids.get(zcol) if zcol else None,
         )
-        if ts_slices > 1 and zcol is not None:
-            # slice at event-time quantiles of the resolved rows; each
-            # slice is its own _write_data call so its (bucket, file)
-            # manifest entries carry THAT slice's ts range — the stats
-            # machinery is unchanged. Null ts rows ride the first slice.
+        if want_k > 1 and zcol is not None:
+            # ONE write, partitioned by (slice, bucket): the slice index
+            # comes from event-time quantiles of the resolved rows, and
+            # entries are collected per slice subdir so each carries THAT
+            # slice's ts range — the stats machinery is unchanged. Null
+            # ts rows ride slice 0.
             us = F.unix_micros(F.col(zcol).cast("timestamp")).cast("double")
             df = df.withColumn("_us", us).persist()
             try:
-                probs = [i / ts_slices for i in range(1, ts_slices)]
+                probs = [i / want_k for i in range(1, want_k)]
                 bounds = sorted(set(df.stat.approxQuantile("_us", probs, 0.001)))
-                conds: list[F.Column] = []
-                lo: float | None = None
-                for bnd in bounds:
-                    c = F.col("_us") < F.lit(bnd)
-                    if lo is None:
-                        c = c | F.col("_us").isNull()
-                    else:
-                        c = c & (F.col("_us") >= F.lit(lo))
-                    conds.append(c)
-                    lo = bnd
-                if lo is None:  # degenerate ts distribution: one slice
-                    conds = [F.lit(True)]
-                else:
-                    conds.append(F.col("_us") >= F.lit(lo))
-                raw: dict[str, list[dict[str, Any]]] = {}
-                for i, cond in enumerate(conds):
-                    r_i, _ = self._write_data(
-                        df.filter(cond).drop("_us"),
-                        os.path.join("data", f"{group}-s{i}"),
-                        **write_kwargs,
-                    )
-                    for b, es in r_i.items():
-                        raw.setdefault(b, []).extend(es)
+                sl = F.lit(0)
+                for i, bnd in enumerate(bounds):
+                    # null _us: the comparison is null -> otherwise -> 0
+                    sl = F.when(F.col("_us") >= F.lit(bnd), F.lit(i + 1)).otherwise(sl)
+                out = os.path.join(self.root, commit_dir)
+                (
+                    df.withColumn("_sdir", sl)
+                    .drop("_us")
+                    .withColumn("_bdir", F.col("_bucket"))
+                    .write.partitionBy("_sdir", "_bdir")
+                    .mode("overwrite")
+                    .parquet(out)
+                )
             finally:
                 df.unpersist()
+            raw: dict[str, list[dict[str, Any]]] = {}
+            for i in range(len(bounds) + 1):
+                sub = f"_sdir={i}"
+                if not os.path.isdir(os.path.join(out, sub)):
+                    continue  # empty slice (duplicate quantile bounds)
+                r_i, _ = self._collect_entries(
+                    os.path.join(out, sub),
+                    os.path.join(commit_dir, sub),
+                    **stat_kwargs,
+                )
+                for b, es in r_i.items():
+                    raw.setdefault(b, []).extend(es)
         else:
-            raw, _stats = self._write_data(
-                df, os.path.join("data", group), **write_kwargs
-            )
+            raw, _stats = self._write_data(df, commit_dir, **stat_kwargs)
         new_files = {
-            b: [dict(e, kind="base", lww_group=group) for e in es]
+            b: [dict(e, kind="base", lww_group=group, ts_k=want_k) for e in es]
             for b, es in raw.items()
         }
         for b in todo:  # buckets whose rows were all... always rewritten

@@ -303,3 +303,78 @@ def test_late_low_lsn_arrival_after_sliced_compaction_stays_invisible(
     # and the full read still shows the true winner, not the stale text
     row = table.read().filter(f"conv_id = '{keys[0]}a'").collect()
     assert len(row) == 1 and row[0]["text"] != "stale"
+
+
+def test_default_compact_preserves_time_clustering(spark, tmp_path):
+    """A default-args maintenance compact() (replay_feed's cadence) must
+    keep the table's existing slicing, not fold it back to one full-span
+    file per bucket."""
+    table = _mk_table(spark, tmp_path / "t", n_buckets=2)
+    keys = [f"c{i:03d}" for i in range(12)]
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "a" for k in keys], 0, D0)), epoch=0)
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "b" for k in keys], 1000, D1)), epoch=1)
+    table.compact(ts_slices=2)
+    # new deltas arrive, then someone runs a default compact()
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "c" for k in keys], 2000, D2)), epoch=2)
+    snap = table.compact()
+    for fs in snap.files.values():
+        assert all(e.get("ts_k") == 2 for e in fs), fs
+    assert any(len(fs) > 1 for fs in snap.files.values())
+
+
+def test_explicit_reslice_rewrites_folded_buckets(spark, tmp_path):
+    """compact(ts_slices=k') on a quiescent table folded at k != k' is a
+    layout request: buckets are rewritten at the new k (previously a
+    silent no-op)."""
+    table = _mk_table(spark, tmp_path / "t", n_buckets=2)
+    keys = [f"c{i:03d}" for i in range(12)]
+    for e, day in enumerate((D0, D1, D2)):
+        apply_batch(spark, table, _batch(
+            spark, _epoch_rows([k + "abc"[e] for k in keys], e * 1000, day)),
+            epoch=e)
+    snap2 = table.compact(ts_slices=2)
+    before = {tuple(r) for r in table.read().collect()}
+    snap3 = table.compact(ts_slices=3)
+    assert snap3.snapshot_id > snap2.snapshot_id
+    for fs in snap3.files.values():
+        assert all(e.get("ts_k") == 3 for e in fs), fs
+    assert {tuple(r) for r in table.read().collect()} == before
+
+
+def test_explicit_slices_without_timestamp_column_raises(spark, tmp_path):
+    import pyspark.sql.types as T
+    import pytest
+
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), schema, ("conv_id", "turn_idx"),
+        n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="no timestamp column"):
+        table.compact(ts_slices=4)
+
+
+def test_file_count_guard_treats_folded_slices_as_one(spark, tmp_path):
+    """buckets_needing_compaction must not fire on a steady-state sliced
+    layout (slices would otherwise consume the whole file budget), but
+    must still fire as deltas pile on top of it."""
+    table = _mk_table(spark, tmp_path / "t", n_buckets=2)
+    keys = [f"c{i:03d}" for i in range(12)]
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "a" for k in keys], 0, D0)), epoch=0)
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "b" for k in keys], 1000, D1)), epoch=1)
+    table.compact(ts_slices=3)
+    assert table.buckets_needing_compaction(max_files=2) == []
+    for e in range(2, 5):
+        apply_batch(spark, table, _batch(
+            spark, _epoch_rows([k + f"x{e}" for k in keys], e * 1000, D2)),
+            epoch=e)
+    assert table.buckets_needing_compaction(max_files=2) != []
