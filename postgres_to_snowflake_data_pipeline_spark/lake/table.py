@@ -1499,11 +1499,27 @@ class LakeTable:
         snap = self.current()
         zcol = self._zone_ts_col(snap.schema)
         if ts_slices is None:
-            want_k = max(
-                (e.get("ts_k", 1) for fs in snap.files.values() for e in fs
-                 if e.get("kind") == "base"),
-                default=1,
-            )
+            # preserve the existing clustering: the max ts_k any base
+            # entry carries; entries from before the ts_k field fall back
+            # to counting their same-pass siblings in the bucket. If the
+            # zone column has since been DROPPED, collapse to 1 — the
+            # layout cannot be maintained and tagging unsliced files with
+            # the old k would make the manifest lie
+            want_k = 1
+            for fs in snap.files.values():
+                for e in fs:
+                    if e.get("kind") != "base":
+                        continue
+                    if "ts_k" in e:
+                        want_k = max(want_k, int(e["ts_k"]))
+                    elif e.get("lww_group") is not None:
+                        sibs = sum(
+                            1 for x in fs
+                            if x.get("lww_group") == e["lww_group"]
+                        )
+                        want_k = max(want_k, sibs)
+            if zcol is None:
+                want_k = 1
         else:
             if ts_slices > 1 and zcol is None:
                 raise ValueError(

@@ -48,7 +48,7 @@ def run_stream(
     max_files_per_trigger: int = 1,
     compact_every: int = 16,
     compact_max_files: int | None = None,
-    compact_ts_slices: int = 1,
+    compact_ts_slices: int | None = None,
     salt_buckets: int | None = None,
     available_now: bool = True,
     watermark_delay: str | None = None,
@@ -78,7 +78,9 @@ def run_stream(
     many small batches arrive). ``compact_ts_slices > 1`` time-clusters
     the compacted bases (lake/table.py::compact) so manifest zone maps
     keep skipping files for ``read(ts_prune=...)`` on the long-running
-    table; leave at 1 when the workload has no time-window reads.
+    table; the default ``None`` PRESERVES whatever clustering the table
+    already has (a restarted stream that omits the flag must not
+    un-slice the layout its previous run built).
 
     ``views``: IncrementalAggViews (lake/view.py) refreshed after every
     merge — idempotency is watermark-based, not commit-keyed: a replayed
@@ -86,6 +88,12 @@ def run_stream(
     watermark and no-ops (per-refresh commit keys are deliberately not
     used; they would grow view metadata O(refreshes)), so the downstream
     marts stay exactly-once along with the table."""
+    if compact_ts_slices is not None and compact_ts_slices > 1:
+        # validate the slicing request NOW (schema must have a timestamp
+        # column), not inside foreachBatch at the first cadence firing N
+        # committed batches in: compact with an empty bucket list runs
+        # exactly the explicit-ts_slices validation and nothing else
+        table.compact(buckets=[], ts_slices=compact_ts_slices)
     events = read_feed_stream(spark, feed_path, event_schema, max_files_per_trigger)
     if watermark_delay is not None:
         events = events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(

@@ -138,3 +138,35 @@ def test_stream_time_clustered_compaction(spark, setup):
               and all(e.get("lww_group") for e in fs)]
     assert sliced, "no bucket ended as a single pass of time slices"
     assert table.compact().snapshot_id == snap.snapshot_id
+
+
+def test_stream_restart_without_flag_preserves_slicing(spark, tmp_path):
+    """A restarted stream that omits compact_ts_slices must not un-slice
+    the layout its previous run built (default None = preserve)."""
+    events = change_events(spark, 6000, n_convs=300)
+    feed = str(tmp_path / "feed")
+    write_feed(events, feed, n_files=6)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ("conv_id", "turn_idx"), n_buckets=4,
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
+                   max_files_per_trigger=2, compact_every=1,
+                   compact_ts_slices=3)
+    q.awaitTermination(300)
+    # more feed arrives; the operator restarts WITHOUT the flag
+    extra = change_events(spark, 2000, n_convs=300, seed=77)
+    import glob as _g
+    n0 = len(_g.glob(feed + "/*.parquet"))
+    write_feed(extra, str(tmp_path / "extra"), n_files=2)
+    import shutil as _sh
+    for i, f in enumerate(sorted(_g.glob(str(tmp_path / "extra") + "/*.parquet"))):
+        _sh.copy(f, f"{feed}/late-{i}.parquet")
+    q2 = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
+                    max_files_per_trigger=2, compact_every=1)
+    q2.awaitTermination(300)
+    snap = table.current()
+    ks = {e.get("ts_k") for fs in snap.files.values() for e in fs
+          if e.get("kind") == "base"}
+    assert ks == {3}, ks

@@ -378,3 +378,28 @@ def test_file_count_guard_treats_folded_slices_as_one(spark, tmp_path):
             spark, _epoch_rows([k + f"x{e}" for k in keys], e * 1000, D2)),
             epoch=e)
     assert table.buckets_needing_compaction(max_files=2) != []
+
+
+def test_dropped_zone_column_collapses_inherited_slicing(spark, tmp_path):
+    """After the zone ts column is dropped, a default compact() must fold
+    to k=1 (and say so in ts_k) rather than tag unsliceable single files
+    with the old k — the manifest must not lie about the layout."""
+    table = _mk_table(spark, tmp_path / "t", n_buckets=2)
+    keys = [f"c{i:03d}" for i in range(12)]
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "a" for k in keys], 0, D0)), epoch=0)
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows([k + "b" for k in keys], 1000, D1)), epoch=1)
+    table.compact(ts_slices=2)
+    table.drop_column("ts")
+    # new deltas under the evolved (ts-less) schema, then maintenance
+    evolved = [
+        (2000 + j, "insert", k + "z", 0, "user", f"t {k}z", None)
+        for j, k in enumerate(keys)
+    ]
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string")
+    apply_batch(spark, table, spark.createDataFrame(evolved, sch), epoch=2)
+    snap = table.compact()
+    for fs in snap.files.values():
+        assert all(e.get("ts_k") == 1 for e in fs), fs
