@@ -135,11 +135,15 @@ def main() -> None:
         time.sleep(0.5)
     q.stop()
     q.awaitTermination(60)
-    # catch-up drain of anything unprocessed
+    # catch-up drain of anything unprocessed. The deadline scales with
+    # the feed (~100k events/s is far below the engine's measured floor):
+    # an unfinished drain must be REPORTED as such, not allowed to let
+    # the oracle comparison run against a half-merged table and report
+    # bogus mismatches (bit us at 64M with a fixed 300 s)
     q2 = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                     max_files_per_trigger=4, compact_every=4,
                     compact_max_files=6, views=[view])
-    q2.awaitTermination(300)
+    drain_ok = q2.awaitTermination(max(300, n_events // 100_000))
     wall = time.perf_counter() - t0
     # drain the async listener bus before detaching: awaitTermination does
     # not guarantee the final QueryProgressEvent has been dispatched. Wait
@@ -240,11 +244,12 @@ def main() -> None:
     want_view = view_agg(table.read())
     view_mismatch = diff_count(vr, want_view)
 
-    ok = (mismatch == 0 and rows_in == feed_rows and meta_bounded
+    ok = (drain_ok and mismatch == 0 and rows_in == feed_rows and meta_bounded
           and listener_mismatches == 0 and len(progress) > 0
           and view_mismatch == 0 and reader_consistent)
     print(json.dumps({
         "soak_events": n_events, "slices": n_slices, "killed_and_restarted": killed,
+        "drain_ok": drain_ok,
         "wall_sec": round(wall, 1), "final_rows": n_state,
         "state_mismatch_rows": mismatch,
         "lineage_rows_in": rows_in, "feed_rows": feed_rows,
