@@ -4,8 +4,8 @@ from the changefeed ALONE — no source rescan.
 ``IncrementalAggView`` (lake/view.py) recomputes dirty groups from base
 data, which supports arbitrary aggregates but scans every source bucket
 when the grouping is not the source's bucket key. For *decomposable*
-aggregates (sum / count — the ones with a retraction rule) that rescan is
-unnecessary: the view can be patched algebraically,
+aggregates (sum / count / avg — the ones with a retraction rule) that
+rescan is unnecessary: the view can be patched algebraically,
 
     new_total(g) = old_total(g) + agg(post-image rows of g)
                                 - agg(pre-image rows of g)
@@ -62,7 +62,7 @@ from postgres_to_snowflake_data_pipeline_spark.lake.table import (
     resolve_lww,
 )
 
-#: measure spec: view column -> ("sum", <sql expr>) | ("count", "*" | <sql expr>)
+#: measure spec: view column -> ("sum"|"avg", <sql expr>) | ("count", "*" | <sql expr>)
 MeasureSpec = dict[str, tuple[str, str]]
 
 #: implicit live-row count per group — the group-death detector, always
@@ -71,7 +71,7 @@ N_ROWS = "n_rows"
 
 
 class DeltaAggView:
-    """A sum/count aggregate view of ``source`` maintained by retraction
+    """A sum/count/avg aggregate view of ``source`` maintained by retraction
     math over the changefeed, stored as its own LakeTable keyed by
     ``group_cols``.
 
@@ -95,12 +95,12 @@ class DeltaAggView:
         bad = {
             name: op
             for name, (op, _) in measures.items()
-            if op not in ("sum", "count", "min", "max")
+            if op not in ("sum", "count", "avg", "min", "max")
         }
         if bad:
             raise ValueError(
-                f"unknown measure ops {bad}: sum/count always; min/max on "
-                "append-only sources"
+                f"unknown measure ops {bad}: sum/count/avg always; min/max "
+                "on append-only sources"
             )
         monotone = {n for n, (op, _) in measures.items() if op in ("min", "max")}
         if monotone and not append_only:
@@ -146,18 +146,22 @@ class DeltaAggView:
             raise FileNotFoundError(f"view at {self.root} has never refreshed")
         df = self._table.read()
         for name in self._null_tracked():
-            df = df.withColumn(
-                name,
-                F.when(F.col(f"_nn_{name}") > 0, F.col(name)),
+            val = (
+                F.col(name) / F.col(f"_nn_{name}")
+                if self.measures[name][0] == "avg"
+                else F.col(name)
             )
+            df = df.withColumn(name, F.when(F.col(f"_nn_{name}") > 0, val))
         return df.select(*self.group_cols, *[N_ROWS, *self.measures])
 
     # ------------------------------------------------------------------
     def _null_tracked(self) -> list[str]:
         """Measures needing a non-null contribution counter: sums (whose
         SQL semantics are NULL over an all-NULL group, a state plain
-        retraction arithmetic cannot distinguish from a zero total)."""
-        return [n for n, (op, _) in self.measures.items() if op == "sum"]
+        retraction arithmetic cannot distinguish from a zero total) and
+        avgs (the counter doubles as the denominator — SQL ``avg`` is
+        sum over the NON-NULL contributions divided by their count)."""
+        return [n for n, (op, _) in self.measures.items() if op in ("sum", "avg")]
 
     def _agg_exprs(self) -> list[F.Column]:
         """Signed adjustment aggregates over rows carrying the measures'
@@ -171,7 +175,8 @@ class DeltaAggView:
         out = [F.sum(sign).cast("long").alias(N_ROWS)]
         for name, (op, expr) in self.measures.items():
             v = F.col(f"_v_{name}")
-            if op == "sum":
+            if op in ("sum", "avg"):
+                # avg is maintained AS its sum; read() divides by _nn
                 out.append(F.coalesce(F.sum(sign * v), F.lit(0)).alias(name))
             elif op in ("min", "max"):
                 # append-only contract (enforced in __init__): every window

@@ -299,3 +299,49 @@ def test_append_only_min_max_measures(spark, tmp_path, source):
         assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty(), (
             sorted(got.collect()), sorted(want.collect()),
         )
+
+
+def test_avg_measure_tracks_updates_and_nulls(spark, tmp_path, source):
+    """avg rides the sum machinery (total + non-null count): after CDC
+    updates/deletes the maintained avg equals the full recompute's
+    F.avg, and an all-NULL group reads NULL, never 0/0."""
+    view = DeltaAggView(
+        spark, str(tmp_path / "dv"), source, ("role",),
+        {"mean_chars": ("avg", "length(text)"),
+         "mean_latency": ("avg", "latency_ms")},
+        payload_cols=["role", "text", "latency_ms"], n_buckets=2,
+    )
+    rows1 = [
+        (1, "insert", "c1", 0, "user", "aaaa", None, 10),
+        (2, "insert", "c1", 1, "user", "bb", None, None),
+        (3, "insert", "c2", 0, "tool", None, None, None),
+    ]
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string, latency_ms int")
+    apply_batch(spark, source, spark.createDataFrame(rows1, sch), epoch=0)
+    view.refresh()
+    got = {r["role"]: r.asDict() for r in view.read().collect()}
+    assert got["user"]["mean_chars"] == 3.0       # (4+2)/2
+    assert got["user"]["mean_latency"] == 10.0    # one non-null
+    assert got["tool"]["mean_chars"] is None      # all-NULL group
+    assert got["tool"]["mean_latency"] is None
+    # update shrinks one text, delete removes the other
+    rows2 = [
+        (4, "update", "c1", 0, "user", "a", None, 30),
+        (5, "delete", "c1", 1, "user", None, None, None),
+    ]
+    apply_batch(spark, source, spark.createDataFrame(rows2, sch), epoch=1)
+    view.refresh()
+    got = {r["role"]: r.asDict() for r in view.read().collect()}
+    assert got["user"]["mean_chars"] == 1.0
+    assert got["user"]["mean_latency"] == 30.0
+    want = {
+        r["role"]: r.asDict()
+        for r in source.read().groupBy("role").agg(
+            F.avg(F.length("text")).alias("mean_chars"),
+            F.avg("latency_ms").alias("mean_latency"),
+        ).collect()
+    }
+    for role, w in want.items():
+        assert got[role]["mean_chars"] == w["mean_chars"], role
+        assert got[role]["mean_latency"] == w["mean_latency"], role

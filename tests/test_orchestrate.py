@@ -280,10 +280,10 @@ def test_viewspec_validates_measures_at_load():
         "sources": [{"name": "wal", "kind": "dataframe"}],
         "tables": [{"name": "ta", "key_cols": ["conv_id", "turn_idx"]}],
     }
-    with pytest.raises(ValueError, match="sum/count/min/max"):
+    with pytest.raises(ValueError, match="sum/count/avg/min/max"):
         PipelineSpec.from_dict(dict(base, views=[
             {"name": "v", "table": "ta", "group_cols": ["role"],
-             "measures": {"n": ["avg", "x"]}}]))
+             "measures": {"n": ["median", "x"]}}]))
     with pytest.raises(ValueError, match="append_only"):
         PipelineSpec.from_dict(dict(base, views=[
             {"name": "v", "table": "ta", "group_cols": ["role"],
