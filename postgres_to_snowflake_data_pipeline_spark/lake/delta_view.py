@@ -95,12 +95,12 @@ class DeltaAggView:
         bad = {
             name: op
             for name, (op, _) in measures.items()
-            if op not in ("sum", "count", "avg", "min", "max")
+            if op not in ("sum", "count", "avg", "var", "stddev", "min", "max")
         }
         if bad:
             raise ValueError(
-                f"unknown measure ops {bad}: sum/count/avg always; min/max "
-                "on append-only sources"
+                f"unknown measure ops {bad}: sum/count/avg/var/stddev "
+                "always; min/max on append-only sources"
             )
         monotone = {n for n, (op, _) in measures.items() if op in ("min", "max")}
         if monotone and not append_only:
@@ -146,12 +146,22 @@ class DeltaAggView:
             raise FileNotFoundError(f"view at {self.root} has never refreshed")
         df = self._table.read()
         for name in self._null_tracked():
-            val = (
-                F.col(name) / F.col(f"_nn_{name}")
-                if self.measures[name][0] == "avg"
-                else F.col(name)
-            )
-            df = df.withColumn(name, F.when(F.col(f"_nn_{name}") > 0, val))
+            op = self.measures[name][0]
+            nn = F.col(f"_nn_{name}")
+            if op == "avg":
+                val, cond = F.col(name) / nn, nn > 0
+            elif op in ("var", "stddev"):
+                s1, s2 = F.col(name), F.col(f"_sq_{name}")
+                # clamp: float cancellation can leave a tiny negative
+                # where the true variance is 0 (constant group)
+                var = F.greatest(
+                    (s2 - s1 * s1 / nn) / (nn - 1), F.lit(0.0)
+                )
+                val = F.sqrt(var) if op == "stddev" else var
+                cond = nn >= 2  # var_samp/stddev_samp need n-1 > 0
+            else:
+                val, cond = F.col(name), nn > 0
+            df = df.withColumn(name, F.when(cond, val))
         return df.select(*self.group_cols, *[N_ROWS, *self.measures])
 
     # ------------------------------------------------------------------
@@ -160,8 +170,24 @@ class DeltaAggView:
         SQL semantics are NULL over an all-NULL group, a state plain
         retraction arithmetic cannot distinguish from a zero total) and
         avgs (the counter doubles as the denominator — SQL ``avg`` is
-        sum over the NON-NULL contributions divided by their count)."""
-        return [n for n, (op, _) in self.measures.items() if op in ("sum", "avg")]
+        sum over the NON-NULL contributions divided by their count), and
+        var/stddev (denominator and the n in the moment formula)."""
+        return [
+            n for n, (op, _) in self.measures.items()
+            if op in ("sum", "avg", "var", "stddev")
+        ]
+
+    def _sq_tracked(self) -> list[str]:
+        """Measures needing a sum-of-squares companion (``_sq_{name}``):
+        var/stddev, maintained from the first two moments —
+        var_samp = (S2 - S1^2/n) / (n-1). Both moments are retractable
+        sums, so the view stays O(delta) per refresh. Moments are summed
+        in double (squaring an int column would overflow long under ANSI
+        long before the sum does)."""
+        return [
+            n for n, (op, _) in self.measures.items()
+            if op in ("var", "stddev")
+        ]
 
     def _agg_exprs(self) -> list[F.Column]:
         """Signed adjustment aggregates over rows carrying the measures'
@@ -178,6 +204,12 @@ class DeltaAggView:
             if op in ("sum", "avg"):
                 # avg is maintained AS its sum; read() divides by _nn
                 out.append(F.coalesce(F.sum(sign * v), F.lit(0)).alias(name))
+            elif op in ("var", "stddev"):
+                # first moment in double; read() derives the statistic
+                vd = v.cast("double")
+                out.append(
+                    F.coalesce(F.sum(sign * vd), F.lit(0.0)).alias(name)
+                )
             elif op in ("min", "max"):
                 # append-only contract (enforced in __init__): every window
                 # row carries sign +1, so the window extremum merges with
@@ -191,6 +223,12 @@ class DeltaAggView:
                     .cast("long")
                     .alias(name)
                 )
+        for name in self._sq_tracked():
+            vd = F.col(f"_v_{name}").cast("double")
+            out.append(
+                F.coalesce(F.sum(sign * vd * vd), F.lit(0.0))
+                .alias(f"_sq_{name}")
+            )
         for name in self._null_tracked():
             v = F.col(f"_v_{name}")
             out.append(
@@ -216,7 +254,12 @@ class DeltaAggView:
         return sorted(set(self.payload_cols) | set(extra))
 
     def _measure_cols(self) -> list[str]:
-        return [N_ROWS, *self.measures, *[f"_nn_{n}" for n in self._null_tracked()]]
+        return [
+            N_ROWS,
+            *self.measures,
+            *[f"_sq_{n}" for n in self._sq_tracked()],
+            *[f"_nn_{n}" for n in self._null_tracked()],
+        ]
 
     # ------------------------------------------------------------------
     def refresh(self, evidence: bool = False) -> dict[str, Any] | None:

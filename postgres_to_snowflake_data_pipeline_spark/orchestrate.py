@@ -246,10 +246,13 @@ class ViewSpec:
             if not self.measures:
                 raise ValueError(f"delta view {self.name!r}: measures required")
             for col, m in self.measures.items():
-                if len(m) != 2 or m[0] not in ("sum", "count", "avg", "min", "max"):
+                if len(m) != 2 or m[0] not in (
+                    "sum", "count", "avg", "var", "stddev", "min", "max"
+                ):
                     raise ValueError(
                         f"delta view {self.name!r}, measure {col!r}: want "
-                        f"[op, expr] with op in sum/count/avg/min/max, got {m!r}"
+                        "[op, expr] with op in sum/count/avg/var/stddev/"
+                        f"min/max, got {m!r}"
                     )
                 if m[0] in ("min", "max") and not self.append_only:
                     raise ValueError(

@@ -345,3 +345,60 @@ def test_avg_measure_tracks_updates_and_nulls(spark, tmp_path, source):
     for role, w in want.items():
         assert got[role]["mean_chars"] == w["mean_chars"], role
         assert got[role]["mean_latency"] == w["mean_latency"], role
+
+
+def test_var_stddev_measures_track_updates(spark, tmp_path, source):
+    """var/stddev ride the two-moment decomposition: across CDC
+    updates/deletes the maintained statistics equal F.var_samp /
+    F.stddev_samp recompute (within float tolerance), a constant group
+    reads exactly 0.0, and a 1-row group reads NULL (n-1 = 0)."""
+    view = DeltaAggView(
+        spark, str(tmp_path / "dv"), source, ("role",),
+        {"var_chars": ("var", "length(text)"),
+         "sd_chars": ("stddev", "length(text)")},
+        payload_cols=["role", "text"], n_buckets=2,
+    )
+    ev = change_events(spark, 6000, n_convs=300).localCheckpoint()
+    lo, hi = ev.select(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo + 1) // 3 + 1
+    for e in range(3):
+        batch = ev.filter(
+            (F.col("lsn") >= lo + e * step) & (F.col("lsn") < lo + (e + 1) * step)
+        )
+        apply_batch(spark, source, batch, epoch=e)
+        view.refresh()
+        got = {r["role"]: r.asDict() for r in view.read().collect()}
+        want = {
+            r["role"]: r.asDict()
+            for r in source.read().groupBy("role").agg(
+                F.var_samp(F.length("text")).alias("var_chars"),
+                F.stddev_samp(F.length("text")).alias("sd_chars"),
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for role, w in want.items():
+            for c in ("var_chars", "sd_chars"):
+                if w[c] is None:
+                    assert got[role][c] is None, (role, c)
+                else:
+                    assert got[role][c] == pytest.approx(w[c], rel=1e-9), (role, c)
+
+
+def test_var_single_row_and_constant_groups(spark, tmp_path, source):
+    view = DeltaAggView(
+        spark, str(tmp_path / "dv"), source, ("role",),
+        {"v": ("var", "length(text)"), "sd": ("stddev", "length(text)")},
+        payload_cols=["role", "text"], n_buckets=2,
+    )
+    sch = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+           "text string, tool string")
+    rows = [
+        (1, "insert", "c1", 0, "solo", "abc", None),       # n=1 -> NULL
+        (2, "insert", "c2", 0, "const", "xxxx", None),     # constant group
+        (3, "insert", "c2", 1, "const", "yyyy", None),
+    ]
+    apply_batch(spark, source, spark.createDataFrame(rows, sch), epoch=0)
+    view.refresh()
+    got = {r["role"]: r.asDict() for r in view.read().collect()}
+    assert got["solo"]["v"] is None and got["solo"]["sd"] is None
+    assert got["const"]["v"] == 0.0 and got["const"]["sd"] == 0.0

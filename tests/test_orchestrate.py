@@ -280,7 +280,7 @@ def test_viewspec_validates_measures_at_load():
         "sources": [{"name": "wal", "kind": "dataframe"}],
         "tables": [{"name": "ta", "key_cols": ["conv_id", "turn_idx"]}],
     }
-    with pytest.raises(ValueError, match="sum/count/avg/min/max"):
+    with pytest.raises(ValueError, match="sum/count/avg/var/stddev"):
         PipelineSpec.from_dict(dict(base, views=[
             {"name": "v", "table": "ta", "group_cols": ["role"],
              "measures": {"n": ["median", "x"]}}]))
