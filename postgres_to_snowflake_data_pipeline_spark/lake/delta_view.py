@@ -62,7 +62,9 @@ from postgres_to_snowflake_data_pipeline_spark.lake.table import (
     resolve_lww,
 )
 
-#: measure spec: view column -> ("sum"|"avg", <sql expr>) | ("count", "*" | <sql expr>)
+#: measure spec: view column ->
+#:   ("sum"|"avg"|"var"|"stddev", <sql expr>) | ("count", "*" | <sql expr>)
+#:   | ("min"|"max", <sql expr>)   [min/max: append-only sources only]
 MeasureSpec = dict[str, tuple[str, str]]
 
 #: implicit live-row count per group — the group-death detector, always
@@ -183,7 +185,20 @@ class DeltaAggView:
         var_samp = (S2 - S1^2/n) / (n-1). Both moments are retractable
         sums, so the view stays O(delta) per refresh. Moments are summed
         in double (squaring an int column would overflow long under ANSI
-        long before the sum does)."""
+        long before the sum does).
+
+        NUMERICAL DOMAIN: the raw-moment form cancels catastrophically
+        when mean^2 >> variance — relative error ~ (mean^2/var) * 2^-52,
+        so results are trustworthy while mean^2/var << 4e15. Fine for
+        lengths/latencies/scores; do NOT point it at near-constant
+        columns with huge offsets (epoch-micros timestamps, raw lsn):
+        center the expression first (e.g. ``x - <era floor>``) or use
+        IncrementalAggView's exact recompute. The robust upgrade path is
+        Chan-style central moments (n, mean, M2) with translate-merge —
+        requires per-group remove-then-add merge, not the single signed
+        aggregation used here. Requesting var AND stddev of the same
+        expression stores each measure's moments independently (derive
+        stddev from var downstream to halve the state)."""
         return [
             n for n, (op, _) in self.measures.items()
             if op in ("var", "stddev")

@@ -218,9 +218,11 @@ class ViewSpec:
     """A maintained aggregate view over one table.
 
     kind='delta'      -> DeltaAggView: ``measures`` maps view column ->
-                         ["sum"|"count"|"min"|"max", expr] (count expr may
-                         be "*"); min/max require ``append_only: true``
-                         (no retraction rule on updating sources).
+                         ["sum"|"count"|"avg"|"var"|"stddev"|"min"|"max",
+                         expr] (count expr may be "*"); min/max require
+                         ``append_only: true`` (no retraction rule on
+                         updating sources); avg/var/stddev are moment-
+                         decomposed and work on updating sources.
     kind='incremental'-> IncrementalAggView: ``aggs`` maps view column ->
                          SQL aggregate expression (arbitrary aggregates,
                          dirty-group recompute).

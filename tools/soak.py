@@ -120,7 +120,8 @@ def main() -> None:
          .coalesce(1).write.mode("append").parquet(feed))
         if s == n_slices // 2 and not killed:
             q.stop()            # crash mid-flight
-            q.awaitTermination(60)
+            if not q.awaitTermination(120):
+                raise RuntimeError("stream did not stop within 120s")
             killed = True
             q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                            max_files_per_trigger=2, compact_every=4,
@@ -134,7 +135,8 @@ def main() -> None:
             table.expire_snapshots(keep_last=8)
         time.sleep(0.5)
     q.stop()
-    q.awaitTermination(60)
+    if not q.awaitTermination(120):
+        raise RuntimeError("stream did not stop within 120s")
     # catch-up drain of anything unprocessed. The deadline scales with
     # the feed (~100k events/s is far below the engine's measured floor):
     # an unfinished drain must be REPORTED as such, not allowed to let

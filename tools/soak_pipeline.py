@@ -157,7 +157,7 @@ def main() -> None:
     # fail loudly, not let the oracle comparison race a live stream
     pipe = Pipeline(spark, spec)
     q2 = pipe.run_stream(feed, stream_schema, ckpt, max_files_per_trigger=4)
-    drain_ok = q2.awaitTermination(300)
+    drain_ok = q2.awaitTermination(max(300, n_events // 100_000))
     probe_frontier(pipe)
     wall = time.perf_counter() - t0
 
