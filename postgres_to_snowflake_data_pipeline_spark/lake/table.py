@@ -275,9 +275,16 @@ class LakeTable:
             if missing:
                 raise ValueError(f"unknown columns: {sorted(missing)}")
             keep = set(columns) | set(snap.key_cols)
+            # the zone ts column must be READ (residual window filter) even
+            # when unrequested, but must not leak into the caller's schema
             if ts_col is not None:
                 keep.add(ts_col)
             want_fields = [f for f in want_fields if f.name in keep]
+        ts_unrequested = (
+            ts_col is not None
+            and columns is not None
+            and ts_col not in set(columns) | set(snap.key_cols)
+        )
         entries: list[dict[str, Any]] = []
         has_delta = False
         for b, fs in snap.files.items():
@@ -328,7 +335,11 @@ class LakeTable:
         if not include_tombstones:
             df = df.filter(~F.col("_deleted"))
         if not include_internal:
-            df = df.select(*[f.name for f in want_fields])
+            df = df.select(
+                *[f.name for f in want_fields if not (ts_unrequested and f.name == ts_col)]
+            )
+        elif ts_unrequested:
+            df = df.drop(ts_col)
         return df
 
     @staticmethod
@@ -772,7 +783,9 @@ class LakeTable:
         entries survive a rename of this column unchanged — pruning compares
         values, never names."""
         for f in schema.fields:
-            if isinstance(f.dataType, T.TimestampType):
+            # NTZ counts too: zone stats are stored as tz-free epoch micros
+            # either way, so pruning math is identical for both types
+            if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
                 return f.name
         return None
 

@@ -71,24 +71,54 @@ def interpolate(value: Any) -> Any:
     a loud error: a silently-empty credential is how the reference's jobs
     fail three tasks later.
 
-    A value that is ENTIRELY one template keeps its JSON type:
-    ``"${PORT:5432}"`` -> 5432 (int), ``"${DROP_MALFORMED:false}"`` ->
-    False (bool) — otherwise boolean/numeric options read from the
-    environment would arrive as truthy strings (``"false"`` is truthy) and
-    silently flip reader behavior. Non-JSON text stays a string."""
+    A value that is ENTIRELY one template is typed by its INLINE DEFAULT
+    LITERAL: ``"${PORT:5432}"`` -> int, ``"${DROP_MALFORMED:false}"`` ->
+    bool — and an env override is coerced to that same declared type
+    (otherwise ``DROP_MALFORMED=false`` in the environment would arrive as
+    the truthy string ``"false"`` and silently flip reader behavior). A
+    template with NO default (or a string-typed default) keeps the env
+    value as a string verbatim — a digit-only password or an ``1e5``-shaped
+    path must never be retyped to int/float just because it parses as JSON.
+    An env override that cannot be read as the declared bool/number type is
+    a loud error, consistent with the unset-without-default case."""
     if isinstance(value, str):
         whole = _VAR.fullmatch(value)
         if whole is not None:
-            got = os.environ.get(whole.group(1), whole.group(2))
-            if got is None:
+            name, default = whole.group(1), whole.group(2)
+            env = os.environ.get(name)
+            if env is None and default is None:
                 raise KeyError(
-                    f"config references ${{{whole.group(1)}}} but it is not "
+                    f"config references ${{{name}}} but it is not "
                     "set and has no default"
                 )
-            try:
-                return json.loads(got)
-            except ValueError:
-                return got
+            declared: Any = None
+            if default is not None:
+                try:
+                    declared = json.loads(default)
+                except ValueError:
+                    declared = default  # string-typed default
+            if env is None:
+                return declared
+            if isinstance(declared, bool):
+                low = env.strip().lower()
+                if low in ("true", "false"):
+                    return low == "true"
+                raise ValueError(
+                    f"${{{name}}} declares a boolean default {default!r} "
+                    f"but the environment holds {env!r}"
+                )
+            if isinstance(declared, (int, float)):
+                try:
+                    got = json.loads(env)
+                except ValueError:
+                    got = None
+                if isinstance(got, (int, float)) and not isinstance(got, bool):
+                    return got
+                raise ValueError(
+                    f"${{{name}}} declares a numeric default {default!r} "
+                    f"but the environment holds {env!r}"
+                )
+            return env
 
         def sub(m: re.Match) -> str:
             name, default = m.group(1), m.group(2)

@@ -81,10 +81,11 @@ def _jdbc_connect(spark_jvm, url: str, properties: dict[str, str] | None):
 def _table_exists(conn, table: str) -> bool:
     """Dialect-portable existence probe: a zero-row scan (``WHERE 1=0``,
     universal SQL — unlike FETCH FIRST, which MySQL rejects) either
-    resolves (exists) or raises undefined-table. Only missing-relation
-    SQLStates map to False — class 42 covers Derby 42X05, Postgres 42P01,
-    MySQL/SQL Server 42S02; anything else (lock timeout, connection loss)
-    re-raises, because a transient error misread as absence would make
+    resolves (exists) or raises undefined-table. Only the SPECIFIC
+    missing-relation SQLStates map to False — Derby 42X05, Postgres 42P01,
+    MySQL/SQL Server 42S02; anything else (privilege errors like Postgres
+    42501, syntax errors, lock timeout, connection loss)
+    re-raises, because a non-absence error misread as absence would make
     the swap skip the live->retired rename and then fail against the
     still-existing live table with a misleading cause."""
     st = conn.createStatement()
@@ -99,7 +100,10 @@ def _table_exists(conn, table: str) -> bool:
                 state = j.getSQLState()
             except Exception:
                 state = None
-        if state is not None and str(state).startswith("42"):
+        # ONLY the undefined-table states — class 42 as a whole also covers
+        # syntax and privilege errors (e.g. Postgres 42501), which must not
+        # be misread as "table absent" or the swap takes the wrong branch
+        if state is not None and str(state) in ("42X05", "42P01", "42S02"):
             return False
         raise
     finally:

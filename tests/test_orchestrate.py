@@ -272,6 +272,22 @@ def test_whole_template_values_keep_json_types(monkeypatch):
     assert interpolate("${ORCH_HOST2}") == "db1"  # non-JSON stays a string
     # embedded templates still substitute as text
     assert interpolate("p=${ORCH_PORT:5432}") == "p=5432"
+    # env values are typed by the DECLARED default, never re-guessed: a
+    # digit-only credential/path with no default (or a string default)
+    # must stay a string, not arrive retyped as int/float
+    monkeypatch.setenv("ORCH_PASS", "123456")
+    assert interpolate("${ORCH_PASS}") == "123456"
+    monkeypatch.setenv("ORCH_PATH", "1e5")
+    assert interpolate("${ORCH_PATH:/data}") == "1e5"
+    # numeric default + numeric env -> number; non-numeric env is loud
+    monkeypatch.setenv("ORCH_PORT", "6543")
+    assert interpolate("${ORCH_PORT:5432}") == 6543
+    monkeypatch.setenv("ORCH_PORT", "not-a-port")
+    with pytest.raises(ValueError):
+        interpolate("${ORCH_PORT:5432}")
+    monkeypatch.setenv("ORCH_DROP", "yes")
+    with pytest.raises(ValueError):
+        interpolate("${ORCH_DROP:false}")
 
 
 def test_viewspec_validates_measures_at_load():

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
 from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
 from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
@@ -403,3 +405,49 @@ def test_dropped_zone_column_collapses_inherited_slicing(spark, tmp_path):
     snap = table.compact()
     for fs in snap.files.values():
         assert all(e.get("ts_k") == 1 for e in fs), fs
+
+
+def test_ts_prune_with_columns_keeps_requested_schema(spark, tmp_path):
+    """read(columns=..., ts_prune=...) must still read the ts column for
+    the residual window filter, but must NOT leak it into the returned
+    schema when the caller did not ask for it (ADVICE r3)."""
+    table = _mk_table(spark, tmp_path / "t")
+    keys = [f"c{i:03d}" for i in range(8)]
+    apply_batch(spark, table, _batch(spark, _epoch_rows(keys, 0, D0)), epoch=0)
+    apply_batch(spark, table, _batch(
+        spark, _epoch_rows(keys, 1000, D1, text="v2")), epoch=1)
+
+    out = table.read(columns=["role"], ts_prune=_win(D1))
+    # keys always ride along (documented); ts must not
+    assert set(out.columns) == {"conv_id", "turn_idx", "role"}
+    assert out.count() == len(keys)
+    # asking for the ts column explicitly still returns it
+    out2 = table.read(columns=["role", "ts"], ts_prune=_win(D1))
+    assert set(out2.columns) == {"conv_id", "turn_idx", "role", "ts"}
+    # include_internal variant also drops the unrequested ts
+    out3 = table.read(columns=["role"], ts_prune=_win(D1), include_internal=True)
+    assert "ts" not in out3.columns and "_lsn" in out3.columns
+
+
+def test_ntz_timestamp_column_gets_zone_map(spark, tmp_path):
+    """A TimestampNTZ event-time column is zone-mapped the same as a tz
+    one (stats are tz-free epoch micros either way) — ADVICE r3."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("v", T.StringType(), True),
+        T.StructField("ts", T.TimestampNTZType(), True),
+    ])
+    table = LakeTable.create(
+        spark, str(tmp_path / "ntz"), schema, ("k",), n_buckets=2)
+    rows = [(f"k{i}", "x", D0 + dt.timedelta(hours=i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, v string, ts timestamp_ntz")
+    df = df.withColumn("_lsn", F.monotonically_increasing_id()) \
+           .withColumn("_deleted", F.lit(False))
+    table.merge(df, commit_key="epoch:0")
+    for _b, fs in table.current().files.items():
+        for e in fs:
+            assert e.get("ts_min") is not None and e["ts_min"] <= e["ts_max"]
+    got = table.read(ts_prune=(D0, D0 + dt.timedelta(hours=2)))
+    assert {r["k"] for r in got.collect()} == {"k0", "k1", "k2"}
