@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from postgres_to_snowflake_data_pipeline_spark.functions import kmeans as _km
 from postgres_to_snowflake_data_pipeline_spark.functions.vector import (
     cosine_similarity as _cosine,
 )
@@ -329,61 +330,20 @@ KMEANS_ITERS = 3
 NPROBE = 2
 
 
-def _seed_cell(vec_id_col: str) -> Column:
-    h = F.conv(
-        F.substring(F.md5(F.col(vec_id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
-    return (h % K_CELLS).cast("int")
-
-
-def _dist_structs(vcol: str, cents: dict[int, list[float]]) -> list[Column]:
-    """(rounded partial L2 distance, cell) structs for every centroid.
-    dot(v,v) is constant across cells, so the argmin uses
-    dist = dot(c,c) - 2*dot(v,c) — same formula in the oracle."""
-    out = []
-    for cell in sorted(cents):
-        c = cents[cell]
-        cc = 0.0
-        for x in c:
-            cc += x * x
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        dist = F.round(F.lit(cc) - 2.0 * _dot_planes(F.col(vcol), carr), 6)
-        out.append(F.struct(dist.alias("d"), F.lit(int(cell)).alias("c")))
-    return out
-
-
 def _argmin_cell(vcol: str, cents: dict[int, list[float]]) -> Column:
-    return F.array_min(F.array(*_dist_structs(vcol, cents)))["c"]
+    return _km.argmin_cell(vcol, cents)
 
 
 def _probe_cells(vcol: str, cents: dict[int, list[float]], nprobe: int) -> Column:
-    ordered = F.array_sort(F.array(*_dist_structs(vcol, cents)))
-    return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["c"])
+    return _km.probe_cells(vcol, cents, nprobe)
 
 
 def train_kmeans_cells(emb_v: DataFrame, vcol: str = "v") -> dict[int, list[float]]:
-    """Lloyd's k-means over (vec_id, v: array<double>) with seeded init and
-    KMEANS_ITERS fixed iterations. Returns cell -> centroid (rounded 6 dp).
-    Empty cells drop out naturally (K may shrink); every step is a pure
-    function of the data, so reruns and the DuckDB oracle agree exactly."""
-    assign: Column = _seed_cell("vec_id")
-    cents: dict[int, list[float]] = {}
-    for _ in range(KMEANS_ITERS):
-        rows = (
-            emb_v.withColumn("cell", assign)
-            .select("cell", F.posexplode(vcol).alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("val"), 6).alias("cv"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["cv"]
-        cents = {
-            c: [d[p] for p in range(len(d))] for c, d in by_cell.items()
-        }
-        assign = _argmin_cell(vcol, cents)
-    return cents
+    """v06's trainer: full-corpus Lloyd iterations at module defaults.
+    The primitives live in ``functions/kmeans.py`` (shared with the
+    persisted index in ``lake/ann_index.py``, which trains on a
+    hash-sample instead — the 100 TB lifecycle)."""
+    return _km.train_kmeans_cells(emb_v, vcol, k=K_CELLS, iters=KMEANS_ITERS)
 
 
 def v06_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,6 +421,124 @@ def _v06_sql() -> str:
 
 
 V06_SQL = _v06_sql()
+
+
+# ---------------------------------------------------------------------------
+# v07 — PERSISTED IVF index (the lifecycle v06 got wrong at scale): train
+# the coarse quantizer ONCE on a deterministic md5 hash-sample of the
+# candidates, persist centroids + a cell-clustered parquet layout
+# (lake/ann_index.py), then search by opening ONLY the nprobe probed
+# cells' files (partition pruning — pinned via inputFiles() in
+# tests/test_ann_index.py). The oracle replays the identical sampled
+# training, final assignment and probe join declaratively in DuckDB, so
+# the hash check covers the full build+search composition.
+# ---------------------------------------------------------------------------
+SAMPLE_MOD = 2  # sample half the candidates for training (tiny sf tables)
+
+
+def v07_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from postgres_to_snowflake_data_pipeline_spark.lake.ann_index import AnnIndex
+
+    work = os.path.join(
+        tempfile.gettempdir(), "annidx-" + sf_dir.strip("/").replace("/", "-")
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.select("vec_id", _as_double("embedding").alias("v"))
+    idx = AnnIndex.build(
+        spark,
+        ev.filter(F.col("vec_id") >= N_QUERIES),
+        work,
+        key_col="vec_id",
+        vec_col="v",
+        k=K_CELLS,
+        iters=KMEANS_ITERS,
+        sample_mod=SAMPLE_MOD,
+    )
+    queries = ev.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return idx.search(queries, k=3, nprobe=NPROBE)
+
+
+def _v07_sql() -> str:
+    seed = (
+        "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {K_CELLS}"
+    )
+    samp = (
+        "CAST(concat('0x', substr(md5(concat('sample#', "
+        "CAST(vec_id AS VARCHAR))), 1, 15)) AS BIGINT) "
+        f"% {SAMPLE_MOD} = 0"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"s AS (SELECT vec_id, v FROM e WHERE vec_id >= {N_QUERIES} AND {samp})",
+        f"a0 AS (SELECT vec_id, v, {seed} AS cell FROM s)",
+    ]
+    prev = "a0"
+    for i in range(1, KMEANS_ITERS + 1):
+        ctes.append(
+            f"c{i} AS (SELECT cell, pos, round(avg(val), 6) AS cv FROM "
+            f"(SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) AS pos "
+            f"FROM {prev}) GROUP BY cell, pos)"
+        )
+        ctes.append(
+            f"c{i}l AS (SELECT cell, list(cv ORDER BY pos) AS cvec "
+            f"FROM c{i} GROUP BY cell)"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT p.vec_id, p.v, c.cell, "
+            f"round(list_dot_product(c.cvec, c.cvec) "
+            f"- 2 * list_dot_product(p.v, c.cvec), 6) AS dist "
+            f"FROM s p, c{i}l c)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, v, cell FROM (SELECT *, row_number() "
+            f"OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn "
+            f"FROM d{i}) WHERE rn = 1)"
+        )
+        prev = f"a{i}"
+    last = KMEANS_ITERS
+    # final trained centroids (c{last}l) assign the FULL candidate set and
+    # pick the queries' probe cells — sample only ever fed training
+    ctes.append(
+        f"df AS (SELECT p.vec_id, p.v, c.cell, "
+        f"round(list_dot_product(c.cvec, c.cvec) "
+        f"- 2 * list_dot_product(p.v, c.cvec), 6) AS dist "
+        f"FROM e p, c{last}l c)"
+    )
+    ctes.append(
+        f"cand AS (SELECT vec_id AS neighbor_id, v AS ce, cell FROM "
+        f"(SELECT *, row_number() OVER (PARTITION BY vec_id "
+        f"ORDER BY dist, cell) AS rn FROM df WHERE vec_id >= {N_QUERIES}) "
+        f"WHERE rn = 1)"
+    )
+    ctes.append(
+        f"qp AS (SELECT vec_id AS query_id, v AS qe, cell FROM (SELECT *, "
+        f"row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn "
+        f"FROM df WHERE vec_id < {N_QUERIES}) WHERE rn <= {NPROBE})"
+    )
+    ctes.append(
+        "scored AS (SELECT query_id, neighbor_id, "
+        "round(list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) "
+        "* sqrt(list_dot_product(ce, ce))), 6) AS cosine "
+        "FROM cand JOIN qp USING (cell))"
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT query_id, neighbor_id, cosine, CAST(rnk AS INTEGER) AS rnk "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id) AS rnk FROM scored) "
+        "WHERE rnk <= 3"
+    )
+
+
+V07_SQL = _v07_sql()
 
 
 def _probe_list_sql() -> str:

@@ -12,7 +12,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from postgres_to_snowflake_data_pipeline_spark.queries import CATALOG
+from postgres_to_snowflake_data_pipeline_spark.queries import FULL_CATALOG as CATALOG
 from tools.check_parity import TABLES, frame_hash
 
 

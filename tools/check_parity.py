@@ -49,7 +49,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    from postgres_to_snowflake_data_pipeline_spark.queries import CATALOG
+    from postgres_to_snowflake_data_pipeline_spark.queries import FULL_CATALOG as CATALOG
     from postgres_to_snowflake_data_pipeline_spark.session import get_spark
 
     spark = get_spark("parity-check")
