@@ -3,13 +3,16 @@
 Real pipelines carry image/audio/video as `binary` columns with a typed
 metadata struct and decode/feature-extract in Arrow-batched Python
 (`mapInPandas`). PIL/ffmpeg aren't in this container, but PNG needs only
-stdlib zlib — so the IMAGE path is a GENUINE codec round-trip: m01's
-image rows carry real PNG blobs (signature/IHDR/IDAT/CRC, all five
-scanline filters) built from the document text, and the decode stage
-parses them back; the decoded dimensions flow into the oracle-checked
-output, so a decoder bug is a correctness failure, not a silent fake.
-Audio/video decode remains a clearly-marked deterministic fake with the
-identical batch shape (swap the body for ffmpeg in a real deployment).
+stdlib zlib and WAV only stdlib `wave` — so TWO modalities are GENUINE
+codec round-trips: m01's image rows carry real PNG blobs
+(signature/IHDR/IDAT/CRC, all five scanline filters) and its audio rows
+carry real WAV blobs (RIFF header, 16-bit mono PCM frames), both built
+from the document text; the decode stages parse them back, and the
+decoded dimensions / sample rate / frame counts flow into the
+oracle-checked outputs of m01 and m02, so a decoder bug is a
+correctness failure, not a silent fake. Only VIDEO decode remains a
+clearly-marked deterministic fake with the identical batch shape (swap
+the body for ffmpeg in a real deployment).
 
 At 100 TB the decode stage is the pattern that matters: mapInPandas
 streams Arrow record batches through the Python worker — constant memory
@@ -34,9 +37,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from postgres_to_snowflake_data_pipeline_spark.functions import png as _png
+from postgres_to_snowflake_data_pipeline_spark.functions import wav as _wav
 from postgres_to_snowflake_data_pipeline_spark.queries.base import load
 
 _cloudpickle.register_pickle_by_value(_png)
+_cloudpickle.register_pickle_by_value(_wav)
+
+# deterministic audio-encode parameters, pure functions of the text byte
+# count n — the encode closures inline the same formulas (closures ship by
+# value; package helpers would force workers to import the package), and
+# the DuckDB oracles splice these SQL fragments verbatim
+WAV_RATE = "(8000 + (n % 8) * 1000)"  # 8..15 kHz
+WAV_FRAMES = "(n * 7 % 6000 + 1)"  # 1..6000 PCM frames, 16-bit mono
 
 DECODED_SCHEMA = T.StructType(
     [
@@ -53,20 +65,30 @@ DECODED_SCHEMA = T.StructType(
 def build_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary ingestion stage: image rows (doc_id % 3 == 0) become REAL PNG
     blobs — dimensions derived from the text length, pixels = the utf-8
-    text cycled to fill the raster — audio/video rows carry the raw utf-8
-    bytes as an opaque stand-in blob."""
+    text cycled to fill the raster; audio rows (doc_id % 3 == 1) become
+    REAL WAV blobs — 16-bit mono PCM at a text-derived sample rate, frames
+    = the utf-8 text cycled to fill the buffer; video rows carry the raw
+    utf-8 bytes as an opaque stand-in blob. ``src_n_bytes`` preserves the
+    pre-encode byte count — encoded blob sizes are compression-dependent
+    (PNG) and must never leak into oracle math."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
+                n = len(data)
                 if doc_id % 3 == 0:
-                    n = len(data)
                     w, h = n % 64 + 1, n * 7 % 48 + 1
                     need = w * h * 3
                     rgb = (data * (need // max(n, 1) + 1))[:need] if n else bytes(need)
                     blobs.append(_png.encode_png(w, h, rgb))
+                elif doc_id % 3 == 1:
+                    need = 2 * (n * 7 % 6000 + 1)  # WAV_FRAMES 16-bit frames
+                    pcm = (data * (need // max(n, 1) + 1))[:need] if n else bytes(need)
+                    blobs.append(
+                        _wav.encode_wav(8000 + (n % 8) * 1000, 1, 2, pcm)
+                    )
                 else:
                     blobs.append(data)
             yield pd.DataFrame(
@@ -74,6 +96,7 @@ def build_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "payload": blobs,
+                    "src_n_bytes": pdf["src_n_bytes"],
                 }
             )
 
@@ -85,6 +108,7 @@ def build_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, "audio/wav")
         .otherwise("video/mp4")
         .alias("media_type"),
+        F.octet_length(F.encode("text", "UTF-8")).alias("src_n_bytes"),
     )
     return raw.mapInPandas(
         encode,
@@ -93,6 +117,7 @@ def build_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
                 T.StructField("doc_id", T.LongType(), False),
                 T.StructField("media_type", T.StringType(), True),
                 T.StructField("payload", T.BinaryType(), True),
+                T.StructField("src_n_bytes", T.IntegerType(), True),
             ]
         ),
     )
@@ -101,11 +126,14 @@ def build_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode: PNG payloads are parsed by the REAL stdlib
     codec (chunk walk, CRC check, inflate, unfilter) — width/height/n_bytes
-    come from the decoded raster, so the oracle's value-hash check verifies
-    the decoder itself. Non-image blobs go through the deterministic fake
-    with the same batch shape.
+    come from the decoded raster — and WAV payloads by the REAL stdlib
+    `wave` parser — (n_bytes, width, height, n_frames) = (pcm bytes,
+    sample rate, channels, frame count) from the RIFF/fmt headers. Both
+    flow into the oracle's value-hash check, so each decoder is verified.
+    Only video goes through the deterministic fake with the same batch
+    shape.
 
-    Closures + a by-value-registered codec module: workers never import
+    Closures + by-value-registered codec modules: workers never import
     this package, so the UDF runs even without --py-files."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -118,6 +146,9 @@ def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if _png.is_png(data):
                     w, h, rgb = _png.decode_png(data)  # REAL decode
                     rows.append((doc_id, media_type, len(rgb), w, h, 1))
+                elif _wav.is_wav(data):
+                    rate, ch, _sw, nf, pcm = _wav.decode_wav(data)  # REAL
+                    rows.append((doc_id, media_type, len(pcm), rate, ch, nf))
                 else:
                     # STUB for codec-less modalities (deterministic fake)
                     n = len(data)
@@ -137,7 +168,7 @@ def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_payloads(spark, sf_dir).mapInPandas(decode, DECODED_SCHEMA)
 
 
-M01_SQL = """
+M01_SQL = f"""
 WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
 SELECT doc_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image/png'
@@ -145,22 +176,31 @@ SELECT doc_id,
             ELSE 'video/mp4' END AS media_type,
        CAST(CASE WHEN doc_id % 3 = 0
                  THEN (n % 64 + 1) * (n * 7 % 48 + 1) * 3
+                 WHEN doc_id % 3 = 1 THEN {WAV_FRAMES} * 2
                  ELSE n END AS INTEGER) AS n_bytes,
        CAST(CASE WHEN doc_id % 3 = 0 THEN n % 64 + 1
+                 WHEN doc_id % 3 = 1 THEN {WAV_RATE}
                  ELSE n % 640 + 1 END AS INTEGER) AS width,
        CAST(CASE WHEN doc_id % 3 = 0 THEN n * 7 % 48 + 1
+                 WHEN doc_id % 3 = 1 THEN 1
                  ELSE n * 7 % 480 + 1 END AS INTEGER) AS height,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+                 WHEN doc_id % 3 = 1 THEN {WAV_FRAMES}
                  ELSE n % 30 + 1 END AS INTEGER) AS n_frames
 FROM d
 """
 
 
 # ---------------------------------------------------------------------------
-# m02 — frame sampling: 1→N Arrow-batched decode (each video payload yields
-# n_frames rows). The mapInPandas generator shape is exactly a real
+# m02 — frame sampling: 1→N Arrow-batched decode (each payload yields a
+# variable number of frame rows). AUDIO rows are REAL: the sampler parses
+# the WAV header (stdlib `wave`), takes one frame every rate/FPS PCM
+# frames, and stamps each sampled frame's true timestamp from the decoded
+# sample rate — so the oracle's hash check covers the parser. Image/video
+# rows keep the deterministic fake over the ORIGINAL byte count (an
+# encoded PNG's length is compression-dependent and must not drive
+# oracle math). The mapInPandas generator shape is exactly a real
 # ffmpeg-based sampler's: consume a batch of payloads, emit a frame table.
-# Deterministic fake => oracle-checkable via unnest(range(...)).
 # ---------------------------------------------------------------------------
 FRAME_SCHEMA = T.StructType(
     [
@@ -171,48 +211,65 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
-FPS = 4  # fake sampling rate: one frame per 250 ms
+FPS = 4  # sampling rate: one frame per 250 ms
 
 
 def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = FPS
 
-    def fake_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # STUB frame sampler (deterministic fake): n_frames from byte
-        # length, per-frame signature from (doc_id, frame_idx) — vectorized
-        # via repeat + groupwise cumcount. Closure => serialized by value,
-        # workers need no package import.
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure => serialized by value, workers need no package import.
         import hashlib
 
         for pdf in batches:
-            n = pdf["payload"].map(len) % 30 + 1  # same n_frames rule as m01
-            doc_ids = pdf["doc_id"].repeat(n).reset_index(drop=True)
-            frame_idx = doc_ids.groupby(doc_ids).cumcount().astype("int32")
-            sig = (doc_ids.astype(str) + "#" + frame_idx.astype(str)).map(
-                lambda s: hashlib.md5(s.encode()).hexdigest()[:16]
+            rows = []
+            for doc_id, payload, src_n in zip(
+                pdf["doc_id"], pdf["payload"], pdf["src_n_bytes"]
+            ):
+                data = bytes(payload)
+                if _wav.is_wav(data):
+                    # REAL path: sample every (rate // fps)-th PCM frame
+                    rate, _ch, _sw, nf, _pcm = _wav.decode_wav(data)
+                    hop = rate // fps
+                    for i in range((nf + hop - 1) // hop):
+                        rows.append((doc_id, i, i * hop * 1000 // rate))
+                else:
+                    # STUB for codec-less modalities (deterministic fake)
+                    for i in range(int(src_n) % 30 + 1):
+                        rows.append((doc_id, i, i * (1000 // fps)))
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_ts_ms"]
             )
-            yield pd.DataFrame(
-                {
-                    "doc_id": doc_ids,
-                    "frame_idx": frame_idx,
-                    "frame_ts_ms": (frame_idx * (1000 // fps)).astype("int32"),
-                    "frame_sig": sig,
-                }
-            )
+            out["frame_idx"] = out["frame_idx"].astype("int32")
+            out["frame_ts_ms"] = out["frame_ts_ms"].astype("int32")
+            out["frame_sig"] = (
+                out["doc_id"].astype(str) + "#" + out["frame_idx"].astype(str)
+            ).map(lambda s: hashlib.md5(s.encode()).hexdigest()[:16])
+            yield out
 
-    d = load(spark, sf_dir, "documents")
-    with_payload = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
-    return with_payload.mapInPandas(fake_frames, FRAME_SCHEMA)
+    return build_payloads(spark, sf_dir).mapInPandas(sample_frames, FRAME_SCHEMA)
 
 
 M02_SQL = f"""
+WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+p AS (
+  SELECT doc_id, n, {WAV_RATE} AS rate, {WAV_FRAMES} AS nf,
+         {WAV_RATE} // {FPS} AS hop
+  FROM d
+),
+counted AS (
+  SELECT doc_id, rate, hop,
+         CASE WHEN doc_id % 3 = 1 THEN (nf + hop - 1) // hop
+              ELSE n % 30 + 1 END AS n_out
+  FROM p
+)
 SELECT doc_id,
        CAST(f AS INTEGER) AS frame_idx,
-       CAST(f * (1000 // {FPS}) AS INTEGER) AS frame_ts_ms,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN f * hop * 1000 // rate
+                 ELSE f * (1000 // {FPS}) END AS INTEGER) AS frame_ts_ms,
        substr(md5(concat(CAST(doc_id AS VARCHAR), '#', CAST(f AS VARCHAR))), 1, 16)
            AS frame_sig
-FROM documents,
-     LATERAL unnest(range(0, octet_length(encode(text)) % 30 + 1)) AS t(f)
+FROM counted, LATERAL unnest(range(0, n_out)) AS t(f)
 """
 
 
@@ -267,10 +324,13 @@ d AS (
   SELECT doc_id,
          CAST(CASE WHEN doc_id % 3 = 0
                    THEN (n % 64 + 1) * (n * 7 % 48 + 1) * 3
+                   WHEN doc_id % 3 = 1 THEN {WAV_FRAMES} * 2
                    ELSE n END AS INTEGER) AS n_bytes,
          CAST(CASE WHEN doc_id % 3 = 0 THEN n % 64 + 1
+                   WHEN doc_id % 3 = 1 THEN {WAV_RATE}
                    ELSE n % 640 + 1 END AS INTEGER) AS w,
          CAST(CASE WHEN doc_id % 3 = 0 THEN n * 7 % 48 + 1
+                   WHEN doc_id % 3 = 1 THEN 1
                    ELSE n * 7 % 480 + 1 END AS INTEGER) AS h
   FROM n0
 )

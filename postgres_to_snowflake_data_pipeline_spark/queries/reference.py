@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from postgres_to_snowflake_data_pipeline_spark.queries.base import load
@@ -671,28 +671,59 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
-# q19 — exact grouped percentiles: the distribution-profile operator for
-# the metrics layer (the reference's data_summary reports only counts and
+# q19 — grouped percentiles: the distribution-profile operator for the
+# metrics layer (the reference's data_summary reports only counts and
 # maxima, s3_to_snowflake_dag.py:209-250; a 100 TB metrics table needs
-# distributional stats). Spark's exact `percentile` and DuckDB's
-# `quantile_cont` share linear interpolation, so the oracle is exact.
-# At true 10^10 scale the same query swaps in approx_percentile with an
-# error bound — structurally identical plan, partial-aggregated sketches.
+# distributional stats). Two physical paths behind one API:
+#
+# - EXACT (`percentile`): buffers each group's values — fine to ~1e7 rows
+#   per group, and it shares linear interpolation with DuckDB's
+#   `quantile_cont`, so it is the oracle path.
+# - SKETCH (`approx_percentile`, Greenwald-Khanna): bounded memory
+#   (O(accuracy·log n) per group), partial-aggregated map-side like any
+#   Tungsten agg — the 10^10-row path. Guaranteed rank error ≤
+#   1/accuracy, pinned against the exact bracket percentiles in
+#   tests/test_percentile_sketch.py.
+#
+# `percentile_stats(..., approx=None)` auto-selects: sketch once the scan
+# exceeds APPROX_THRESHOLD_ROWS (the count is one metadata-cheap pass —
+# parquet footers answer it without reading data pages). The catalog's
+# q19 pins approx=False so the driver's value-hash stays exact.
 # ---------------------------------------------------------------------------
-def q19_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+APPROX_THRESHOLD_ROWS = 10_000_000
+PERCENTILE_ACCURACY = 1_000  # rank error <= 1/accuracy = 0.1 percentile
+
+
+def percentile_stats(
+    spark: SparkSession, sf_dir: str, approx: bool | None = None
+) -> DataFrame:
     o = load(spark, sf_dir, "orders")
+    if approx is None:
+        approx = o.count() >= APPROX_THRESHOLD_ROWS
+
+    def pct(p: float) -> Column:
+        if approx:
+            e = f"approx_percentile(o_totalprice, {p}, {PERCENTILE_ACCURACY})"
+        else:
+            e = f"percentile(o_totalprice, {p})"
+        return F.round(F.expr(e), 2)
+
     return (
         o.groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
-            F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+            pct(0.5).alias("p50"),
+            pct(0.9).alias("p90"),
+            pct(0.99).alias("p99"),
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
         .orderBy("priority")
     )
+
+
+def q19_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return percentile_stats(spark, sf_dir, approx=False)
 
 
 Q19_SQL = """
