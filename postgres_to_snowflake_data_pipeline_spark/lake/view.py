@@ -10,8 +10,12 @@ grouped aggregate by *dirty-group recompute*:
 2. The distinct group keys in the delta are the *dirty groups*; when the
    leading group column IS the source's bucketing key, the buckets they
    hash into (≤ n_buckets integers — bounded driver state, never a key
-   list) prune the source read (other groupings scan all buckets but
-   still aggregate only dirty groups via the semi-join). For groupings
+   list) prune the source read. Other groupings prune via a persisted
+   group→bucket inverted hint (a bounded sidecar maintained from the
+   same delta scans, monotone-OR so always a sound superset — see
+   ``_hint_buckets_for``): the recompute reads only the buckets the
+   dirty groups' rows can live in, and the semi-join still bounds the
+   aggregation itself to dirty groups. For groupings
    NOT contained in the source key, the post-image alone is not enough:
    an update can move a row from group A to B (and a tombstone carries
    NULL payload), leaving A stale — so the changed keys' *pre-image*
@@ -46,6 +50,9 @@ upgraded to incremental maintenance with exactly-once refresh.
 
 from __future__ import annotations
 
+import json
+import os
+import tempfile
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -53,6 +60,15 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable, bucket_expr
+
+#: sidecar file: group -> source-bucket bitmap (the non-key pruning hint)
+_HINT_FILE = "group_buckets.json"
+_NULL_SENTINEL = "\x00null"
+
+
+def _hint_key(vals: tuple) -> str:
+    """Deterministic string key for a group-value tuple (JSON map key)."""
+    return "\x1f".join(_NULL_SENTINEL if v is None else str(v) for v in vals)
 
 
 class IncrementalAggView:
@@ -90,6 +106,129 @@ class IncrementalAggView:
     #: dirty-group key sets up to this size are broadcast into the
     #: recompute semi-join (a few MB of keys); larger sets shuffle
     BROADCAST_DIRTY_MAX = 500_000
+
+    #: group->bucket hint caps: beyond MAX_HINT_GROUPS distinct groups the
+    #: sidecar marks itself overflowed (a high-cardinality grouping gains
+    #: little from bucket pruning anyway); dirty sets beyond
+    #: HINT_DIRTY_LOOKUP_MAX skip the driver-side hint lookup
+    MAX_HINT_GROUPS = 4096
+    HINT_DIRTY_LOOKUP_MAX = 10_000
+
+    # ------------------------------------------------------------------
+    # group->bucket inverted hint (non-key groupings). Soundness contract:
+    # the sidecar claims "for every row present in any source snapshot
+    # <= watermark, the row's (group tuple, source bucket) pair is in
+    # `groups`" — a SUPERSET of the current table's pairs (rows only ever
+    # change via commits, and every commit's pairs are OR'd in when its
+    # delta window is processed; removals leave stale bits, which only
+    # widen the pruned read). The sidecar is written BEFORE the view's
+    # merge commit: a crash in between leaves watermark > view position,
+    # i.e. an overstated hint — still sound. Invalidated wholesale when
+    # the source's bucket count changes (rebucket rehashes everything).
+    # ------------------------------------------------------------------
+    def _hint_path(self) -> str:
+        return os.path.join(self.root, _HINT_FILE)
+
+    def _load_hint(self) -> dict[str, Any] | None:
+        try:
+            with open(self._hint_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _persist_hint(self, hint: dict[str, Any]) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(hint, f)
+        os.replace(tmp, self._hint_path())
+
+    def _pairs_of(self, df: DataFrame, key0: str, n_buckets: int) -> list | None:
+        """Distinct (group..., bucket) pairs of ``df`` — bounded collect
+        (caps at MAX_HINT_GROUPS × n_buckets rows; None = too many)."""
+        cap = self.MAX_HINT_GROUPS * n_buckets + 1
+        pairs = (
+            df.select(
+                *self.group_cols, bucket_expr(key0, n_buckets).alias("_b")
+            )
+            .distinct()
+            .limit(cap)
+            .collect()
+        )
+        return None if len(pairs) >= cap else pairs
+
+    def _hint_buckets_for(
+        self, src_snap, delta: DataFrame, dirty: DataFrame, dirty_n: int
+    ) -> list[int] | None:
+        """Update the sidecar with this delta window's (group, bucket)
+        pairs, persist it, and return the union of the dirty groups'
+        buckets — or None when the hint cannot prune (overflowed /
+        oversized dirty set / stale beyond retained history)."""
+        key0 = src_snap.key_cols[0]
+        nb = src_snap.n_buckets
+        hint = self._load_hint()
+        if hint is not None and hint.get("n_buckets") != nb:
+            hint = None  # rebucketed source: every pair is rehashed
+        if hint is None:
+            # bootstrap: one column-pruned scan of (groups + key) — the
+            # only O(table) pass this hint ever costs
+            base = self.source.read(
+                snapshot_id=src_snap.snapshot_id, columns=list(self.group_cols)
+            )
+            pairs = self._pairs_of(base, key0, nb)
+            hint = {"watermark": src_snap.snapshot_id, "n_buckets": nb,
+                    "overflow": pairs is None, "groups": {}}
+            if pairs is not None:
+                for r in pairs:
+                    k = _hint_key(tuple(r[g] for g in self.group_cols))
+                    hint["groups"].setdefault(k, []).append(r["_b"])
+            self._persist_hint(hint)
+        elif not hint.get("overflow"):
+            w = int(hint["watermark"])
+            if w < self.last_source_snapshot() and not self._history_covers(w):
+                # gap: pairs between w and the view position are gone from
+                # the changefeed — rebuild the hint next time from scratch
+                hint = {"watermark": src_snap.snapshot_id, "n_buckets": nb,
+                        "overflow": True, "groups": {}}
+                self._persist_hint(hint)
+            else:
+                upd = delta if w >= self.last_source_snapshot() else (
+                    self.source.changes(w)
+                )
+                live = upd
+                for g in self.group_cols:
+                    live = live.filter(F.col(g).isNotNull())
+                pairs = self._pairs_of(live, key0, nb)
+                if pairs is None or (
+                    len(hint["groups"]) > self.MAX_HINT_GROUPS
+                ):
+                    hint["overflow"] = True
+                    hint["groups"] = {}
+                else:
+                    for r in pairs:
+                        k = _hint_key(tuple(r[g] for g in self.group_cols))
+                        b = hint["groups"].setdefault(k, [])
+                        if r["_b"] not in b:
+                            b.append(r["_b"])
+                    if len(hint["groups"]) > self.MAX_HINT_GROUPS:
+                        hint["overflow"] = True
+                        hint["groups"] = {}
+                hint["watermark"] = src_snap.snapshot_id
+                self._persist_hint(hint)
+        if hint.get("overflow") or dirty_n > self.HINT_DIRTY_LOOKUP_MAX:
+            return None
+        groups = hint["groups"]
+        out: set[int] = set()
+        for r in dirty.collect():
+            k = _hint_key(tuple(r[g] for g in self.group_cols))
+            got = groups.get(k)
+            if got is None:
+                # a group the hint has never seen holds no rows anywhere —
+                # nothing to read for it (its dirty mark can only produce
+                # a tombstone, which needs no source rows)
+                continue
+            out.update(got)
+        return sorted(out)
 
     # ------------------------------------------------------------------
     def last_source_snapshot(self) -> int:
@@ -211,14 +350,15 @@ class IncrementalAggView:
         # broadcast the key set whenever it plausibly fits, fall back to
         # the shuffle join only for genuinely huge dirty sets.
         dirty_n = dirty.count()
-        if dirty_n <= self.BROADCAST_DIRTY_MAX:
-            dirty = F.broadcast(dirty)
 
         # dirty buckets: a bounded (≤ n_buckets) driver-side list — the
         # pruning handle for the recompute scan. Never collect group keys.
-        # Only valid when the view groups by the source's bucketing key;
-        # any other grouping reads all buckets (the semi-join still bounds
-        # the aggregation itself to dirty groups).
+        # When the view groups by the source's bucketing key the buckets
+        # come straight from hashing the dirty groups; for any OTHER
+        # grouping the persisted group->bucket hint (sidecar, see
+        # _hint_buckets_for) answers "which source buckets can hold these
+        # groups' rows" — so even a median/percentile view on a non-key
+        # grouping reads only the buckets its dirty groups live in.
         if full_rebuild:
             dirty_buckets = None
         elif gcol0 == src_snap.key_cols[0]:
@@ -230,8 +370,12 @@ class IncrementalAggView:
                 .distinct()
                 .collect()
             )
+        elif non_key_grouping:
+            dirty_buckets = self._hint_buckets_for(src_snap, delta, dirty, dirty_n)
         else:
             dirty_buckets = None
+        if dirty_n <= self.BROADCAST_DIRTY_MAX:
+            dirty = F.broadcast(dirty)
         # recompute reads are PINNED to src_sid: a commit racing the
         # refresh must land in the NEXT watermark window, not leak into
         # this one (recompute is absolute per group, so a leak would
@@ -242,13 +386,16 @@ class IncrementalAggView:
             # source's LWW resolution — only dirty conversations' rows are
             # shuffled and resolved, instead of LWW-aggregating the whole
             # bucket and discarding most of it afterwards
-            rows = self.source.read(
+            src_read = self.source.read(
                 snapshot_id=src_sid, buckets=dirty_buckets, semi_keys=dirty
             )
+            rows = src_read
         else:
-            rows = self.source.read(snapshot_id=src_sid, buckets=dirty_buckets).join(
-                dirty, on=list(self.group_cols), how="left_semi"
-            )
+            src_read = self.source.read(snapshot_id=src_sid, buckets=dirty_buckets)
+            rows = src_read.join(dirty, on=list(self.group_cols), how="left_semi")
+        # file-level pruning evidence (plan resolution only, no job): what
+        # the recompute scan actually opens — soaks and tests assert on it
+        source_files_read = sorted(src_read.inputFiles())
         agg = self.agg_fn(rows)
         missing = [c for c in self.group_cols if c not in agg.columns]
         if missing:
@@ -304,5 +451,6 @@ class IncrementalAggView:
                 len(dirty_buckets) if dirty_buckets is not None
                 else src_snap.n_buckets
             ),
+            "source_files_read": source_files_read,
             "view_snapshot": snap.snapshot_id,
         }
