@@ -27,7 +27,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
 
 # representative slice of the catalog: relational agg/join, LWW, exact +
-# near dedup, ANN, Arrow-batched decode
+# near dedup, corpus curation + iterative clustering, ANN (train-per-call
+# and persisted-index lifecycles), Arrow-batched decode
 HEADLINE = [
     "q01_pricing_summary",
     "q02_silver_report",
@@ -36,9 +37,12 @@ HEADLINE = [
     "t07_minhash_bands",
     "t10_minhash_bands_fast",
     "t09_simhash",
+    "t15_curation_pipeline",
+    "t17_dup_clusters",
     "v01_ann_cosine_topk",
     "v04_ann_lsh_bucketed",
     "v06_ann_ivf_kmeans",
+    "v07_ann_ivf_persisted",
     "m01_multimodal_decode",
     "m02_frame_sample",
 ]

@@ -98,6 +98,12 @@ def train_kmeans_cells(
             .agg(F.round(F.avg("val"), 6).alias("cv"))
             .collect()
         )
+        if not rows:
+            # fail at the source: an empty training set would otherwise
+            # surface as an opaque AnalysisException from argmin over an
+            # empty centroid array, far from the cause (e.g. a hash-sample
+            # that matched nothing — lower sample_mod)
+            raise ValueError("k-means training input is empty")
         by_cell: dict[int, dict[int, float]] = {}
         for r in rows:
             by_cell.setdefault(r["cell"], {})[r["pos"]] = r["cv"]

@@ -310,7 +310,11 @@ class LakeTable:
                 has_delta = has_delta or e.get("kind") == "delta"
         df = self._read_files(snap, entries, fields=want_fields)
         if df is None:
-            fields = want_fields + (INTERNAL_FIELDS if include_internal else [])
+            out_fields = [
+                f for f in want_fields
+                if not (ts_unrequested and f.name == ts_col)
+            ]
+            fields = out_fields + (INTERNAL_FIELDS if include_internal else [])
             return self.spark.createDataFrame([], T.StructType(fields))
         if semi_keys is not None:
             # point/dirty-set reads: restrict BEFORE the LWW aggregation so
@@ -782,10 +786,15 @@ class LakeTable:
         first timestamp-typed field, if any. Zone-map values in old manifest
         entries survive a rename of this column unchanged — pruning compares
         values, never names."""
+        # tz-aware first (the pre-NTZ rule — existing tables must keep the
+        # SAME zone column across upgrades or ts_prune would silently filter
+        # a different column); NTZ only as a fallback for NTZ-only schemas.
+        # Zone stats are tz-free epoch micros either way.
         for f in schema.fields:
-            # NTZ counts too: zone stats are stored as tz-free epoch micros
-            # either way, so pruning math is identical for both types
-            if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+            if isinstance(f.dataType, T.TimestampType):
+                return f.name
+        for f in schema.fields:
+            if isinstance(f.dataType, T.TimestampNTZType):
                 return f.name
         return None
 

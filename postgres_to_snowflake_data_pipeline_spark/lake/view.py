@@ -169,6 +169,16 @@ class IncrementalAggView:
         hint = self._load_hint()
         if hint is not None and hint.get("n_buckets") != nb:
             hint = None  # rebucketed source: every pair is rehashed
+        if (
+            hint is not None
+            and not hint.get("overflow")
+            and int(hint["watermark"]) < self.last_source_snapshot()
+            and not self._history_covers(int(hint["watermark"]))
+        ):
+            # gap: the pairs between the hint's watermark and the view's
+            # position were expired from the changefeed — the incremental
+            # update can't close it, so re-bootstrap from a full scan below
+            hint = None
         if hint is None:
             # bootstrap: one column-pruned scan of (groups + key) — the
             # only O(table) pass this hint ever costs
@@ -185,36 +195,27 @@ class IncrementalAggView:
             self._persist_hint(hint)
         elif not hint.get("overflow"):
             w = int(hint["watermark"])
-            if w < self.last_source_snapshot() and not self._history_covers(w):
-                # gap: pairs between w and the view position are gone from
-                # the changefeed — rebuild the hint next time from scratch
-                hint = {"watermark": src_snap.snapshot_id, "n_buckets": nb,
-                        "overflow": True, "groups": {}}
-                self._persist_hint(hint)
+            upd = delta if w >= self.last_source_snapshot() else (
+                self.source.changes(w)
+            )
+            live = upd
+            for g in self.group_cols:
+                live = live.filter(F.col(g).isNotNull())
+            pairs = self._pairs_of(live, key0, nb)
+            if pairs is None:
+                hint["overflow"] = True
+                hint["groups"] = {}
             else:
-                upd = delta if w >= self.last_source_snapshot() else (
-                    self.source.changes(w)
-                )
-                live = upd
-                for g in self.group_cols:
-                    live = live.filter(F.col(g).isNotNull())
-                pairs = self._pairs_of(live, key0, nb)
-                if pairs is None or (
-                    len(hint["groups"]) > self.MAX_HINT_GROUPS
-                ):
+                for r in pairs:
+                    k = _hint_key(tuple(r[g] for g in self.group_cols))
+                    b = hint["groups"].setdefault(k, [])
+                    if r["_b"] not in b:
+                        b.append(r["_b"])
+                if len(hint["groups"]) > self.MAX_HINT_GROUPS:
                     hint["overflow"] = True
                     hint["groups"] = {}
-                else:
-                    for r in pairs:
-                        k = _hint_key(tuple(r[g] for g in self.group_cols))
-                        b = hint["groups"].setdefault(k, [])
-                        if r["_b"] not in b:
-                            b.append(r["_b"])
-                    if len(hint["groups"]) > self.MAX_HINT_GROUPS:
-                        hint["overflow"] = True
-                        hint["groups"] = {}
-                hint["watermark"] = src_snap.snapshot_id
-                self._persist_hint(hint)
+            hint["watermark"] = src_snap.snapshot_id
+            self._persist_hint(hint)
         if hint.get("overflow") or dirty_n > self.HINT_DIRTY_LOOKUP_MAX:
             return None
         groups = hint["groups"]

@@ -143,10 +143,16 @@ def m01_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pdf["doc_id"], pdf["media_type"], pdf["payload"]
             ):
                 data = bytes(payload)
-                if _png.is_png(data):
+                # dispatch on the TYPED metadata, not content sniffing: a
+                # video blob is raw text bytes and can legally start with
+                # ASCII "RIFF..WAVE" — content-routing it into the WAV
+                # parser would crash (or diverge from the media_type
+                # contract). A mislabeled/corrupt blob fails LOUDLY inside
+                # its decoder instead of silently taking the fake path.
+                if media_type == "image/png":
                     w, h, rgb = _png.decode_png(data)  # REAL decode
                     rows.append((doc_id, media_type, len(rgb), w, h, 1))
-                elif _wav.is_wav(data):
+                elif media_type == "audio/wav":
                     rate, ch, _sw, nf, pcm = _wav.decode_wav(data)  # REAL
                     rows.append((doc_id, media_type, len(pcm), rate, ch, nf))
                 else:
@@ -223,11 +229,14 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             rows = []
-            for doc_id, payload, src_n in zip(
-                pdf["doc_id"], pdf["payload"], pdf["src_n_bytes"]
+            for doc_id, media_type, payload, src_n in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"], pdf["src_n_bytes"]
             ):
                 data = bytes(payload)
-                if _wav.is_wav(data):
+                # typed dispatch (see m01): a video blob may legally start
+                # with ASCII "RIFF..WAVE" — never content-sniff it into the
+                # WAV parser; malformed audio fails loudly in decode_wav
+                if media_type == "audio/wav":
                     # REAL path: sample every (rate // fps)-th PCM frame
                     rate, _ch, _sw, nf, _pcm = _wav.decode_wav(data)
                     hop = rate // fps

@@ -443,8 +443,12 @@ def v07_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from postgres_to_snowflake_data_pipeline_spark.lake.ann_index import AnnIndex
 
+    # pid-suffixed scratch: deterministic within a process (reruns reuse
+    # and rebuild it), but two PROCESSES running the catalog concurrently
+    # (driver gate + bench) must not rmtree each other's live index
     work = os.path.join(
-        tempfile.gettempdir(), "annidx-" + sf_dir.strip("/").replace("/", "-")
+        tempfile.gettempdir(),
+        f"annidx-{sf_dir.strip('/').replace('/', '-')}-pid{os.getpid()}",
     )
     shutil.rmtree(work, ignore_errors=True)
     emb = load(spark, sf_dir, "embeddings")

@@ -49,12 +49,15 @@ def source(spark, tmp_path):
     )
     # conv ids sorted into role-by-bucket: rA convs hash into A_BUCKETS,
     # rB convs everywhere else — and every bucket gets data
-    a_convs, b_convs, i = [], [], 0
-    while len(a_convs) < 4 or len({
-        table._bucket_of(c, N_BUCKETS) for c in b_convs
-    }) < N_BUCKETS - len(A_BUCKETS):
+    a_convs, b_convs, b_buckets, i = [], [], set(), 0
+    while len(a_convs) < 4 or len(b_buckets) < N_BUCKETS - len(A_BUCKETS):
         c = f"c{i:04d}"
-        (a_convs if table._bucket_of(c, N_BUCKETS) in A_BUCKETS else b_convs).append(c)
+        b = table._bucket_of(c, N_BUCKETS)  # computed ONCE per conv
+        if b in A_BUCKETS:
+            a_convs.append(c)
+        else:
+            b_convs.append(c)
+            b_buckets.add(b)
         i += 1
     rows = []
     lsn = 0
