@@ -73,6 +73,35 @@ class ApplyResult:
     snapshot_id: int | None
 
 
+#: auto-salting (see apply_batch docstring): fan-out width when the skew
+#: trigger fires, the hot-bucket input-row share that fires it, and how
+#: many commits a probed verdict is reused before re-probing (the probe
+#: is a narrow extra scan — ~0.6 s per 1M-row epoch locally, so probing
+#: every epoch costs ~20% of replay; skew patterns persist, and a
+#: verdict that is stale by < PROBE_EVERY epochs is only slower, never
+#: wrong)
+AUTO_SALT_BUCKETS = 32
+SKEW_TRIGGER_SHARE = 0.2
+PROBE_EVERY = 8
+
+
+def _recent_salt_verdict(table: LakeTable, snap) -> int | None:
+    """The most recent PROBED auto-salt verdict within the last
+    ``PROBE_EVERY`` commits (probed commits record a non-null
+    ``hot_bucket_share``; reused/forced ones record None). None = no
+    recent probe — the caller must probe. O(PROBE_EVERY) cached metadata
+    loads."""
+    sid = snap.snapshot_id
+    for s in range(sid, max(sid - PROBE_EVERY, 0), -1):
+        try:
+            summary = table.log.load(s).summary
+        except Exception:
+            continue
+        if summary.get("hot_bucket_share") is not None:
+            return int(summary.get("salt_buckets", 0))
+    return None
+
+
 def _event_schema_of(table: LakeTable, events: DataFrame) -> T.StructType:
     """The change-event schema implied by the table schema: op + lsn + row."""
     fields = [
@@ -90,7 +119,18 @@ def apply_batch(
     lineage_path: str | None = None,
     salt_buckets: int | None = None,
 ) -> ApplyResult:
-    """Apply one batch of change events to the table, exactly once."""
+    """Apply one batch of change events to the table, exactly once.
+
+    ``salt_buckets``: ``None`` (default) = AUTO — a batch-local narrow
+    probe measures the hottest bucket's input-row share; salting engages
+    above ``max(SKEW_TRIGGER_SHARE, 3/n_buckets)``, and the verdict is
+    reused for the next ``PROBE_EVERY - 1`` commits so the probe's scan
+    cost amortizes away. Measured round 4: with ~4 KB payloads a
+    50%-hot-key feed runs ~2x faster salted, while narrow feeds are
+    within noise (BENCH.md §2b). Pass an int > 1 to force salting on,
+    ``0`` to force it off. The decision and the probed share ride the
+    commit summary (``salt_buckets``; ``hot_bucket_share``, null on
+    reused-verdict commits)."""
     commit_key = f"epoch:{epoch}"
     if table.has_commit_key(commit_key):
         return ApplyResult(epoch, True, 0, 0, None)
@@ -144,6 +184,35 @@ def apply_batch(
     snap0 = table.current()
     key_cols = tuple(snap0.key_cols)  # the table's, not the schema default:
     kcol0 = key_cols[0]               # key columns can be RENAMED mid-stream
+    hot_share = None
+    if salt_buckets is None:
+        # AUTO: batch-local skew probe, amortized — one narrow agg over
+        # the key column (column-pruned scan; map-side partials collapse
+        # to <= n_buckets rows per input partition, so the probe shuffles
+        # almost nothing), re-run every PROBE_EVERY commits and its
+        # verdict reused in between. The fused path's pathology is
+        # BUCKET-level: repartition(_bucket) routes a hot conversation's
+        # entire volume to one task, so the probe measures exactly that —
+        # the share of input rows landing in the hottest bucket.
+        # Post-dedup lineage can't see this (LWW collapses the hot key to
+        # <= max_turns rows per conversation).
+        verdict = _recent_salt_verdict(table, snap0)
+        if verdict is not None:
+            salt_buckets = verdict
+        else:
+            hist = (
+                events.groupBy(bucket_expr(kcol0, snap0.n_buckets).alias("_b"))
+                .count()
+                .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+                .first()
+            )
+            hot_share = (
+                round(hist["mx"] / hist["tot"], 4) if hist["tot"] else 0.0
+            )
+            # floor at 3x the uniform per-bucket share so small-bucket
+            # tables don't false-trigger on ordinary variance
+            threshold = max(SKEW_TRIGGER_SHARE, 3.0 / snap0.n_buckets)
+            salt_buckets = AUTO_SALT_BUCKETS if hot_share > threshold else 0
     if salt_buckets and salt_buckets > 1:
         winners = lww_dedup(events, key_cols, salt_buckets=salt_buckets)
         winners = winners.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))
@@ -199,7 +268,8 @@ def apply_batch(
         storage,
         commit_key=commit_key,
         schema=table_schema,
-        summary={"epoch": epoch},
+        summary={"epoch": epoch, "salt_buckets": salt_buckets or 0,
+                 "hot_bucket_share": hot_share},
         summary_fn=_obs_metrics,
     )
     if snap is None:

@@ -62,3 +62,51 @@ def test_salted_dedup_plan_has_two_aggregations(spark):
     events = change_events(spark, 1000, n_convs=10)
     plan = explain_str(lww_dedup(events, salt_buckets=8))
     assert plan.count("Exchange") >= 2, "salted dedup should have two shuffles"
+
+
+def test_auto_salt_triggers_on_observed_skew(spark, tmp_path):
+    """salt_buckets=None is AUTO: the batch-local bucket probe sees the
+    hot conversation's ~50% input share and salts the dedup; the decision
+    and the observed share ride the commit summary."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import AUTO_SALT_BUCKETS
+
+    events = hot_key_feed(spark, 4000).localCheckpoint()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                             ("conv_id", "turn_idx"), n_buckets=16)
+    apply_batch(spark, table, events, epoch=0)
+    summ = table.current().summary
+    assert summ["salt_buckets"] == AUTO_SALT_BUCKETS
+    assert summ["hot_bucket_share"] >= 0.4
+    assert_matches_oracle(table.read(), events, PAYLOAD)
+
+
+def test_auto_salt_stays_off_on_uniform_feed(spark, tmp_path):
+    events = change_events(spark, 4000, n_convs=400).localCheckpoint()
+    table = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                             ("conv_id", "turn_idx"), n_buckets=16)
+    apply_batch(spark, table, events, epoch=0)
+    summ = table.current().summary
+    assert summ["salt_buckets"] == 0
+    assert summ["hot_bucket_share"] is not None
+    assert_matches_oracle(table.read(), events, PAYLOAD)
+
+
+def test_auto_salt_verdict_is_reused_between_probes(spark, tmp_path):
+    """The probe's verdict amortizes: within PROBE_EVERY commits the next
+    auto epoch reuses it (hot_bucket_share is null on reused commits)."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import AUTO_SALT_BUCKETS
+
+    events = hot_key_feed(spark, 4000).localCheckpoint()
+    e0 = events.filter(F.col("lsn") % 2 == 0)
+    e1 = events.filter(F.col("lsn") % 2 == 1)
+    table = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+                             ("conv_id", "turn_idx"), n_buckets=16)
+    apply_batch(spark, table, e0, epoch=0)
+    s0 = table.current().summary
+    assert s0["salt_buckets"] == AUTO_SALT_BUCKETS
+    assert s0["hot_bucket_share"] is not None  # probed
+    apply_batch(spark, table, e1, epoch=1)
+    s1 = table.current().summary
+    assert s1["salt_buckets"] == AUTO_SALT_BUCKETS  # reused
+    assert s1["hot_bucket_share"] is None  # no re-probe
+    assert_matches_oracle(table.read(), events, PAYLOAD)
