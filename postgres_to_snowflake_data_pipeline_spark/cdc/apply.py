@@ -85,6 +85,31 @@ SKEW_TRIGGER_SHARE = 0.2
 PROBE_EVERY = 8
 
 
+def probe_hot_bucket_share(events: DataFrame, kcol0: str, n_buckets: int) -> float:
+    """Share of input rows landing in the hottest bucket — one narrow agg
+    (column-pruned scan; map-side partials collapse it to <= n_buckets
+    rows per input partition). CAUTION: this is an extra ACTION on
+    ``events`` — never call it on a foreachBatch micro-batch DataFrame,
+    where the re-executed source scan double-counts streaming
+    numInputRows lineage (streaming/pipeline.py probes the feed once at
+    stream start instead)."""
+    hist = (
+        events.groupBy(bucket_expr(kcol0, n_buckets).alias("_b"))
+        .count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+        .first()
+    )
+    return round(hist["mx"] / hist["tot"], 4) if hist["tot"] else 0.0
+
+
+def resolve_salt(hot_share: float, n_buckets: int) -> int:
+    """The auto-salt verdict for an observed hot-bucket share: salt above
+    max(SKEW_TRIGGER_SHARE, 3x the uniform per-bucket share) — the floor
+    keeps small-bucket tables from false-triggering on variance."""
+    threshold = max(SKEW_TRIGGER_SHARE, 3.0 / n_buckets)
+    return AUTO_SALT_BUCKETS if hot_share > threshold else 0
+
+
 def _recent_salt_verdict(table: LakeTable, snap) -> int | None:
     """The most recent PROBED auto-salt verdict within the last
     ``PROBE_EVERY`` commits (probed commits record a non-null
@@ -92,7 +117,9 @@ def _recent_salt_verdict(table: LakeTable, snap) -> int | None:
     recent probe — the caller must probe. O(PROBE_EVERY) cached metadata
     loads."""
     sid = snap.snapshot_id
-    for s in range(sid, max(sid - PROBE_EVERY, 0), -1):
+    # window of PROBE_EVERY-1 snapshots: a probe at P is reused by the
+    # commits creating P+1..P+PROBE_EVERY-1; the next one re-probes
+    for s in range(sid, max(sid - PROBE_EVERY + 1, 0), -1):
         try:
             summary = table.log.load(s).summary
         except Exception:
@@ -200,19 +227,8 @@ def apply_batch(
         if verdict is not None:
             salt_buckets = verdict
         else:
-            hist = (
-                events.groupBy(bucket_expr(kcol0, snap0.n_buckets).alias("_b"))
-                .count()
-                .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
-                .first()
-            )
-            hot_share = (
-                round(hist["mx"] / hist["tot"], 4) if hist["tot"] else 0.0
-            )
-            # floor at 3x the uniform per-bucket share so small-bucket
-            # tables don't false-trigger on ordinary variance
-            threshold = max(SKEW_TRIGGER_SHARE, 3.0 / snap0.n_buckets)
-            salt_buckets = AUTO_SALT_BUCKETS if hot_share > threshold else 0
+            hot_share = probe_hot_bucket_share(events, kcol0, snap0.n_buckets)
+            salt_buckets = resolve_salt(hot_share, snap0.n_buckets)
     if salt_buckets and salt_buckets > 1:
         winners = lww_dedup(events, key_cols, salt_buckets=salt_buckets)
         winners = winners.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))

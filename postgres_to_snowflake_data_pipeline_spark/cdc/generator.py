@@ -164,6 +164,39 @@ def change_events(
     return df.unionByName(dups).drop("_idx")
 
 
+def hot_key_feed(
+    spark: SparkSession, n_events: int, text_bytes: int = 0, seed: int = 7
+) -> DataFrame:
+    """The north rule's hot-conversation pathology: ~50% of all events on
+    ONE conv_id (across its turn space), the rest spread uniformly. The
+    single shared construction for tests/test_skew.py and
+    tools/bench_skew.py, so the benchmarked distribution is exactly the
+    correctness-tested one. ``text_bytes`` pads texts (wide-payload skew,
+    BENCH.md §2b-wide)."""
+    base = change_events(spark, n_events // 2, n_convs=max(n_events // 200, 10))
+    hot = (
+        change_events(spark, n_events // 2, n_convs=1, seed=seed)
+        .withColumn("conv_id", F.lit("conv-hot"))
+        .withColumn("lsn", F.col("lsn") + 100_000_000)
+    )
+    # text must restate the rewritten conv/lsn (the generator's invariant
+    # "surviving text carries its key and max lsn" is what the skew tests'
+    # oracles check)
+    hot = hot.withColumn(
+        "text",
+        F.format_string(
+            "turn text %s/%s @lsn=%s",
+            F.col("conv_id"),
+            F.col("turn_idx").cast("string"),
+            F.col("lsn").cast("string"),
+        ),
+    )
+    feed = base.unionByName(hot)
+    if text_bytes:
+        feed = feed.withColumn("text", F.rpad(F.col("text"), text_bytes, "x"))
+    return feed
+
+
 def write_feed(
     df: DataFrame,
     path: str,

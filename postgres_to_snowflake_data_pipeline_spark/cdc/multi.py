@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +38,7 @@ from pyspark.sql import functions as F
 
 from postgres_to_snowflake_data_pipeline_spark.cdc.apply import ApplyResult, apply_batch
 from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import ORDER_COL
+from postgres_to_snowflake_data_pipeline_spark.lake.metadata import atomic_write_json
 from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
 
 TABLE_COL = "_table"
@@ -144,12 +144,8 @@ def write_frontier(root: str, epoch: int, snapshot_ids: dict[str, int]) -> str:
     Idempotent: concurrent replayers of a fully-applied epoch derive the
     same snapshot ids from the tables' commit keys, so double-publishing
     rewrites identical content."""
-    os.makedirs(root, exist_ok=True)
     path = os.path.join(root, f"epoch-{epoch}.json")
-    fd, tmp = tempfile.mkstemp(dir=root, suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        json.dump({"epoch": epoch, "tables": snapshot_ids}, f, sort_keys=True)
-    os.replace(tmp, path)
+    atomic_write_json(path, {"epoch": epoch, "tables": snapshot_ids}, sort_keys=True)
     return path
 
 

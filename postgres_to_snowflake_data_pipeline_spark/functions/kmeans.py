@@ -29,13 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def dot(a: Column, b: Column) -> Column:
-    """Double-precision dot product via built-in higher-order functions —
-    JVM-side, codegen'd, no Python in the loop."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+from postgres_to_snowflake_data_pipeline_spark.functions.vector import dot
 
 
 def _md5_long(col: Column) -> Column:

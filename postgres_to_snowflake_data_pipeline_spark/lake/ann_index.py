@@ -35,13 +35,16 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from postgres_to_snowflake_data_pipeline_spark.functions import kmeans as km
+from postgres_to_snowflake_data_pipeline_spark.functions.vector import (
+    cosine_similarity,
+)
+from postgres_to_snowflake_data_pipeline_spark.lake.metadata import atomic_write_json
 
 _SIDECAR = "centroids.json"
 _DATA = "data"
@@ -108,11 +111,7 @@ class AnnIndex:
             "dim": len(next(iter(cents.values()))) if cents else 0,
             "cells": {str(c): v for c, v in sorted(cents.items())},
         }
-        os.makedirs(root, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=root, suffix=".json.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(root, _SIDECAR))
+        atomic_write_json(os.path.join(root, _SIDECAR), meta)
         return cls(spark, root, cents, meta)
 
     @classmethod
@@ -162,12 +161,15 @@ class AnnIndex:
         # inputFiles() provably contains only probed-cell files. basePath
         # keeps the `cell` partition column in the schema. A trained cell
         # with no candidates has no directory — skip it (it provably holds
-        # no neighbors).
+        # no neighbors). Existence goes through the Hadoop FS API, not
+        # os.path: the layout may live on a non-local filesystem, where a
+        # driver-local isdir would silently report every cell missing and
+        # the search would return empty instead of searching.
         data_path = os.path.join(self.root, _DATA)
         paths = [
             p
             for c in probe
-            if os.path.isdir(p := os.path.join(data_path, f"cell={int(c)}"))
+            if self._fs_exists(p := os.path.join(data_path, f"cell={int(c)}"))
         ]
         if paths:
             cands = self.spark.read.option("basePath", data_path).parquet(*paths)
@@ -179,14 +181,12 @@ class AnnIndex:
                 .parquet(data_path)
                 .filter(F.lit(False))
             )
-        num = km.dot(F.col("_qv"), F.col(vec_col))
-        den = F.sqrt(km.dot(F.col("_qv"), F.col("_qv"))) * F.sqrt(
-            km.dot(F.col(vec_col), F.col(vec_col))
-        )
         scored = cands.join(F.broadcast(q), "cell").select(
             "query_id",
             F.col(key_col).alias("neighbor_id"),
-            F.round(num / den, 6).alias("cosine"),
+            F.round(cosine_similarity(F.col("_qv"), F.col(vec_col)), 6).alias(
+                "cosine"
+            ),
         )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
@@ -194,6 +194,14 @@ class AnnIndex:
         return scored.withColumn("rnk", F.row_number().over(w)).filter(
             F.col("rnk") <= k
         )
+
+    def _fs_exists(self, path: str) -> bool:
+        """Path existence via the Hadoop FileSystem resolved for ``path``
+        — correct for local, HDFS, and object-store roots alike."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
 
     def data_files(self) -> list[str]:
         """All parquet data files of the layout (for pruning assertions)."""

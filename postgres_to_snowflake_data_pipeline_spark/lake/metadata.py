@@ -62,6 +62,22 @@ from pyspark.sql import types as T
 FORMAT_VERSION = 2
 
 
+def atomic_write_json(path: str, obj: Any, **dump_kwargs: Any) -> None:
+    """Crash-safe JSON sidecar write: temp file in the SAME directory
+    (rename across filesystems is not atomic), fsync, then rename over the
+    target. Shared by every sidecar writer — frontier markers
+    (cdc/multi.py), view group->bucket hints (lake/view.py), ANN centroids
+    (lake/ann_index.py) — so durability fixes land in one place."""
+    d = os.path.dirname(path) or "."
+    os.makedirs(d, exist_ok=True)
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, **dump_kwargs)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed the snapshot id this commit targeted.
 

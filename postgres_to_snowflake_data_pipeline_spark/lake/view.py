@@ -52,13 +52,13 @@ from __future__ import annotations
 
 import json
 import os
-import tempfile
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from postgres_to_snowflake_data_pipeline_spark.lake.metadata import atomic_write_json
 from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable, bucket_expr
 
 #: sidecar file: group -> source-bucket bitmap (the non-key pruning hint)
@@ -137,11 +137,7 @@ class IncrementalAggView:
             return None
 
     def _persist_hint(self, hint: dict[str, Any]) -> None:
-        os.makedirs(self.root, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".json.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(hint, f)
-        os.replace(tmp, self._hint_path())
+        atomic_write_json(self._hint_path(), hint)
 
     def _pairs_of(self, df: DataFrame, key0: str, n_buckets: int) -> list | None:
         """Distinct (group..., bucket) pairs of ``df`` — bounded collect

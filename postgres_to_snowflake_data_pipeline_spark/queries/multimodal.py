@@ -62,7 +62,9 @@ DECODED_SCHEMA = T.StructType(
 )
 
 
-def build_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_payloads(
+    spark: SparkSession, sf_dir: str, encode_media: frozenset[str] | None = None
+) -> DataFrame:
     """Binary ingestion stage: image rows (doc_id % 3 == 0) become REAL PNG
     blobs — dimensions derived from the text length, pixels = the utf-8
     text cycled to fill the raster; audio rows (doc_id % 3 == 1) become
@@ -70,7 +72,12 @@ def build_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     = the utf-8 text cycled to fill the buffer; video rows carry the raw
     utf-8 bytes as an opaque stand-in blob. ``src_n_bytes`` preserves the
     pre-encode byte count — encoded blob sizes are compression-dependent
-    (PNG) and must never leak into oracle math."""
+    (PNG) and must never leak into oracle math.
+
+    ``encode_media`` limits which media types get REAL encoding (others
+    pass the raw bytes through): a consumer that only decodes audio (m02)
+    must not pay the per-row Python PNG encode for blobs it never opens.
+    None = encode every encodable modality."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -78,12 +85,16 @@ def build_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 data = bytes(payload)
                 n = len(data)
-                if doc_id % 3 == 0:
+                if doc_id % 3 == 0 and (
+                    encode_media is None or "image/png" in encode_media
+                ):
                     w, h = n % 64 + 1, n * 7 % 48 + 1
                     need = w * h * 3
                     rgb = (data * (need // max(n, 1) + 1))[:need] if n else bytes(need)
                     blobs.append(_png.encode_png(w, h, rgb))
-                elif doc_id % 3 == 1:
+                elif doc_id % 3 == 1 and (
+                    encode_media is None or "audio/wav" in encode_media
+                ):
                     need = 2 * (n * 7 % 6000 + 1)  # WAV_FRAMES 16-bit frames
                     pcm = (data * (need // max(n, 1) + 1))[:need] if n else bytes(need)
                     blobs.append(
@@ -256,7 +267,12 @@ def m02_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).map(lambda s: hashlib.md5(s.encode()).hexdigest()[:16])
             yield out
 
-    return build_payloads(spark, sf_dir).mapInPandas(sample_frames, FRAME_SCHEMA)
+    # audio-only encoding: the sampler never opens image/video blobs, so
+    # paying the per-row PNG encode for a third of the corpus (only to
+    # read src_n_bytes) would be pure wasted wall-clock in a headline query
+    return build_payloads(
+        spark, sf_dir, encode_media=frozenset({"audio/wav"})
+    ).mapInPandas(sample_frames, FRAME_SCHEMA)
 
 
 M02_SQL = f"""

@@ -100,10 +100,15 @@ def _table_exists(conn, table: str) -> bool:
                 state = j.getSQLState()
             except Exception:
                 state = None
-        # ONLY the undefined-table states — class 42 as a whole also covers
-        # syntax and privilege errors (e.g. Postgres 42501), which must not
-        # be misread as "table absent" or the swap takes the wrong branch
-        if state is not None and str(state) in ("42X05", "42P01", "42S02"):
+        # ONLY the undefined-table/undefined-schema states — class 42 as a
+        # whole also covers syntax and privilege errors (e.g. Postgres
+        # 42501), which must not be misread as "table absent" or the swap
+        # takes the wrong branch. Missing SCHEMA (Derby 42Y07, Postgres
+        # 3F000) implies the table is absent too — a schema-qualified
+        # first-ever publish must bootstrap, not crash.
+        if state is not None and str(state) in (
+            "42X05", "42P01", "42S02", "42Y07", "3F000",
+        ):
             return False
         raise
     finally:

@@ -94,6 +94,27 @@ def run_stream(
         # committed batches in: compact with an empty bucket list runs
         # exactly the explicit-ts_slices validation and nothing else
         table.compact(buckets=[], ts_slices=compact_ts_slices)
+    if salt_buckets is None:
+        # resolve the auto-salt verdict ONCE, from the feed's current
+        # contents: probing inside foreachBatch would re-execute each
+        # micro-batch's source scan, and streaming numInputRows lineage
+        # counts rows per EXECUTION — the listener reconciliation would
+        # see every probed batch double (bit us: tests/test_listener.py).
+        # An empty/not-yet-created feed resolves to unsalted.
+        from postgres_to_snowflake_data_pipeline_spark.cdc.apply import (
+            probe_hot_bucket_share,
+            resolve_salt,
+        )
+
+        snap = table.current()
+        try:
+            existing = spark.read.schema(event_schema).parquet(feed_path)
+            share = probe_hot_bucket_share(
+                existing, snap.key_cols[0], snap.n_buckets
+            )
+        except Exception:
+            share = 0.0
+        salt_buckets = resolve_salt(share, snap.n_buckets)
     events = read_feed_stream(spark, feed_path, event_schema, max_files_per_trigger)
     if watermark_delay is not None:
         events = events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(

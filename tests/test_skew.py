@@ -9,27 +9,16 @@ from pyspark.sql import functions as F
 
 from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
 from postgres_to_snowflake_data_pipeline_spark.cdc.dedup import lww_dedup
-from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events
+from postgres_to_snowflake_data_pipeline_spark.cdc.generator import (
+    change_events,
+    hot_key_feed,
+)
 from postgres_to_snowflake_data_pipeline_spark.cdc.oracle import assert_matches_oracle
 from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
 from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
 from postgres_to_snowflake_data_pipeline_spark.plans.inspect import explain_str
 
 PAYLOAD = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
-
-
-def hot_key_feed(spark, n: int):
-    """~50% of events on conv-hot (across its turn space), rest spread."""
-    base = change_events(spark, n // 2, n_convs=max(n // 200, 10))
-    hot = change_events(spark, n // 2, n_convs=1, seed=7)
-    hot = hot.withColumn("conv_id", F.lit("conv-hot")).withColumn(
-        "lsn", F.col("lsn") + 10_000_000
-    ).withColumn(
-        "text",
-        F.format_string("turn text %s/%s @lsn=%s", F.col("conv_id"),
-                        F.col("turn_idx").cast("string"), F.col("lsn").cast("string")),
-    )
-    return base.unionByName(hot)
 
 
 def test_extreme_skew_correctness(spark, tmp_path):

@@ -31,10 +31,8 @@ def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     text_bytes = int(sys.argv[2]) if len(sys.argv) > 2 else 4096
 
-    from pyspark.sql import functions as F
-
     from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
-    from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events
+    from postgres_to_snowflake_data_pipeline_spark.cdc.generator import hot_key_feed
     from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
     from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
     from postgres_to_snowflake_data_pipeline_spark.session import get_spark
@@ -43,15 +41,10 @@ def main() -> None:
     work = os.path.join(tempfile.gettempdir(), "bench-skew")
     shutil.rmtree(work, ignore_errors=True)
 
-    pad = F.rpad(F.col("text"), text_bytes, "x")
-    base = change_events(spark, n_events // 2, n_convs=max(n_events // 200, 10))
-    hot = (
-        change_events(spark, n_events // 2, n_convs=1, seed=7)
-        .withColumn("conv_id", F.lit("conv-hot"))
-        .withColumn("lsn", F.col("lsn") + 100_000_000)
-    )
+    # the SAME construction the skew correctness tests pin (generator.
+    # hot_key_feed) — the benchmarked distribution is the tested one
     feed_path = os.path.join(work, "feed")
-    base.unionByName(hot).withColumn("text", pad).write.parquet(feed_path)
+    hot_key_feed(spark, n_events, text_bytes=text_bytes).write.parquet(feed_path)
     feed = spark.read.parquet(feed_path)
 
     out: dict = {
