@@ -153,12 +153,11 @@ class DeltaAggView:
             if op == "avg":
                 val, cond = F.col(name) / nn, nn > 0
             elif op in ("var", "stddev"):
-                s1, s2 = F.col(name), F.col(f"_sq_{name}")
-                # clamp: float cancellation can leave a tiny negative
-                # where the true variance is 0 (constant group)
-                var = F.greatest(
-                    (s2 - s1 * s1 / nn) / (nn - 1), F.lit(0.0)
-                )
+                # stored state is Chan central moments: name = M2 (sum of
+                # squared deviations), _mu = mean — var_samp = M2/(n-1).
+                # clamp: float noise can leave a tiny negative where the
+                # true variance is 0 (constant group)
+                var = F.greatest(F.col(name) / (nn - 1), F.lit(0.0))
                 val = F.sqrt(var) if op == "stddev" else var
                 cond = nn >= 2  # var_samp/stddev_samp need n-1 > 0
             else:
@@ -179,24 +178,26 @@ class DeltaAggView:
             if op in ("sum", "avg", "var", "stddev")
         ]
 
-    def _sq_tracked(self) -> list[str]:
-        """Measures needing a sum-of-squares companion (``_sq_{name}``):
-        var/stddev, maintained from the first two moments —
-        var_samp = (S2 - S1^2/n) / (n-1). Both moments are retractable
-        sums, so the view stays O(delta) per refresh. Moments are summed
-        in double (squaring an int column would overflow long under ANSI
-        long before the sum does).
+    def _chan_tracked(self) -> list[str]:
+        """var/stddev measures, maintained as CHAN-STYLE CENTRAL MOMENTS
+        (n, mean, M2): storage columns are ``{name}`` = M2 (sum of squared
+        deviations from the mean), ``_mu_{name}`` = mean, and the shared
+        ``_nn_{name}`` = n. Each refresh window aggregates its post-image
+        rows and its pre-image rows into SEPARATE (n, mu, m2) states via
+        built-in count/avg/var_pop (all Tungsten declarative aggregates),
+        and the per-group merge join applies remove-then-add:
 
-        NUMERICAL DOMAIN: the raw-moment form cancels catastrophically
-        when mean^2 >> variance — relative error ~ (mean^2/var) * 2^-52,
-        so results are trustworthy while mean^2/var << 4e15. Fine for
-        lengths/latencies/scores; do NOT point it at near-constant
-        columns with huge offsets (epoch-micros timestamps, raw lsn):
-        center the expression first (e.g. ``x - <era floor>``) or use
-        IncrementalAggView's exact recompute. The robust upgrade path is
-        Chan-style central moments (n, mean, M2) with translate-merge —
-        requires per-group remove-then-add merge, not the single signed
-        aggregation used here. Requesting var AND stddev of the same
+            remove pre-images R from stored O (the exact inverse of
+            Chan's pairwise combine), then add post-images A:
+            mu' = (n*mu - n_r*mu_r)/n';  M2' = M2 - M2_r - d^2*n_r*n'/n
+            then the standard combine with A.
+
+        Central moments keep the error relative to M2 itself — the
+        raw-moment form this replaced (S2 - S1^2/n) cancels
+        catastrophically when mean^2 >> variance (relative error ~
+        (mean^2/var) * 2^-52), which made huge-offset near-constant
+        columns (epoch-micros timestamps, raw lsn) untrustworthy. Those
+        now work unmodified. Requesting var AND stddev of the same
         expression stores each measure's moments independently (derive
         stddev from var downstream to halve the state)."""
         return [
@@ -220,11 +221,25 @@ class DeltaAggView:
                 # avg is maintained AS its sum; read() divides by _nn
                 out.append(F.coalesce(F.sum(sign * v), F.lit(0)).alias(name))
             elif op in ("var", "stddev"):
-                # first moment in double; read() derives the statistic
+                # Chan moments need the window's ADD set (post-images,
+                # sign +1) and REMOVE set (pre-images, sign -1) as
+                # separate (n, mu, m2) states — a net signed mixture has
+                # no meaningful M2. count/avg/var_pop are declarative
+                # Tungsten aggregates; the structs merge in
+                # _apply_adjustment's remove-then-add.
                 vd = v.cast("double")
-                out.append(
-                    F.coalesce(F.sum(sign * vd), F.lit(0.0)).alias(name)
-                )
+                for tag, side in (("_add_", F.when(sign > 0, vd)),
+                                  ("_rem_", F.when(sign < 0, vd))):
+                    n_ = F.count(side)
+                    out.append(
+                        F.struct(
+                            n_.cast("long").alias("n"),
+                            F.coalesce(F.avg(side), F.lit(0.0)).alias("mu"),
+                            F.coalesce(
+                                F.var_pop(side) * n_, F.lit(0.0)
+                            ).alias("m2"),
+                        ).alias(f"{tag}{name}")
+                    )
             elif op in ("min", "max"):
                 # append-only contract (enforced in __init__): every window
                 # row carries sign +1, so the window extremum merges with
@@ -238,12 +253,6 @@ class DeltaAggView:
                     .cast("long")
                     .alias(name)
                 )
-        for name in self._sq_tracked():
-            vd = F.col(f"_v_{name}").cast("double")
-            out.append(
-                F.coalesce(F.sum(sign * vd * vd), F.lit(0.0))
-                .alias(f"_sq_{name}")
-            )
         for name in self._null_tracked():
             v = F.col(f"_v_{name}")
             out.append(
@@ -272,7 +281,7 @@ class DeltaAggView:
         return [
             N_ROWS,
             *self.measures,
-            *[f"_sq_{n}" for n in self._sq_tracked()],
+            *[f"_mu_{n}" for n in self._chan_tracked()],
             *[f"_nn_{n}" for n in self._null_tracked()],
         ]
 
@@ -431,9 +440,18 @@ class DeltaAggView:
     ) -> dict[str, Any]:
         gcols = list(self.group_cols)
         mcols = self._measure_cols()
+        chan = set(self._chan_tracked())
+
+        def storage_type(c: str) -> T.DataType:
+            # Chan state columns (M2, mean) are not adj columns — adj
+            # carries them inside the _add_/_rem_ structs
+            if c in chan or (c.startswith("_mu_") and c[4:] in chan):
+                return T.DoubleType()
+            return adj.schema[c].dataType
+
         if self._table is None:
             fields = [adj.schema[g] for g in gcols] + [
-                T.StructField(c, adj.schema[c].dataType, True) for c in mcols
+                T.StructField(c, storage_type(c), True) for c in mcols
             ]
             self._table = LakeTable.create(
                 self.spark, self.root, T.StructType(fields),
@@ -441,9 +459,19 @@ class DeltaAggView:
             )
         schema = self._table.schema()
 
+        def storage_from_window(c: str) -> F.Column:
+            """adj column -> storage shape: a full-rebuild (or brand-new
+            group) window is all post-images, so the Chan state IS the
+            _add struct (the _rem struct is provably empty)."""
+            if c in chan:
+                return F.col(f"_add_{c}")["m2"].alias(c)
+            if c.startswith("_mu_") and c[4:] in chan:
+                return F.col(f"_add_{c[4:]}")["mu"].alias(c)
+            return F.col(c)
+
         if full_rebuild:
             # totals are absolute; every existing view group not in them died
-            new = adj
+            new = adj.select(*gcols, *[storage_from_window(c) for c in mcols])
             old_groups = self._table.read().select(*gcols)
             gone = old_groups.join(adj.select(*gcols), on=gcols, how="left_anti")
         else:
@@ -460,7 +488,50 @@ class DeltaAggView:
             joined = adj.alias("d").join(old.alias("o"), on=gcols, how="left")
             ops = {n: op for n, (op, _) in self.measures.items()}
 
+            def chan_exprs(n: str) -> dict[str, F.Column]:
+                """Remove-then-add central-moment merge for var measure
+                ``n`` (see _chan_tracked): subtract the window's pre-image
+                state R from the stored state O (exact inverse of Chan's
+                pairwise combine), then combine with the post-image state
+                A. Every division is guarded by its count; M2 clamps at 0
+                (constant groups can land epsilon-negative)."""
+                o_n = F.coalesce(F.col(f"o._nn_{n}"), F.lit(0))
+                o_mu = F.coalesce(F.col(f"o._mu_{n}"), F.lit(0.0))
+                o_m2 = F.coalesce(F.col(f"o.{n}"), F.lit(0.0))
+                r, a = F.col(f"d._rem_{n}"), F.col(f"d._add_{n}")
+                n1 = o_n - r["n"]
+                mu1 = F.when(
+                    n1 > 0, (o_n * o_mu - r["n"] * r["mu"]) / n1
+                ).otherwise(F.lit(0.0))
+                m2_1 = F.when(
+                    (n1 > 0) & (o_n > 0),
+                    F.greatest(
+                        o_m2 - r["m2"]
+                        - F.pow(r["mu"] - mu1, 2) * r["n"] * n1 / o_n,
+                        F.lit(0.0),
+                    ),
+                ).otherwise(F.lit(0.0))
+                n2 = n1 + a["n"]
+                delta = a["mu"] - mu1
+                mu2 = F.when(
+                    n2 > 0, mu1 + delta * a["n"] / n2
+                ).otherwise(F.lit(0.0))
+                m2_2 = F.when(
+                    n2 > 0,
+                    F.greatest(
+                        m2_1 + a["m2"] + delta * delta * n1 * a["n"] / n2,
+                        F.lit(0.0),
+                    ),
+                ).otherwise(F.lit(0.0))
+                return {n: m2_2, f"_mu_{n}": mu2}
+
+            chan_merged: dict[str, F.Column] = {}
+            for n in chan:
+                chan_merged.update(chan_exprs(n))
+
             def merge_expr(c: str) -> F.Column:
+                if c in chan_merged:
+                    return chan_merged[c]
                 o, d = F.col(f"o.{c}"), F.col(f"d.{c}")
                 op = ops.get(c)
                 if op == "min":

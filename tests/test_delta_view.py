@@ -402,3 +402,40 @@ def test_var_single_row_and_constant_groups(spark, tmp_path, source):
     got = {r["role"]: r.asDict() for r in view.read().collect()}
     assert got["solo"]["v"] is None and got["solo"]["sd"] is None
     assert got["const"]["v"] == 0.0 and got["const"]["sd"] == 0.0
+
+
+def test_var_on_huge_offset_column_is_numerically_stable(
+    spark, tmp_path, source
+):
+    """The domain the raw-moment form could NOT handle (round-3 caveat):
+    variance of an epoch-micros-scale column (mean^2/var >> 4e15, where
+    S2 - S1^2/n loses every significant digit). Chan central moments keep
+    the error relative to M2 itself, so the maintained statistic must
+    match a var_samp recompute tightly across updates and deletes."""
+    view = DeltaAggView(
+        spark, str(tmp_path / "dv"), source, ("role",),
+        {"v_us": ("var", "unix_micros(ts)")},
+        payload_cols=["role", "ts"], n_buckets=2,
+    )
+    ev = change_events(spark, 6000, n_convs=300).localCheckpoint()
+    lo, hi = ev.select(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo + 1) // 3 + 1
+    for e in range(3):
+        batch = ev.filter(
+            (F.col("lsn") >= lo + e * step) & (F.col("lsn") < lo + (e + 1) * step)
+        )
+        apply_batch(spark, source, batch, epoch=e)
+        view.refresh()
+        got = {r["role"]: r["v_us"] for r in view.read().collect()}
+        want = {
+            r["role"]: r["w"]
+            for r in source.read().groupBy("role").agg(
+                F.var_samp(F.expr("unix_micros(ts)")).alias("w")
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for role, w in want.items():
+            if w is None:
+                assert got[role] is None, role
+            else:
+                assert got[role] == pytest.approx(w, rel=1e-6), (role, got[role], w)
