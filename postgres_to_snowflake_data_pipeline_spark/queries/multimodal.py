@@ -63,7 +63,10 @@ DECODED_SCHEMA = T.StructType(
 
 
 def build_payloads(
-    spark: SparkSession, sf_dir: str, encode_media: frozenset[str] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    encode_media: frozenset[str] | None = None,
+    only_media: str | None = None,
 ) -> DataFrame:
     """Binary ingestion stage: image rows (doc_id % 3 == 0) become REAL PNG
     blobs — dimensions derived from the text length, pixels = the utf-8
@@ -77,7 +80,13 @@ def build_payloads(
     ``encode_media`` limits which media types get REAL encoding (others
     pass the raw bytes through): a consumer that only decodes audio (m02)
     must not pay the per-row Python PNG encode for blobs it never opens.
-    None = encode every encodable modality."""
+    None = encode every encodable modality.
+
+    ``only_media`` restricts the OUTPUT to one media type: the filter is
+    applied to the raw projection BELOW the encode UDF (Catalyst cannot
+    push a filter through ``mapInPandas``), so a single-modality consumer
+    (m04) never ships the other two-thirds of the corpus through the
+    Python worker at all."""
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -121,6 +130,8 @@ def build_payloads(
         .alias("media_type"),
         F.octet_length(F.encode("text", "UTF-8")).alias("src_n_bytes"),
     )
+    if only_media is not None:
+        raw = raw.filter(F.col("media_type") == only_media)
     return raw.mapInPandas(
         encode,
         T.StructType(
@@ -364,4 +375,123 @@ SELECT doc_id, w AS src_width, h AS src_height,
        CAST(trunc(n_bytes * (({RESIZE_TO} * {RESIZE_TO}) / CAST(w * h AS DOUBLE))) AS BIGINT)
            AS resized_n_bytes
 FROM d
+"""
+
+
+# ---------------------------------------------------------------------------
+# m04 — audio feature extraction over REAL PCM: each WAV blob is decoded
+# by the stdlib parser and its int16 samples reduced to exact integer
+# features (energy = Σ v², peak = max |v|, zero crossings = adjacent
+# sign flips). All three are pure functions of the decoded sample
+# stream, and the generator's PCM is the utf-8 text cycled — so the
+# DuckDB oracle re-derives EVERY sample arithmetically (hex-pair byte
+# extraction + int16 two's complement) and the value-hash check covers
+# the full decode → frombuffer → reduce chain sample-by-sample. Integer
+# features (not float RMS) keep the hash bit-exact across engines.
+#
+# At 100 TB this is the canonical audio-curation stage: mapInPandas
+# streams Arrow batches through the worker, numpy reduces each blob
+# vectorized (no per-sample Python), nothing but (doc_id, 5 ints)
+# crosses the UDF boundary, and only the audio third of the corpus is
+# shipped to Python at all (only_media pushes the modality filter below
+# the encode).
+# ---------------------------------------------------------------------------
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("peak", T.IntegerType(), False),
+        T.StructField("zero_crossings", T.IntegerType(), False),
+    ]
+)
+
+
+def m04_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Closure => serialized by value, workers need no package import.
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, _ch, _sw, _nf, pcm = _wav.decode_wav(bytes(payload))
+                s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                sg = np.where(s >= 0, 1, -1)
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        s.size,
+                        int((s * s).sum()),
+                        int(np.abs(s).max()) if s.size else 0,
+                        int((sg[1:] != sg[:-1]).sum()),
+                    )
+                )
+            out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples", "energy", "peak",
+                    "zero_crossings",
+                ],
+            )
+            for c in ("sample_rate", "n_samples", "peak", "zero_crossings"):
+                out[c] = out[c].astype("int32")
+            out["energy"] = out["energy"].astype("int64")
+            yield out
+
+    return build_payloads(
+        spark,
+        sf_dir,
+        encode_media=frozenset({"audio/wav"}),
+        only_media="audio/wav",
+    ).mapInPandas(extract, AUDIO_FEATURES_SCHEMA)
+
+
+# The oracle rebuilds the PCM stream arithmetically: sample i's two
+# little-endian bytes sit at cycled text positions 2i and 2i+1 (hex-pair
+# substr + 0x-cast, the CLAUDE.md hex→int trick), two's complement folds
+# values ≥ 2^15, and a lag window recovers the sign-flip count. n = 0
+# degenerates to one silent sample on both engines.
+M04_SQL = f"""
+WITH d AS (
+  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+  FROM documents WHERE doc_id % 3 = 1
+),
+p AS (
+  SELECT doc_id, n, h, {WAV_RATE} AS rate, {WAV_FRAMES} AS nf FROM d
+),
+raw AS (
+  SELECT doc_id, rate, nf, i,
+         CASE WHEN n = 0 THEN 0
+              ELSE CAST(concat('0x', substr(h, ((2*i) % n)*2 + 1, 2)) AS INTEGER)
+         END AS lo,
+         CASE WHEN n = 0 THEN 0
+              ELSE CAST(concat('0x', substr(h, ((2*i+1) % n)*2 + 1, 2)) AS INTEGER)
+         END AS hi
+  FROM p, LATERAL unnest(range(0, nf)) AS t(i)
+),
+s AS (
+  SELECT doc_id, rate, i,
+         CASE WHEN lo + 256*hi >= 32768 THEN lo + 256*hi - 65536
+              ELSE lo + 256*hi END AS v
+  FROM raw
+),
+w AS (
+  SELECT doc_id, rate, v,
+         CASE WHEN v >= 0 THEN 1 ELSE -1 END AS sg,
+         lag(CASE WHEN v >= 0 THEN 1 ELSE -1 END)
+             OVER (PARTITION BY doc_id ORDER BY i) AS prev_sg
+  FROM s
+)
+SELECT doc_id,
+       CAST(min(rate) AS INTEGER) AS sample_rate,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(max(abs(v)) AS INTEGER) AS peak,
+       CAST(sum(CASE WHEN prev_sg IS NOT NULL AND sg <> prev_sg
+                     THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+FROM w
+GROUP BY doc_id
 """

@@ -69,3 +69,42 @@ def test_audio_payloads_are_real_wav(spark, sf_dir):
         n = r["src_n_bytes"]
         assert (rate, ch, sw) == (8000 + (n % 8) * 1000, 1, 2)
         assert nf == n * 7 % 6000 + 1 and len(pcm) == 2 * nf
+
+
+def test_m04_features_match_direct_decode(spark, sf_dir):
+    """m04's Arrow-batched feature extraction must equal a direct per-blob
+    decode+reduce done here in the test process — pins the Spark plumbing
+    (batch shapes, dtypes, only_media filter) against the codec itself."""
+    import numpy as np
+
+    from postgres_to_snowflake_data_pipeline_spark.queries import multimodal
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in multimodal.m04_audio_features(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 3 = 1")
+        .limit(8)
+        .collect()
+    }
+    assert docs and set(docs) <= set(got)
+    # every audio doc appears exactly once, and ONLY audio docs appear
+    assert all(d % 3 == 1 for d in got)
+    for doc_id, text in docs.items():
+        data = text.encode("utf-8")
+        n = len(data)
+        need = 2 * (n * 7 % 6000 + 1)
+        pcm = (data * (need // max(n, 1) + 1))[:need] if n else bytes(need)
+        blob = encode_wav(8000 + (n % 8) * 1000, 1, 2, pcm)
+        rate, _ch, _sw, _nf, back = decode_wav(blob)
+        s = np.frombuffer(back, dtype="<i2").astype(np.int64)
+        sg = np.where(s >= 0, 1, -1)
+        r = got[doc_id]
+        assert r["sample_rate"] == rate
+        assert r["n_samples"] == s.size
+        assert r["energy"] == int((s * s).sum())
+        assert r["peak"] == int(np.abs(s).max())
+        assert r["zero_crossings"] == int((sg[1:] != sg[:-1]).sum())
