@@ -44,7 +44,7 @@ import uuid
 from datetime import datetime, timezone
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -426,7 +426,10 @@ class LakeTable:
         are opened (1/n_buckets of the table) — and within the bucket,
         manifest key-range stats skip every delta whose range cannot
         contain the key; the residual conv_id filter pushes into the
-        surviving parquet scans."""
+        surviving parquet scans. On a KEY-CLUSTERED table
+        (``compact(key_slices=k)``) the same stats prune the base files
+        too — the slices' key ranges are disjoint, so exactly one of the
+        k base files is opened."""
         snap = self.current() if snapshot_id is None else self.log.load(snapshot_id)
         bucket = self._bucket_of(conv_id, snap.n_buckets)
         return self.read(
@@ -1487,7 +1490,10 @@ class LakeTable:
         return sorted(over)
 
     def compact(
-        self, buckets: list[int] | None = None, ts_slices: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        ts_slices: int | None = None,
+        key_slices: int | None = None,
     ) -> Snapshot:
         """Fold delta files into per-bucket base files (copy-on-write).
 
@@ -1510,28 +1516,59 @@ class LakeTable:
         slicing is orthogonal to key order), so ``read_key`` opens up to
         ``ts_slices`` files instead of one.
 
-        ``ts_slices=None`` (default) PRESERVES the table's existing
-        clustering — the effective k is the max ``ts_k`` any current base
-        entry carries — so a default-args maintenance ``compact()`` (e.g.
-        ``replay_feed``'s cadence) never silently un-slices a
-        time-clustered table. An EXPLICIT ``ts_slices`` is a layout
-        request: buckets folded at a different k are rewritten to the new
-        k. Explicit ``ts_slices > 1`` on a schema with no timestamp column
-        raises (mirroring ``read(ts_prune=...)``)."""
+        ``key_slices > 1`` is the ALTERNATIVE layout axis — KEY-CLUSTERED
+        output: each bucket's resolved rows are split at bucketing-key
+        quantiles (dense rank over ``key_cols[0]``, so one key never
+        straddles two files) into up to ``key_slices`` base files with
+        DISJOINT key ranges. The manifest's existing per-file key stats
+        then prune a point lookup to exactly ONE file — ``read_key`` on a
+        key-clustered bucket opens 1/key_slices of the bucket's bytes —
+        while file sizes stay bounded as buckets grow (at 100 TB a
+        4096-bucket table otherwise folds into ~24 GB single files). The
+        trade-off mirrors time clustering: every slice spans the bucket's
+        whole ts range, so ``read(ts_prune=...)`` cannot skip within the
+        bucket. Pick the axis per table from its read mix; the two are
+        mutually exclusive in one pass (both > 1 raises).
+
+        ``ts_slices=None and key_slices=None`` (default) PRESERVES the
+        table's existing clustering — the effective k per axis is the max
+        ``ts_k`` / ``key_k`` any current base entry carries — so a
+        default-args maintenance ``compact()`` (e.g. ``replay_feed``'s
+        cadence) never silently un-slices a clustered table. An EXPLICIT
+        slicing arg is a COMPLETE layout request: it sets BOTH axes (the
+        unnamed one to 1), and buckets folded at a different layout are
+        rewritten. Explicit ``ts_slices > 1`` on a schema with no
+        timestamp column raises (mirroring ``read(ts_prune=...)``)."""
         snap = self.current()
         zcol = self._zone_ts_col(snap.schema)
-        if ts_slices is None:
+        if (ts_slices or 1) > 1 and (key_slices or 1) > 1:
+            raise ValueError(
+                "compact: ts_slices and key_slices are alternative layout "
+                "axes — pass only one > 1"
+            )
+        if ts_slices is not None or key_slices is not None:
+            # explicit layout request: both axes pinned
+            if (ts_slices or 1) > 1 and zcol is None:
+                raise ValueError(
+                    "compact(ts_slices>1): schema has no timestamp column "
+                    "to cluster by"
+                )
+            want_k = max(int(ts_slices), 1) if ts_slices is not None else 1
+            want_kk = max(int(key_slices), 1) if key_slices is not None else 1
+        else:
             # preserve the existing clustering: the max ts_k any base
             # entry carries; entries from before the ts_k field fall back
             # to counting their same-pass siblings in the bucket. If the
             # zone column has since been DROPPED, collapse to 1 — the
             # layout cannot be maintained and tagging unsliced files with
             # the old k would make the manifest lie
-            want_k = 1
+            want_k, want_kk = 1, 1
             for fs in snap.files.values():
                 for e in fs:
                     if e.get("kind") != "base":
                         continue
+                    if "key_k" in e:
+                        want_kk = max(want_kk, int(e["key_k"]))
                     if "ts_k" in e:
                         want_k = max(want_k, int(e["ts_k"]))
                     elif e.get("lww_group") is not None:
@@ -1542,13 +1579,13 @@ class LakeTable:
                         want_k = max(want_k, sibs)
             if zcol is None:
                 want_k = 1
-        else:
-            if ts_slices > 1 and zcol is None:
+            if want_k > 1 and want_kk > 1:
+                # partial explicit rewrites left buckets on different axes;
+                # preservation cannot pick a winner — demand a layout
                 raise ValueError(
-                    "compact(ts_slices>1): schema has no timestamp column "
-                    "to cluster by"
+                    "compact: table carries BOTH ts- and key-clustered "
+                    "buckets; pass an explicit ts_slices or key_slices"
                 )
-            want_k = max(int(ts_slices), 1)
         todo = []
         for b, fs in snap.files.items():
             if buckets is not None and int(b) not in buckets:
@@ -1562,7 +1599,11 @@ class LakeTable:
             # rewritten every compact(), and an explicit re-slice request
             # (different k) would silently no-op
             one_pass = len(fs) <= 1 or (len(groups) == 1 and None not in groups)
-            folded = one_pass and {e.get("ts_k", 1) for e in fs} == {want_k}
+            folded = (
+                one_pass
+                and {e.get("ts_k", 1) for e in fs} == {want_k}
+                and {e.get("key_k", 1) for e in fs} == {want_kk}
+            )
             if any(e.get("kind") == "delta" for e in fs) or not folded:
                 todo.append(int(b))
         if not todo:
@@ -1604,22 +1645,40 @@ class LakeTable:
                 )
             finally:
                 df.unpersist()
-            raw: dict[str, list[dict[str, Any]]] = {}
-            for i in range(len(bounds) + 1):
-                sub = f"_sdir={i}"
-                if not os.path.isdir(os.path.join(out, sub)):
-                    continue  # empty slice (duplicate quantile bounds)
-                r_i, _ = self._collect_entries(
-                    os.path.join(out, sub),
-                    os.path.join(commit_dir, sub),
-                    **stat_kwargs,
-                )
-                for b, es in r_i.items():
-                    raw.setdefault(b, []).extend(es)
+            raw = self._collect_sliced(
+                out, commit_dir, len(bounds) + 1, stat_kwargs
+            )
+        elif want_kk > 1:
+            # KEY-MAJOR slicing: the slice index is the key's dense rank
+            # over the bucket scaled to want_kk — every row of one key gets
+            # the same slice (ranges are DISJOINT, a point lookup opens
+            # exactly one file). Both windows reuse the repartition's
+            # hash distribution and the existing (bucket, key) sort — no
+            # extra exchange (pinned by tests/test_key_clustering.py).
+            k0 = snap.key_cols[0]
+            dr = F.dense_rank().over(Window.partitionBy("_bucket").orderBy(k0))
+            df = df.withColumn("_dr", dr).withColumn(
+                "_nd", F.max("_dr").over(Window.partitionBy("_bucket"))
+            )
+            sl = F.floor((F.col("_dr") - 1) * want_kk / F.col("_nd")).cast("int")
+            out = os.path.join(self.root, commit_dir)
+            (
+                df.withColumn("_sdir", sl)
+                .drop("_dr", "_nd")
+                .withColumn("_bdir", F.col("_bucket"))
+                .write.partitionBy("_sdir", "_bdir")
+                .mode("overwrite")
+                .parquet(out)
+            )
+            raw = self._collect_sliced(out, commit_dir, want_kk, stat_kwargs)
         else:
             raw, _stats = self._write_data(df, commit_dir, **stat_kwargs)
         new_files = {
-            b: [dict(e, kind="base", lww_group=group, ts_k=want_k) for e in es]
+            b: [
+                dict(e, kind="base", lww_group=group, ts_k=want_k,
+                     key_k=want_kk)
+                for e in es
+            ]
             for b, es in raw.items()
         }
         for b in todo:  # buckets whose rows were all... always rewritten
@@ -1634,3 +1693,29 @@ class LakeTable:
         )
         assert out is not None  # no commit_key -> never the racer-applied path
         return out
+
+    def _collect_sliced(
+        self,
+        out: str,
+        commit_dir: str,
+        n_slices: int,
+        stat_kwargs: dict[str, Any],
+    ) -> dict[str, list[dict[str, Any]]]:
+        """Per-bucket manifest entries for a sliced compaction write
+        (``_sdir=i/_bdir=b`` layout): entries are collected per slice
+        subdir so each carries THAT slice's key/ts/lsn stats — the stats
+        machinery is unchanged. Missing subdirs (empty slices: duplicate
+        quantile bounds, fewer distinct keys than slices) are skipped."""
+        raw: dict[str, list[dict[str, Any]]] = {}
+        for i in range(n_slices):
+            sub = f"_sdir={i}"
+            if not os.path.isdir(os.path.join(out, sub)):
+                continue
+            r_i, _ = self._collect_entries(
+                os.path.join(out, sub),
+                os.path.join(commit_dir, sub),
+                **stat_kwargs,
+            )
+            for b, es in r_i.items():
+                raw.setdefault(b, []).extend(es)
+        return raw
