@@ -1531,10 +1531,13 @@ class LakeTable:
         mutually exclusive in one pass (both > 1 raises).
 
         ``ts_slices=None and key_slices=None`` (default) PRESERVES the
-        table's existing clustering — the effective k per axis is the max
-        ``ts_k`` / ``key_k`` any current base entry carries — so a
-        default-args maintenance ``compact()`` (e.g. ``replay_feed``'s
-        cadence) never silently un-slices a clustered table. An EXPLICIT
+        table's existing clustering PER BUCKET — each bucket's effective
+        k per axis is the max ``ts_k`` / ``key_k`` its current base
+        entries carry — so a default-args maintenance ``compact()`` (e.g.
+        ``replay_feed``'s cadence) never silently un-slices a clustered
+        table, and a table whose buckets sit on DIFFERENT layouts (a
+        partial explicit rewrite) folds each layout group separately
+        instead of wedging the cadence. An EXPLICIT
         slicing arg is a COMPLETE layout request: it sets BOTH axes (the
         unnamed one to 1), and buckets folded at a different layout are
         rewritten. Explicit ``ts_slices > 1`` on a schema with no
@@ -1556,36 +1559,37 @@ class LakeTable:
             want_k = max(int(ts_slices), 1) if ts_slices is not None else 1
             want_kk = max(int(key_slices), 1) if key_slices is not None else 1
         else:
-            # preserve the existing clustering: the max ts_k any base
-            # entry carries; entries from before the ts_k field fall back
-            # to counting their same-pass siblings in the bucket. If the
-            # zone column has since been DROPPED, collapse to 1 — the
-            # layout cannot be maintained and tagging unsliced files with
-            # the old k would make the manifest lie
-            want_k, want_kk = 1, 1
-            for fs in snap.files.values():
-                for e in fs:
-                    if e.get("kind") != "base":
-                        continue
-                    if "key_k" in e:
-                        want_kk = max(want_kk, int(e["key_k"]))
-                    if "ts_k" in e:
-                        want_k = max(want_k, int(e["ts_k"]))
-                    elif e.get("lww_group") is not None:
-                        sibs = sum(
-                            1 for x in fs
-                            if x.get("lww_group") == e["lww_group"]
-                        )
-                        want_k = max(want_k, sibs)
-            if zcol is None:
-                want_k = 1
-            if want_k > 1 and want_kk > 1:
-                # partial explicit rewrites left buckets on different axes;
-                # preservation cannot pick a winner — demand a layout
-                raise ValueError(
-                    "compact: table carries BOTH ts- and key-clustered "
-                    "buckets; pass an explicit ts_slices or key_slices"
-                )
+            # preserve the existing clustering PER BUCKET (partial explicit
+            # rewrites may have left buckets on different axes — a mixed
+            # table must not wedge the unattended maintenance cadence, so
+            # each group folds at its own layout via recursion; only a
+            # single bucket claiming BOTH axes is genuinely ambiguous and
+            # raises inside _bucket_layout)
+            layouts = {
+                b: self._bucket_layout(fs, zcol)
+                for b, fs in snap.files.items()
+                if fs
+            }
+            scoped = {
+                lay
+                for b, lay in layouts.items()
+                if buckets is None or int(b) in buckets
+            }
+            if len(scoped) > 1:
+                out_snap = snap
+                for k, kk in sorted(scoped):
+                    bs = [
+                        int(b) for b, lay in layouts.items()
+                        if lay == (k, kk)
+                        and (buckets is None or int(b) in buckets)
+                    ]
+                    out_snap = (
+                        self.compact(buckets=bs, key_slices=kk)
+                        if kk > 1
+                        else self.compact(buckets=bs, ts_slices=k)
+                    )
+                return out_snap
+            want_k, want_kk = next(iter(scoped), (1, 1))
         todo = []
         for b, fs in snap.files.items():
             if buckets is not None and int(b) not in buckets:
@@ -1634,20 +1638,11 @@ class LakeTable:
                 for i, bnd in enumerate(bounds):
                     # null _us: the comparison is null -> otherwise -> 0
                     sl = F.when(F.col("_us") >= F.lit(bnd), F.lit(i + 1)).otherwise(sl)
-                out = os.path.join(self.root, commit_dir)
-                (
-                    df.withColumn("_sdir", sl)
-                    .drop("_us")
-                    .withColumn("_bdir", F.col("_bucket"))
-                    .write.partitionBy("_sdir", "_bdir")
-                    .mode("overwrite")
-                    .parquet(out)
+                raw = self._write_sliced(
+                    df, sl, ["_us"], commit_dir, len(bounds) + 1, stat_kwargs
                 )
             finally:
                 df.unpersist()
-            raw = self._collect_sliced(
-                out, commit_dir, len(bounds) + 1, stat_kwargs
-            )
         elif want_kk > 1:
             # KEY-MAJOR slicing: the slice index is the key's dense rank
             # over the bucket scaled to want_kk — every row of one key gets
@@ -1661,16 +1656,9 @@ class LakeTable:
                 "_nd", F.max("_dr").over(Window.partitionBy("_bucket"))
             )
             sl = F.floor((F.col("_dr") - 1) * want_kk / F.col("_nd")).cast("int")
-            out = os.path.join(self.root, commit_dir)
-            (
-                df.withColumn("_sdir", sl)
-                .drop("_dr", "_nd")
-                .withColumn("_bdir", F.col("_bucket"))
-                .write.partitionBy("_sdir", "_bdir")
-                .mode("overwrite")
-                .parquet(out)
+            raw = self._write_sliced(
+                df, sl, ["_dr", "_nd"], commit_dir, want_kk, stat_kwargs
             )
-            raw = self._collect_sliced(out, commit_dir, want_kk, stat_kwargs)
         else:
             raw, _stats = self._write_data(df, commit_dir, **stat_kwargs)
         new_files = {
@@ -1693,6 +1681,64 @@ class LakeTable:
         )
         assert out is not None  # no commit_key -> never the racer-applied path
         return out
+
+    @staticmethod
+    def _bucket_layout(
+        fs: list[dict[str, Any]], zcol: str | None
+    ) -> tuple[int, int]:
+        """One bucket's preserved ``(ts_k, key_k)`` layout from its base
+        entries' manifest fields; entries from before the ``ts_k`` field
+        fall back to counting same-pass siblings. A dropped zone column
+        collapses the ts axis to 1 — the layout cannot be maintained and
+        tagging unsliced files with the old k would make the manifest
+        lie. A single bucket claiming BOTH axes has no foldable layout
+        (unreachable from this writer, which stamps exactly one axis per
+        pass) — loud, not silent."""
+        k, kk = 1, 1
+        for e in fs:
+            if e.get("kind") != "base":
+                continue
+            if "key_k" in e:
+                kk = max(kk, int(e["key_k"]))
+            if "ts_k" in e:
+                k = max(k, int(e["ts_k"]))
+            elif e.get("lww_group") is not None:
+                sibs = sum(
+                    1 for x in fs if x.get("lww_group") == e["lww_group"]
+                )
+                k = max(k, sibs)
+        if zcol is None:
+            k = 1
+        if k > 1 and kk > 1:
+            raise ValueError(
+                "compact: bucket carries BOTH ts- and key-clustered base "
+                "files; pass an explicit ts_slices or key_slices"
+            )
+        return k, kk
+
+    def _write_sliced(
+        self,
+        df: DataFrame,
+        slice_col: F.Column,
+        drop_cols: list[str],
+        commit_dir: str,
+        n_slices: int,
+        stat_kwargs: dict[str, Any],
+    ) -> dict[str, list[dict[str, Any]]]:
+        """The shared sliced-compaction write: ONE job partitioned by
+        (slice, bucket) — only the slice-index expression differs between
+        the ts- and key-clustered layouts — then per-subdir entry
+        collection."""
+        out = os.path.join(self.root, commit_dir)
+        (
+            df.withColumn("_sdir", slice_col)
+            .drop(*drop_cols)
+            .withColumn("_bdir", F.col("_bucket"))
+            .write.partitionBy("_sdir", "_bdir")
+            .mode("overwrite")
+            .parquet(out)
+        )
+        return self._collect_sliced(out, commit_dir, n_slices, stat_kwargs)
 
     def _collect_sliced(
         self,

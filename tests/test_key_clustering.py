@@ -98,11 +98,19 @@ def test_layout_axes_are_exclusive_and_explicit_overrides(spark, tmp_path):
     for _b, fs in snap.files.items():
         assert {e.get("key_k", 1) for e in fs} == {1}
         assert {e["ts_k"] for e in fs} == {2}
-    # mixed per-bucket layouts (partial explicit rewrite) make default
-    # preservation ambiguous — loud, not silent
+    # mixed per-bucket layouts (partial explicit rewrite) must NOT wedge
+    # unattended maintenance: default compact() folds each layout group at
+    # its own axis instead of raising
     table.compact(buckets=[0], key_slices=2)
-    with pytest.raises(ValueError, match="BOTH"):
-        table.compact()
+    apply_batch(
+        spark, table,
+        spark.createDataFrame(_rows(60, lsn0=5000), SCHEMA), epoch=1,
+    )
+    snap = table.compact()
+    for b, fs in snap.files.items():
+        assert all(e["kind"] == "base" for e in fs)  # deltas folded
+        want = (1, 2) if int(b) == 0 else (2, 1)
+        assert {(e["ts_k"], e["key_k"]) for e in fs} == {want}, (b, fs)
 
 
 def test_ts_prune_on_key_clustered_table_stays_correct(spark, tmp_path):
