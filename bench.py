@@ -45,6 +45,7 @@ HEADLINE = [
     "v07_ann_ivf_persisted",
     "m01_multimodal_decode",
     "m02_frame_sample",
+    "m04_audio_features",
 ]
 
 #: in-process repetitions per headline query; the recorded number is the

@@ -20,6 +20,11 @@ halves the way a 100 TB deployment must:
   FileIndex never even lists the unprobed partitions (pinned via
   ``inputFiles()`` in tests/test_ann_index.py). A search touches
   ~nprobe/k of the data instead of all of it.
+- ``AnnIndex.append`` — maintenance without retraining: frozen centroids
+  assign new vectors to their cells (the classic IVF insert), the layout
+  grows in place, and the sidecar accumulates an ``appended_rows`` drift
+  counter (``appended_share`` is the rebuild-trigger signal). Oracled as
+  catalog entry v08.
 
 Determinism: every step (sample membership, seeded init, fixed Lloyd
 iterations, 6-dp rounding before comparisons) is a pure function of the
@@ -83,11 +88,17 @@ class AnnIndex:
         — domain-separated from the seed hash, see functions/kmeans.py),
         then cluster the FULL vector set by nearest cell and persist.
 
-        ``vectors`` must carry ``key_col`` and an array<double> ``vec_col``.
-        One full-data shuffle total (the clustering repartition); training
-        scans only the sample. ``repartition("cell")`` puts each cell in
-        exactly one task, so ``partitionBy`` emits one file per cell —
-        no small-file explosion at any k."""
+        ``vectors`` must carry ``key_col`` and an array<double> ``vec_col``
+        (the layout stores EXACTLY those two plus the cell — a fixed
+        schema, so later ``append`` batches can never fork the file
+        schema). One full-data shuffle total (the clustering
+        repartition); training scans only the sample.
+        ``repartition("cell")`` puts each cell in exactly one task, so
+        ``partitionBy`` emits one file per cell — no small-file explosion
+        at any k."""
+        from pyspark.sql import Observation
+
+        vectors = vectors.select(key_col, vec_col)
         sample = vectors.filter(km.sample_hash(key_col) % sample_mod == 0)
         # train_kmeans_cells seeds on the literal column name "vec_id"
         train = sample.select(
@@ -95,9 +106,11 @@ class AnnIndex:
         )
         cents = km.train_kmeans_cells(train, "v", k=k, iters=iters)
         data_path = os.path.join(root, _DATA)
+        obs = Observation()
         (
             vectors.withColumn("cell", km.argmin_cell(vec_col, cents))
             .repartition(F.col("cell"))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.mode("overwrite")
             .partitionBy("cell")
             .parquet(data_path)
@@ -109,10 +122,55 @@ class AnnIndex:
             "iters": iters,
             "sample_mod": sample_mod,
             "dim": len(next(iter(cents.values()))) if cents else 0,
+            "base_rows": int(obs.get["rows"]),
+            "appended_rows": 0,
             "cells": {str(c): v for c, v in sorted(cents.items())},
         }
         atomic_write_json(os.path.join(root, _SIDECAR), meta)
         return cls(spark, root, cents, meta)
+
+    def append(self, vectors: DataFrame) -> int:
+        """Index MAINTENANCE without retraining: assign new vectors to the
+        EXISTING cells (centroids are frozen — the classic IVF insert) and
+        append them to the cell-clustered layout; searches see them
+        immediately because a search opens cell DIRECTORIES. Returns the
+        number of rows appended.
+
+        The sidecar accumulates ``appended_rows`` as a DRIFT signal —
+        frozen centroids stop reflecting the distribution as the appended
+        share grows (``appended_share``); rebuild when it crosses the
+        deployment's tolerance (classic IVF practice). The row count rides
+        an ``Observation`` on the write (no second scan). A crash between
+        the data append and the sidecar write leaves a CORRECT index —
+        search reads the directories — with only the drift counter
+        undercounting until the next append or rebuild."""
+        from pyspark.sql import Observation
+
+        key_col, vec_col = self.meta["key_col"], self.meta["vec_col"]
+        obs = Observation()
+        (
+            vectors.select(key_col, vec_col)  # the layout's fixed schema
+            .withColumn("cell", km.argmin_cell(vec_col, self.cents))
+            .repartition(F.col("cell"))
+            .observe(obs, F.count(F.lit(1)).alias("rows"))
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(os.path.join(self.root, _DATA))
+        )
+        n = int(obs.get["rows"])
+        self.meta["appended_rows"] = (
+            int(self.meta.get("appended_rows", 0)) + n
+        )
+        atomic_write_json(os.path.join(self.root, _SIDECAR), self.meta)
+        return n
+
+    def appended_share(self) -> float:
+        """Fraction of the layout's rows inserted after training — the
+        rebuild-trigger signal. 0.0 on a fresh build; pre-append-era
+        sidecars (no counters) report 0.0."""
+        base = int(self.meta.get("base_rows", 0))
+        app = int(self.meta.get("appended_rows", 0))
+        return app / (base + app) if (base + app) else 0.0
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "AnnIndex":

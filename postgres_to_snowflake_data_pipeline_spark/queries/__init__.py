@@ -63,7 +63,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q10_topk_per_user": (reference.q10_topk_per_user, reference.Q10_SQL),
     "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
     "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
-    "q15_top_orders": (reference.q15_top_orders, reference.Q15_SQL),
     "q16_hourly_rollup": (reference.q16_hourly_rollup, reference.Q16_SQL),
     "q17_session_windows": (reference.q17_session_windows, reference.Q17_SQL),
     "q18_json_extract": (reference.q18_json_extract, reference.Q18_SQL),
@@ -121,6 +120,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # probed cells' files (lake/ann_index.py); oracle replays the same
     # sampled training + probe join declaratively
     "v07_ann_ivf_persisted": (simops.v07_ann_ivf_persisted, simops.V07_SQL),
+    # index MAINTENANCE (round 4): frozen-centroid IVF insert — build on
+    # the pre-append base, append the rest, reload from the sidecar,
+    # search; oracle trains on the base subset and assigns the full set
+    "v08_ann_ivf_append": (simops.v08_ann_ivf_append, simops.V08_SQL),
     # multimodal binary plumbing (Arrow-batched decode stubs)
     "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
     "m02_frame_sample": (multimodal.m02_frame_sample, multimodal.M02_SQL),
@@ -141,8 +144,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # demoted these five — each (a) driver-green in BOTH r2 and r3 and
     # (b) a family sibling of an in-gate entry (q07~q11 ts parsing,
     # q13⊂q20 rollup/cube, t04~t14 fingerprints, v04⊂v05 LSH probing,
-    # v03~v05 embedding near-dup via the same LSH bucketing — demoted to
-    # keep the NEW m04 audio-features entry inside the 50-slot window).
+    # v03~v05 embedding near-dup via the same LSH bucketing, q15~q10
+    # window top-k — v03/q15 demoted to keep the NEW m04 audio-features
+    # and v08 index-append entries inside the 50-slot window).
     # ALL entries, including these, are re-verified every round by the
     # parametrized parity suite and a committed full-catalog
     # `tools/check_parity.py` run (recorded in README.md §testing).
@@ -154,6 +158,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "t04_fingerprint": (textops.t04_fingerprint, textops.T04_SQL),
     "v04_ann_lsh_bucketed": (simops.v04_ann_lsh_bucketed, simops.V04_SQL),
     "v03_embedding_near_dup": (simops.v03_embedding_near_dup, simops.V03_SQL),
+    "q15_top_orders": (reference.q15_top_orders, reference.Q15_SQL),
 }
 
 #: strict sub-stage twins collapsed out of the driver gate (round 4, per

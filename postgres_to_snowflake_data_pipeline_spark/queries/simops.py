@@ -469,7 +469,12 @@ def v07_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.search(queries, k=3, nprobe=NPROBE)
 
 
-def _v07_sql() -> str:
+def _ivf_persisted_sql(base_pred: str = "") -> str:
+    """The persisted-IVF oracle: training unrolled in SQL over the hash
+    sample of the candidate set (optionally narrowed by ``base_pred`` —
+    v08 trains on the pre-append base only), final centroids assign the
+    FULL candidate set (v08's appended vectors are assigned by the same
+    frozen centroids, so the assignment CTE needs no change)."""
     seed = (
         "CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) "
         f"AS BIGINT) % {K_CELLS}"
@@ -481,7 +486,7 @@ def _v07_sql() -> str:
     )
     ctes = [
         "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
-        f"s AS (SELECT vec_id, v FROM e WHERE vec_id >= {N_QUERIES} AND {samp})",
+        f"s AS (SELECT vec_id, v FROM e WHERE vec_id >= {N_QUERIES}{base_pred} AND {samp})",
         f"a0 AS (SELECT vec_id, v, {seed} AS cell FROM s)",
     ]
     prev = "a0"
@@ -542,7 +547,51 @@ def _v07_sql() -> str:
     )
 
 
-V07_SQL = _v07_sql()
+V07_SQL = _ivf_persisted_sql()
+
+
+def v08_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF index MAINTENANCE: build on the pre-append base
+    (vec_id % 5 != 0), then insert the remaining fifth of the corpus via
+    ``AnnIndex.append`` — frozen centroids assign the new vectors to
+    their cells and the layout grows in place — reload the index from
+    its sidecar (persistence round-trip inside the oracled flow) and
+    search. The oracle trains on the base subset only and assigns the
+    FULL candidate set with the trained centroids, exactly the frozen-
+    centroid insert semantics (see lake/ann_index.py::append)."""
+    import os
+    import shutil
+    import tempfile
+
+    from postgres_to_snowflake_data_pipeline_spark.lake.ann_index import AnnIndex
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"annidx8-{sf_dir.strip('/').replace('/', '-')}-pid{os.getpid()}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cands = ev.filter(F.col("vec_id") >= N_QUERIES)
+    idx = AnnIndex.build(
+        spark,
+        cands.filter(F.col("vec_id") % 5 != 0),
+        work,
+        key_col="vec_id",
+        vec_col="v",
+        k=K_CELLS,
+        iters=KMEANS_ITERS,
+        sample_mod=SAMPLE_MOD,
+    )
+    idx.append(cands.filter(F.col("vec_id") % 5 == 0))
+    idx = AnnIndex.load(spark, work)
+    queries = ev.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return idx.search(queries, k=3, nprobe=NPROBE)
+
+
+V08_SQL = _ivf_persisted_sql(" AND vec_id % 5 != 0")
 
 
 def _probe_list_sql() -> str:

@@ -134,3 +134,96 @@ def test_sampled_training_keeps_recall(spark, planted_dir, tmp_path):
     }
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, f"persisted-IVF recall {recall:.2f}"
+
+
+def test_append_inserts_into_frozen_cells(spark, planted_dir, tmp_path):
+    """Index maintenance: append assigns new vectors with the FROZEN
+    centroids and the layout absorbs them in place — searches must see
+    appended vectors immediately, results must equal a same-centroid
+    recompute over base+appended, pruning must keep holding, and the
+    sidecar drift counters must survive a reload."""
+    from postgres_to_snowflake_data_pipeline_spark.functions import kmeans as km
+    from postgres_to_snowflake_data_pipeline_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    ev = _vectors(spark, planted_dir)
+    cands = ev.filter(F.col("vec_id") >= simops.N_QUERIES)
+    base = cands.filter(F.col("vec_id") % 3 != 0)
+    extra = cands.filter(F.col("vec_id") % 3 == 0)
+    root = tmp_path / "idx"
+    idx = AnnIndex.build(
+        spark, base, str(root), key_col="vec_id", vec_col="v",
+        k=simops.K_CELLS, iters=simops.KMEANS_ITERS,
+        sample_mod=simops.SAMPLE_MOD,
+    )
+    files_before = set(idx.data_files())
+    n = idx.append(extra)
+    assert n == extra.count() > 0
+    assert files_before < set(idx.data_files())  # layout grew in place
+
+    # an appended vector, used as the query, must find ITSELF at rank 1
+    probe_id = extra.select(F.min("vec_id")).first()[0]
+    self_q = ev.filter(F.col("vec_id") == probe_id).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    top = idx.search(self_q, k=1, nprobe=simops.NPROBE).first()
+    assert top["neighbor_id"] == probe_id and top["cosine"] == 1.0
+
+    # search == same-centroid recompute over base+appended (exact)
+    queries = ev.filter(F.col("vec_id") < simops.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    got = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["cosine"])
+        for r in idx.search(queries, k=3, nprobe=simops.NPROBE).collect()
+    )
+    probed = idx.probed_cells(queries, simops.NPROBE)
+    from pyspark.sql.window import Window as W
+
+    qcells = queries.select(
+        "query_id", F.col("v").alias("_qv"),
+        F.explode(km.probe_cells("v", idx.cents, simops.NPROBE)).alias("cell"),
+    )
+    recompute = (
+        cands.withColumn("cell", km.argmin_cell("v", idx.cents))
+        .filter(F.col("cell").isin(probed))
+        .join(qcells, "cell")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("_qv"), F.col("v")), 6).alias("cosine"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.col("cosine").desc(), F.col("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+    want = sorted(
+        (r["query_id"], r["rnk"], r["neighbor_id"], r["cosine"])
+        for r in recompute.collect()
+    )
+    assert got == want
+
+    # pruning still holds over the grown layout
+    all_files = {os.path.realpath(p) for p in idx.data_files()}
+    opened = {
+        os.path.realpath(f.replace("file:", ""))
+        for f in idx.search(queries, k=3, nprobe=simops.NPROBE).inputFiles()
+        if f.endswith(".parquet")
+    } & all_files
+    assert opened and opened < all_files
+    for f in opened:
+        assert int(f.split("cell=")[1].split("/")[0]) in probed
+
+    # drift counters persist through the sidecar round-trip
+    re = AnnIndex.load(spark, str(root))
+    assert re.meta["appended_rows"] == n
+    assert 0.0 < re.appended_share() < 1.0
+    re.append(extra.limit(0))  # zero-row append: counter unchanged
+    assert re.meta["appended_rows"] == n
