@@ -39,6 +39,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # zone-map time-window read: merge-on-read with LWW-sound ts pruning;
     # oracle = full LWW state filtered to the identical window
     "c05_time_window_read": (cdcq.c05_time_window_read, cdcq.C05_SQL),
+    # key-clustered point lookups (round 4): replay -> compact(key_slices)
+    # -> read_key over a fixed key set; oracle = LWW state at those keys
+    "c06_key_clustered_lookup": (
+        cdcq.c06_key_clustered_lookup,
+        cdcq.C06_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -82,7 +88,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         textops.T06_SQL,
     ),
     "t07_minhash_bands": (textops.t07_minhash_bands, textops.T07_SQL),
-    "t09_simhash": (textops.t09_simhash, textops.T09_SQL),
     "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
     "t13_levenshtein_pairs": (textops.t13_levenshtein_pairs, textops.T13_SQL),
     "t14_rolling_fingerprint": (
@@ -145,8 +150,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # (b) a family sibling of an in-gate entry (q07~q11 ts parsing,
     # q13⊂q20 rollup/cube, t04~t14 fingerprints, v04⊂v05 LSH probing,
     # v03~v05 embedding near-dup via the same LSH bucketing, q15~q10
-    # window top-k — v03/q15 demoted to keep the NEW m04 audio-features
-    # and v08 index-append entries inside the 50-slot window).
+    # window top-k, t09~t04/t14 fingerprint family — v03/q15/t09 demoted
+    # to keep the NEW m04 audio-features, v08 index-append, and c06
+    # key-clustered-lookup entries inside the 50-slot window).
     # ALL entries, including these, are re-verified every round by the
     # parametrized parity suite and a committed full-catalog
     # `tools/check_parity.py` run (recorded in README.md §testing).
@@ -159,6 +165,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "v04_ann_lsh_bucketed": (simops.v04_ann_lsh_bucketed, simops.V04_SQL),
     "v03_embedding_near_dup": (simops.v03_embedding_near_dup, simops.V03_SQL),
     "q15_top_orders": (reference.q15_top_orders, reference.Q15_SQL),
+    "t09_simhash": (textops.t09_simhash, textops.T09_SQL),
 }
 
 #: strict sub-stage twins collapsed out of the driver gate (round 4, per

@@ -416,3 +416,48 @@ w AS (
 )
 SELECT conv_id, turn_idx, role, text, ts FROM w WHERE op <> 'delete'
 """
+
+
+# ---------------------------------------------------------------------------
+# c06 — key-clustered point lookups through the whole engine: replay the
+# feed, re-layout the table with compact(key_slices=4) (disjoint per-file
+# key ranges inside every bucket), then read a fixed key set via
+# read_key — each lookup opens ONE bucket and, inside it, ONE base slice
+# (manifest key-range pruning; tests/test_key_clustering.py pins the
+# file counts). The oracle is the LWW state filtered to the same keys,
+# so the value-hash check proves the re-layout changed WHERE rows live,
+# never WHAT they are. Keys that do not exist at a given scale factor
+# contribute zero rows on both engines.
+# ---------------------------------------------------------------------------
+C06_KEYS = ("u1", "u7", "u13", "u29", "u46")
+
+
+def c06_key_clustered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    work = os.path.join(
+        tempfile.gettempdir(), "cdck-" + sf_dir.strip("/").replace("/", "-")
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    replay_feed(spark, table, feed_path, epochs=2)
+    table.compact(key_slices=4)
+    parts = [
+        table.read_key(k).select("conv_id", "turn_idx", "role", "text", "ts")
+        for k in C06_KEYS
+    ]
+    return reduce(DataFrame.unionAll, parts)
+
+
+_C06_IN = ", ".join(f"'{k}'" for k in C06_KEYS)
+C06_SQL = f"""
+SELECT * FROM ({C01_SQL}) WHERE conv_id IN ({_C06_IN})
+"""
