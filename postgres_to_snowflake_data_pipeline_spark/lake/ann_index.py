@@ -22,9 +22,10 @@ halves the way a 100 TB deployment must:
   ~nprobe/k of the data instead of all of it.
 - ``AnnIndex.append`` — maintenance without retraining: frozen centroids
   assign new vectors to their cells (the classic IVF insert), the layout
-  grows in place, and the sidecar accumulates an ``appended_rows`` drift
-  counter (``appended_share`` is the rebuild-trigger signal). Oracled as
-  catalog entry v08.
+  grows in place, and each append drops an atomically-written
+  ``append-{token}.json`` marker whose row counts sum to the drift
+  counter (``appended_share`` is the rebuild-trigger signal) — no
+  read-modify-write of shared state. Oracled as catalog entry v08.
 
 Determinism: every step (sample membership, seeded init, fixed Lloyd
 iterations, 6-dp rounding before comparisons) is a pure function of the
@@ -40,6 +41,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -126,6 +128,11 @@ class AnnIndex:
             "appended_rows": 0,
             "cells": {str(c): v for c, v in sorted(cents.items())},
         }
+        # a REBUILD resets drift: stale append markers from the previous
+        # build's maintenance era must not count against the new centroids
+        for name in os.listdir(root) if os.path.isdir(root) else []:
+            if name.startswith("append-") and name.endswith(".json"):
+                os.unlink(os.path.join(root, name))
         atomic_write_json(os.path.join(root, _SIDECAR), meta)
         return cls(spark, root, cents, meta)
 
@@ -136,14 +143,23 @@ class AnnIndex:
         immediately because a search opens cell DIRECTORIES. Returns the
         number of rows appended.
 
-        The sidecar accumulates ``appended_rows`` as a DRIFT signal —
-        frozen centroids stop reflecting the distribution as the appended
-        share grows (``appended_share``); rebuild when it crosses the
-        deployment's tolerance (classic IVF practice). The row count rides
-        an ``Observation`` on the write (no second scan). A crash between
-        the data append and the sidecar write leaves a CORRECT index —
-        search reads the directories — with only the drift counter
-        undercounting until the next append or rebuild."""
+        SINGLE WRITER: like the lake table's compaction, maintenance is
+        one scheduled job at a time — two appends racing the same layout
+        would share the parquet dir's ``_temporary`` staging and one
+        job's commit cleanup can delete the other's in-flight task files.
+        (Searches are unaffected: they open committed cell directories.)
+
+        The DRIFT signal, though, is race- and crash-proof regardless:
+        each append records its row count in its OWN atomically-written
+        ``append-{token}.json`` marker (no read-modify-write of shared
+        state — the sidecar stays the immutable build artifact), and
+        ``load`` sums the markers. Frozen centroids stop reflecting the
+        distribution as the appended share grows (``appended_share``);
+        rebuild when it crosses the deployment's tolerance (classic IVF
+        practice). The row count rides an ``Observation`` on the write
+        (no second scan). A crash between the data append and the marker
+        write leaves a CORRECT index — search reads the directories —
+        with only the drift counter undercounting until the next rebuild."""
         from pyspark.sql import Observation
 
         key_col, vec_col = self.meta["key_col"], self.meta["vec_col"]
@@ -158,10 +174,13 @@ class AnnIndex:
             .parquet(os.path.join(self.root, _DATA))
         )
         n = int(obs.get["rows"])
+        atomic_write_json(
+            os.path.join(self.root, f"append-{uuid.uuid4().hex[:12]}.json"),
+            {"rows": n},
+        )
         self.meta["appended_rows"] = (
             int(self.meta.get("appended_rows", 0)) + n
         )
-        atomic_write_json(os.path.join(self.root, _SIDECAR), self.meta)
         return n
 
     def appended_share(self) -> float:
@@ -176,6 +195,16 @@ class AnnIndex:
     def load(cls, spark: SparkSession, root: str) -> "AnnIndex":
         with open(os.path.join(root, _SIDECAR)) as f:
             meta = json.load(f)
+        # drift counter = the sidecar's build-time value (0 on current
+        # builds; pre-marker sidecars carried an accumulated count) plus
+        # one marker per append since — each atomically written under a
+        # unique name, so concurrent appends can never lose counts
+        appended = int(meta.get("appended_rows", 0))
+        for name in os.listdir(root):
+            if name.startswith("append-") and name.endswith(".json"):
+                with open(os.path.join(root, name)) as f:
+                    appended += int(json.load(f).get("rows", 0))
+        meta["appended_rows"] = appended
         cents = {int(c): v for c, v in meta["cells"].items()}
         return cls(spark, root, cents, meta)
 

@@ -189,15 +189,29 @@ class DeltaAggView:
 
             remove pre-images R from stored O (the exact inverse of
             Chan's pairwise combine), then add post-images A:
-            mu' = (n*mu - n_r*mu_r)/n';  M2' = M2 - M2_r - d^2*n_r*n'/n
+            mu' = mu + (mu - mu_r)*n_r/n';  M2' = M2 - M2_r - d^2*n_r*n'/n
             then the standard combine with A.
+
+        The remove-step mean is computed as a CORRECTION to the stored
+        mean (mu + (mu - mu_r)*n_r/n'), never as a difference of raw-sum
+        products ((n*mu - n_r*mu_r)/n') — the products round at eps*|mu|*n
+        and their difference cancels, whereas (mu - mu_r) cancels the
+        large offset first; in particular a constant group whose per-set
+        means are exact (integer-valued doubles — lsn, epoch micros,
+        lengths — i.e. sums below 2^53) has mu == mu_r exactly, so mu',
+        d and M2' stay exactly 0.0.
 
         Central moments keep the error relative to M2 itself — the
         raw-moment form this replaced (S2 - S1^2/n) cancels
         catastrophically when mean^2 >> variance (relative error ~
         (mean^2/var) * 2^-52), which made huge-offset near-constant
         columns (epoch-micros timestamps, raw lsn) untrustworthy. Those
-        now work unmodified. Requesting var AND stddev of the same
+        now work up to the REPRESENTATION's noise floor: a stored double
+        mean carries absolute rounding ~eps*|mu|, so a group whose true
+        spread is below ~eps*|mu| (values ~1e15 agreeing to within a few
+        units) reads a maintained variance dominated by that noise —
+        a storage-precision limit no update order can beat, not a
+        cancellation bug. Requesting var AND stddev of the same
         expression stores each measure's moments independently (derive
         stddev from var downstream to halve the state)."""
         return [
@@ -500,8 +514,13 @@ class DeltaAggView:
                 o_m2 = F.coalesce(F.col(f"o.{n}"), F.lit(0.0))
                 r, a = F.col(f"d._rem_{n}"), F.col(f"d._add_{n}")
                 n1 = o_n - r["n"]
+                # correction form, NOT (o_n*o_mu - r.n*r.mu)/n1: the raw
+                # products round at eps*|mu|*n and their difference
+                # cancels; (o_mu - r.mu) cancels the offset first, and a
+                # constant integer-valued group (exact means, so
+                # o_mu == r.mu) stays exactly 0
                 mu1 = F.when(
-                    n1 > 0, (o_n * o_mu - r["n"] * r["mu"]) / n1
+                    n1 > 0, o_mu + (o_mu - r["mu"]) * r["n"] / n1
                 ).otherwise(F.lit(0.0))
                 m2_1 = F.when(
                     (n1 > 0) & (o_n > 0),

@@ -1564,24 +1564,44 @@ class LakeTable:
             # table must not wedge the unattended maintenance cadence, so
             # each group folds at its own layout via recursion; only a
             # single bucket claiming BOTH axes is genuinely ambiguous and
-            # raises inside _bucket_layout)
+            # raises inside _bucket_layout — loud for IN-SCOPE buckets,
+            # ignored for out-of-scope ones so a poisoned bucket cannot
+            # wedge a scoped compact of unrelated buckets)
+            layouts: dict[str, tuple[int, int] | None] = {}
+            pool: list[tuple[int, int]] = []
+            for b, fs in snap.files.items():
+                if not fs:
+                    continue
+                if buckets is None or int(b) in buckets:
+                    layouts[b] = self._bucket_layout(fs, zcol)
+                else:
+                    try:
+                        lay = self._bucket_layout(fs, zcol)
+                    except ValueError:
+                        lay = None
+                    if lay is not None:
+                        pool.append(lay)
+            pool += [lay for lay in layouts.values() if lay is not None]
+            # a bucket with no base files yet (fresh data hashed into a
+            # previously-empty bucket: deltas only) has no layout of its
+            # own — it INHERITS the table's dominant known layout, so the
+            # first maintenance fold clusters it like its siblings instead
+            # of permanently stamping it (1, 1)
+            default_lay = (
+                max(set(pool), key=lambda l: (pool.count(l), l))
+                if pool
+                else (1, 1)
+            )
             layouts = {
-                b: self._bucket_layout(fs, zcol)
-                for b, fs in snap.files.items()
-                if fs
-            }
-            scoped = {
-                lay
+                b: (lay if lay is not None else default_lay)
                 for b, lay in layouts.items()
-                if buckets is None or int(b) in buckets
             }
+            scoped = set(layouts.values())
             if len(scoped) > 1:
                 out_snap = snap
                 for k, kk in sorted(scoped):
                     bs = [
-                        int(b) for b, lay in layouts.items()
-                        if lay == (k, kk)
-                        and (buckets is None or int(b) in buckets)
+                        int(b) for b, lay in layouts.items() if lay == (k, kk)
                     ]
                     out_snap = (
                         self.compact(buckets=bs, key_slices=kk)
@@ -1613,9 +1633,7 @@ class LakeTable:
         if not todo:
             return snap
         df = self.read(include_internal=True, include_tombstones=True, buckets=todo)
-        df = df.repartition(max(len(todo) // 4, 1), "_bucket").sortWithinPartitions(
-            "_bucket", *snap.key_cols
-        )
+        df = self._fold_shuffle(df, len(todo), snap.key_cols)
         group = f"compact-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
         commit_dir = os.path.join("data", group)
         stat_kwargs = dict(
@@ -1644,20 +1662,11 @@ class LakeTable:
             finally:
                 df.unpersist()
         elif want_kk > 1:
-            # KEY-MAJOR slicing: the slice index is the key's dense rank
-            # over the bucket scaled to want_kk — every row of one key gets
-            # the same slice (ranges are DISJOINT, a point lookup opens
-            # exactly one file). Both windows reuse the repartition's
-            # hash distribution and the existing (bucket, key) sort — no
-            # extra exchange (pinned by tests/test_key_clustering.py).
-            k0 = snap.key_cols[0]
-            dr = F.dense_rank().over(Window.partitionBy("_bucket").orderBy(k0))
-            df = df.withColumn("_dr", dr).withColumn(
-                "_nd", F.max("_dr").over(Window.partitionBy("_bucket"))
+            df, sl, helper = self._key_slice_frame(
+                df, snap.key_cols[0], want_kk
             )
-            sl = F.floor((F.col("_dr") - 1) * want_kk / F.col("_nd")).cast("int")
             raw = self._write_sliced(
-                df, sl, ["_dr", "_nd"], commit_dir, want_kk, stat_kwargs
+                df, sl, helper, commit_dir, want_kk, stat_kwargs
             )
         else:
             raw, _stats = self._write_data(df, commit_dir, **stat_kwargs)
@@ -1683,21 +1692,62 @@ class LakeTable:
         return out
 
     @staticmethod
+    def _fold_shuffle(
+        df: DataFrame, n_todo: int, key_cols: tuple[str, ...]
+    ) -> DataFrame:
+        """The compaction shuffle: hash-distribute by ``_bucket`` and sort
+        each partition by (bucket, key...) — the ONE exchange every fold
+        layout (plain, ts-sliced, key-sliced) reuses."""
+        return df.repartition(max(n_todo // 4, 1), "_bucket").sortWithinPartitions(
+            "_bucket", *key_cols
+        )
+
+    @staticmethod
+    def _key_slice_frame(
+        df: DataFrame, key0: str, key_slices: int
+    ) -> tuple[DataFrame, F.Column, list[str]]:
+        """KEY-MAJOR slice index over ``_fold_shuffle``'s output: the
+        slice is the key's dense rank within the bucket scaled to
+        ``key_slices`` — every row of one key gets the same slice (ranges
+        are DISJOINT, a point lookup opens exactly one file). Both
+        windows reuse the fold shuffle's hash distribution and
+        (bucket, key) sort — no extra exchange, pinned by
+        tests/test_key_clustering.py composing THESE two methods.
+        ``dense_rank`` is 32-bit: the rank is cast to long before the
+        multiply, or ANSI mode would throw at ~2^31/key_slices distinct
+        keys per bucket (reachable at the 4096-bucket / 100 TB sizing
+        this layout exists for). Returns (frame, slice_col, helper cols
+        to drop before the write)."""
+        dr = F.dense_rank().over(Window.partitionBy("_bucket").orderBy(key0))
+        df = df.withColumn("_dr", dr).withColumn(
+            "_nd", F.max("_dr").over(Window.partitionBy("_bucket"))
+        )
+        sl = F.floor(
+            (F.col("_dr").cast("long") - 1) * key_slices / F.col("_nd")
+        ).cast("int")
+        return df, sl, ["_dr", "_nd"]
+
+    @staticmethod
     def _bucket_layout(
         fs: list[dict[str, Any]], zcol: str | None
-    ) -> tuple[int, int]:
+    ) -> tuple[int, int] | None:
         """One bucket's preserved ``(ts_k, key_k)`` layout from its base
         entries' manifest fields; entries from before the ``ts_k`` field
-        fall back to counting same-pass siblings. A dropped zone column
+        fall back to counting same-pass siblings. ``None`` means the
+        bucket has NO base files (never folded — deltas only), i.e. no
+        layout of its own: the caller inherits the table's dominant
+        layout rather than stamping (1, 1). A dropped zone column
         collapses the ts axis to 1 — the layout cannot be maintained and
         tagging unsliced files with the old k would make the manifest
         lie. A single bucket claiming BOTH axes has no foldable layout
         (unreachable from this writer, which stamps exactly one axis per
         pass) — loud, not silent."""
         k, kk = 1, 1
+        any_base = False
         for e in fs:
             if e.get("kind") != "base":
                 continue
+            any_base = True
             if "key_k" in e:
                 kk = max(kk, int(e["key_k"]))
             if "ts_k" in e:
@@ -1707,6 +1757,8 @@ class LakeTable:
                     1 for x in fs if x.get("lww_group") == e["lww_group"]
                 )
                 k = max(k, sibs)
+        if not any_base:
+            return None
         if zcol is None:
             k = 1
         if k > 1 and kk > 1:

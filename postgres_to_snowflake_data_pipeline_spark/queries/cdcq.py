@@ -30,6 +30,21 @@ from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCH
 from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
 from postgres_to_snowflake_data_pipeline_spark.queries.base import load
 
+
+def _work_dir(prefix: str, sf_dir: str) -> str:
+    """Per-(query, sf, PROCESS) scratch root. The pid suffix keeps two
+    processes running the catalog concurrently (the round driver's gate
+    plus a parity or bench run) from rmtree'ing each other's live lake
+    table out from under a still-lazy returned DataFrame — the same
+    hazard the ANN index queries guard (queries/simops.py). Within one
+    process the path is stable, so re-invocations rebuild in place and
+    the returned DataFrames stay lazy/distributed."""
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{prefix}-{sf_dir.strip('/').replace('/', '-')}-pid{os.getpid()}",
+    )
+
+
 # event_type → turn_idx (stable ordinal)
 _TURN_CASE = (
     "CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1 "
@@ -61,9 +76,7 @@ def c01_cdc_replay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Uses a deterministic scratch dir (rebuilt per invocation) so the
     returned DataFrame stays lazy/distributed — no driver collect."""
-    work = os.path.join(
-        tempfile.gettempdir(), "cdcq-" + sf_dir.strip("/").replace("/", "-")
-    )
+    work = _work_dir("cdcq", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     feed_path = os.path.join(work, "feed")
     events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
@@ -89,9 +102,7 @@ def c02_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-recompute answer."""
     from postgres_to_snowflake_data_pipeline_spark.lake.view import IncrementalAggView
 
-    work = os.path.join(
-        tempfile.gettempdir(), "cdcv-" + sf_dir.strip("/").replace("/", "-")
-    )
+    work = _work_dir("cdcv", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     feed_path = os.path.join(work, "feed")
     events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
@@ -142,9 +153,7 @@ def c03_delta_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
     from postgres_to_snowflake_data_pipeline_spark.lake.delta_view import DeltaAggView
 
-    work = os.path.join(
-        tempfile.gettempdir(), "cdcdv-" + sf_dir.strip("/").replace("/", "-")
-    )
+    work = _work_dir("cdcdv", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     feed_path = os.path.join(work, "feed")
     events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
@@ -198,9 +207,7 @@ def c04_routed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         PipelineSpec,
     )
 
-    work = os.path.join(
-        tempfile.gettempdir(), "cdcp-" + sf_dir.strip("/").replace("/", "-")
-    )
+    work = _work_dir("cdcp", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     shard = F.when(
         F.expr("CAST(substr(conv_id, 2) AS INT) % 2 = 0"), "even"
@@ -259,9 +266,7 @@ def c05_time_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash checks the pruned merge-on-read path end-to-end."""
     from datetime import datetime, timedelta, timezone
 
-    work = os.path.join(
-        tempfile.gettempdir(), "cdct-" + sf_dir.strip("/").replace("/", "-")
-    )
+    work = _work_dir("cdct", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     feed_path = os.path.join(work, "feed")
     events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
@@ -435,9 +440,7 @@ C06_KEYS = ("u1", "u7", "u13", "u29", "u46")
 def c06_key_clustered_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
-    work = os.path.join(
-        tempfile.gettempdir(), "cdck-" + sf_dir.strip("/").replace("/", "-")
-    )
+    work = _work_dir("cdck", sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     feed_path = os.path.join(work, "feed")
     events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)

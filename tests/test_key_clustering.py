@@ -10,7 +10,6 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
@@ -113,6 +112,49 @@ def test_layout_axes_are_exclusive_and_explicit_overrides(spark, tmp_path):
         assert {(e["ts_k"], e["key_k"]) for e in fs} == {want}, (b, fs)
 
 
+def test_fresh_bucket_inherits_table_layout_on_maintenance_fold(spark, tmp_path):
+    """A bucket that was EMPTY when the table was key-clustered (its first
+    rows arrive later, deltas only) has no base files to read a layout
+    from — the maintenance compact() must cluster it like its siblings,
+    not permanently stamp it (1, 1) and silently un-slice the table's
+    contract. Also covers the scoped variant (compact(buckets=[fresh]))."""
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import bucket_expr
+
+    table = _mk_table(spark, tmp_path / "t")
+    # split conv ids by their bucket under n_buckets=2
+    ids = [f"c{j:03d}" for j in range(40)]
+    bdf = spark.createDataFrame([(c,) for c in ids], "conv_id string")
+    bmap = {
+        r["conv_id"]: r["b"]
+        for r in bdf.select("conv_id", bucket_expr("conv_id", 2).alias("b")).collect()
+    }
+    in0 = [c for c in ids if bmap[c] == 0]
+    in1 = [c for c in ids if bmap[c] == 1]
+    assert in0 and in1
+    rows0 = [
+        (j, "insert", in0[j % len(in0)], j // len(in0), "user",
+         f"txt {j}", None, D0 + dt.timedelta(hours=j % 48))
+        for j in range(120)
+    ]
+    apply_batch(spark, table, spark.createDataFrame(rows0, SCHEMA), epoch=0)
+    snap = table.compact(key_slices=4)
+    assert set(snap.files) == {"0"} or all(
+        not fs for b, fs in snap.files.items() if b != "0"
+    )
+    # first rows for bucket 1 arrive AFTER the clustering pass
+    rows1 = [
+        (1000 + j, "insert", in1[j % len(in1)], j // len(in1), "user",
+         f"txt {1000 + j}", None, D0 + dt.timedelta(hours=j % 48))
+        for j in range(120)
+    ]
+    apply_batch(spark, table, spark.createDataFrame(rows1, SCHEMA), epoch=1)
+    snap = table.compact(buckets=[1])  # scoped maintenance fold
+    fs1 = snap.files["1"]
+    assert fs1 and all(e["kind"] == "base" for e in fs1)
+    assert {e["key_k"] for e in fs1} == {4}, fs1
+    assert len(table.read_key(in1[0]).inputFiles()) == 1
+
+
 def test_ts_prune_on_key_clustered_table_stays_correct(spark, tmp_path):
     """Key slices span the whole ts range (zone map can't skip within the
     bucket) — the read must still be CORRECT, just unpruned."""
@@ -134,21 +176,19 @@ def test_ts_prune_on_key_clustered_table_stays_correct(spark, tmp_path):
 def test_key_slicing_adds_no_exchange_over_the_fold_shuffle(spark, tmp_path):
     """The dense-rank + max windows must reuse the compaction shuffle's
     hash distribution and (bucket, key) sort — exactly ONE Exchange in
-    the sliced plan (the repartition), no window-induced re-shuffle."""
+    the sliced plan (the repartition), no window-induced re-shuffle.
+
+    Composes compact()'s OWN building blocks (_fold_shuffle +
+    _key_slice_frame), so a drift in either — sort prefix, window spec,
+    slice expression — re-runs through this pin instead of a hand-built
+    replica staying green."""
     table = _mk_table(spark, tmp_path / "t")
     apply_batch(spark, table, spark.createDataFrame(_rows(120), SCHEMA), epoch=0)
     table.compact()  # fold first: a delta-free read has no LWW shuffle,
     # so every Exchange left in the plan is attributable to this pipeline
     df = table.read(include_internal=True, include_tombstones=True)
-    df = df.repartition(2, "_bucket").sortWithinPartitions(
-        "_bucket", "conv_id", "turn_idx"
-    )
-    dr = F.dense_rank().over(Window.partitionBy("_bucket").orderBy("conv_id"))
-    df = df.withColumn("_dr", dr).withColumn(
-        "_nd", F.max("_dr").over(Window.partitionBy("_bucket"))
-    )
-    df = df.withColumn(
-        "_sdir", F.floor((F.col("_dr") - 1) * 4 / F.col("_nd")).cast("int")
-    )
+    df = LakeTable._fold_shuffle(df, 8, table.current().key_cols)
+    df, sl, _helper = LakeTable._key_slice_frame(df, "conv_id", 4)
+    df = df.withColumn("_sdir", sl)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
