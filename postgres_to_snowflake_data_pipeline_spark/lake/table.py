@@ -812,23 +812,28 @@ class LakeTable:
         """Write rows partitioned by bucket; return (bucket -> file entries,
         per-bucket stats rows).
 
-        Stats (row count, ``_lsn`` min/max per bucket) are collected
-        adaptively, mirroring Spark's own listing strategy
-        (``parallelPartitionDiscovery.threshold``): below
-        ``STATS_DRIVER_THRESHOLD`` files the driver reads the parquet
-        footers directly (sub-millisecond each on a local store, no job
-        overhead); above it a DISTRIBUTED footer read runs instead — the V2
-        parquet source with aggregate pushdown answers the per-bucket
-        COUNT/MIN/MAX from row-group statistics in executor tasks, so at
-        4096-bucket object-store scale the commit path never serializes on
-        O(files) driver GETs. Both paths produce identical stats
+        Stats (row count, ``_lsn`` min/max) are read from parquet FOOTERS,
+        PER FILE, adaptively (mirroring Spark's own listing strategy,
+        ``parallelPartitionDiscovery.threshold``): below
+        ``STATS_DRIVER_THRESHOLD`` files the driver reads the footers
+        directly (sub-millisecond each on a local store, no job overhead);
+        above it a DISTRIBUTED footer read runs instead — only the path
+        strings are parallelized and executor tasks read the footers — so
+        at 4096-bucket object-store scale the commit path never serializes
+        on O(files) driver GETs. Footers also answer STRING min/max, which
+        parquet *aggregate pushdown* cannot (it covers numeric/date only —
+        a min/max-aggregate read-back of the key column silently degrades
+        to scanning the whole key column on every large commit; this path
+        never touches row data). Both paths produce identical stats
         (pinned by tests/test_metadata.py).
 
-        ``key_col`` additionally records the key's min/max per bucket into
+        ``key_col`` additionally records the key's min/max PER FILE into
         the manifest entries (Iceberg's per-file column stats): point
-        lookups skip every delta whose key range cannot contain the key —
+        lookups skip every file whose key range cannot contain the key —
         at 10^3 commits between compactions that is the difference between
-        opening one file and opening them all.
+        opening one file and opening them all, and when one commit writes
+        several files into a bucket (salted merges, sliced compaction) each
+        file prunes on its OWN range instead of the bucket's union.
 
         ``ts_col`` records a SECONDARY zone map — the event-time column's
         min/max (epoch microseconds, timezone-free) plus the entry's
@@ -854,57 +859,55 @@ class LakeTable:
         """Stats + manifest entries for the ``_bdir=`` dirs under ``out``
         (the second half of ``_write_data``, callable on its own so a
         multi-dir writer — time-sliced compaction — can write ONCE and
-        collect per-subdir entries)."""
+        collect per-subdir entries). Entries carry PER-FILE stats;
+        the returned bucket rows (lineage) aggregate them per bucket."""
         bdirs = [d for d in os.listdir(out) if d.startswith("_bdir=")]
         if not bdirs:
             return {}, []
-        n_files = sum(
-            1
+        listing = {
+            d: sorted(
+                f
+                for f in os.listdir(os.path.join(out, d))
+                if f.endswith(".parquet")
+            )
             for d in bdirs
-            for f in os.listdir(os.path.join(out, d))
-            if f.endswith(".parquet")
+        }
+        stats = self._file_stats(
+            [os.path.join(out, d, f) for d, fs in listing.items() for f in fs],
+            key_col,
+            ts_col,
         )
-        if n_files <= self.STATS_DRIVER_THRESHOLD:
-            stats = self._driver_stats(out, bdirs, key_col, ts_col)
-        else:
-            stats = {
-                str(r["_bdir"]): r
-                for r in self._read_back_stats(out, key_col, ts_col)
-            }
         files: dict[str, list[dict[str, Any]]] = {}
         bucket_stats: list[dict[str, Any]] = []
         for d in sorted(bdirs, key=lambda d: int(d.split("=", 1)[1])):
             b = d.split("=", 1)[1]
-            r0 = stats.get(b)
-            key_stats = (
-                {"key_min": r0["key_min"], "key_max": r0["key_max"]}
-                if r0 is not None and r0.get("key_min") is not None
-                else {}
-            )
-            if r0 is not None and r0.get("lsn_min") is not None:
-                key_stats["lsn_min"] = int(r0["lsn_min"])
-                key_stats["lsn_max"] = int(r0["lsn_max"])
-            if (
-                r0 is not None
-                and r0.get("ts_min") is not None
-                and ts_col_id is not None
-            ):
-                key_stats["ts_min"] = int(r0["ts_min"])
-                key_stats["ts_max"] = int(r0["ts_max"])
-                key_stats["ts_id"] = ts_col_id  # column identity of the stats
-            files[b] = [
-                dict({"path": os.path.join(commit_dir, d, f)}, **key_stats)
-                for f in os.listdir(os.path.join(out, d))
-                if f.endswith(".parquet")
-            ]
-            r = stats.get(b)
+            entries: list[dict[str, Any]] = []
+            rows_b, lmins, lmaxs = 0, [], []
+            for f in listing[d]:
+                st = stats[os.path.join(out, d, f)]
+                e: dict[str, Any] = {"path": os.path.join(commit_dir, d, f)}
+                if st.get("key_min") is not None:
+                    e["key_min"] = st["key_min"]
+                    e["key_max"] = st["key_max"]
+                if st.get("lsn_min") is not None:
+                    e["lsn_min"] = int(st["lsn_min"])
+                    e["lsn_max"] = int(st["lsn_max"])
+                    lmins.append(e["lsn_min"])
+                    lmaxs.append(e["lsn_max"])
+                if st.get("ts_min") is not None and ts_col_id is not None:
+                    e["ts_min"] = int(st["ts_min"])
+                    e["ts_max"] = int(st["ts_max"])
+                    e["ts_id"] = ts_col_id  # column identity of the stats
+                rows_b += int(st["rows"])
+                entries.append(e)
+            files[b] = entries
             bucket_stats.append(
                 {
                     "bucket": int(b),
-                    "rows_merged": int(r["rows"]) if r else 0,
-                    "lsn_min": r["lsn_min"] if r else None,
-                    "lsn_max": r["lsn_max"] if r else None,
-                    "n_files": len(files[b]),
+                    "rows_merged": rows_b,
+                    "lsn_min": min(lmins) if lmins else None,
+                    "lsn_max": max(lmaxs) if lmaxs else None,
+                    "n_files": len(entries),
                 }
             )
         return files, bucket_stats
@@ -948,117 +951,105 @@ class LakeTable:
             v = v.replace(tzinfo=timezone.utc)
         return int(v.timestamp() * 1_000_000)
 
-    def _driver_stats(
+    def _file_stats(
         self,
-        out: str,
-        bdirs: list[str],
+        paths: list[str],
         key_col: str | None = None,
         ts_col: str | None = None,
     ) -> dict[str, dict]:
-        """Per-bucket (rows, lsn min/max, key min/max, ts min/max) from
-        parquet footers read on the driver — the cheap path for small
-        commits."""
-        import pyarrow.parquet as pq
+        """PER-FILE (rows, lsn/key/ts min-max) from parquet footers, keyed
+        by path. ``<= STATS_DRIVER_THRESHOLD`` files: read on the driver
+        (sub-millisecond each on a local store, no job overhead). Above:
+        a DISTRIBUTED footer read — only the path strings are shipped;
+        executor tasks open the footers with pyarrow — so a large commit's
+        stats cost is O(files) parallel footer GETs, never a row-data
+        scan (the aggregate-pushdown alternative this replaced could not
+        answer STRING min/max from statistics and silently degraded to
+        scanning the whole key column). The executor fn is a CLOSURE,
+        self-contained on purpose: workers don't have the package on
+        their import path when the driver runs from a foreign cwd."""
+        if len(paths) <= self.STATS_DRIVER_THRESHOLD:
+            import pyarrow.parquet as pq
 
-        stats: dict[str, dict] = {}
-        for d in bdirs:
-            b = d.split("=", 1)[1]
-            rows = 0
-            lmins, lmaxs, kmins, kmaxs, tmins, tmaxs = [], [], [], [], [], []
-            for f in os.listdir(os.path.join(out, d)):
-                if not f.endswith(".parquet"):
-                    continue
-                md = pq.ParquetFile(os.path.join(out, d, f)).metadata
-                rows += md.num_rows
+            out: dict[str, dict] = {}
+            for p in paths:
+                md = pq.ParquetFile(p).metadata
+                klo, khi = (
+                    self._footer_minmax(md, key_col)
+                    if key_col is not None
+                    else (None, None)
+                )
+                tlo, thi = (
+                    self._footer_minmax(md, ts_col)
+                    if ts_col is not None
+                    else (None, None)
+                )
                 lo, hi = self._footer_minmax(md, "_lsn")
-                if lo is not None:
-                    lmins.append(lo)
-                    lmaxs.append(hi)
-                if key_col is not None:
-                    klo, khi = self._footer_minmax(md, key_col)
-                    if klo is not None:
-                        kmins.append(klo)
-                        kmaxs.append(khi)
-                if ts_col is not None:
-                    tlo, thi = self._footer_minmax(md, ts_col)
-                    if tlo is not None:
-                        tmins.append(self._ts_micros(tlo))
-                        tmaxs.append(self._ts_micros(thi))
-            stats[b] = {
+                out[p] = {
+                    "rows": md.num_rows,
+                    "lsn_min": lo,
+                    "lsn_max": hi,
+                    "key_min": klo,
+                    "key_max": khi,
+                    "ts_min": self._ts_micros(tlo),
+                    "ts_max": self._ts_micros(thi),
+                }
+            return out
+
+        kc, tc = key_col, ts_col
+
+        def footers(it):
+            import pyarrow.parquet as pq
+            from datetime import timezone
+
+            def mm(md, col):
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                if col not in names:
+                    return None, None
+                idx = names.index(col)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        lo, hi = st.min, st.max
+                        if isinstance(lo, bytes):
+                            lo, hi = lo.decode(), hi.decode()
+                        mins.append(lo)
+                        maxs.append(hi)
+                return (min(mins) if mins else None, max(maxs) if maxs else None)
+
+            def us(v):
+                if v is None or isinstance(v, int):
+                    return v
+                if v.tzinfo is None:
+                    v = v.replace(tzinfo=timezone.utc)
+                return int(v.timestamp() * 1_000_000)
+
+            for p in it:
+                md = pq.ParquetFile(p).metadata
+                lo, hi = mm(md, "_lsn")
+                klo, khi = mm(md, kc) if kc is not None else (None, None)
+                tlo, thi = mm(md, tc) if tc is not None else (None, None)
+                yield p, md.num_rows, lo, hi, klo, khi, us(tlo), us(thi)
+
+        sc = self.spark.sparkContext
+        n_slices = min(len(paths), sc.defaultParallelism * 4)
+        return {
+            p: {
                 "rows": rows,
-                "lsn_min": min(lmins) if lmins else None,
-                "lsn_max": max(lmaxs) if lmaxs else None,
-                "key_min": min(kmins) if kmins else None,
-                "key_max": max(kmaxs) if kmaxs else None,
-                "ts_min": min(tmins) if tmins else None,
-                "ts_max": max(tmaxs) if tmaxs else None,
+                "lsn_min": lo,
+                "lsn_max": hi,
+                "key_min": klo,
+                "key_max": khi,
+                "ts_min": tlo,
+                "ts_max": thi,
             }
-        return stats
-
-    def _read_back_stats(
-        self,
-        out: str,
-        key_col: str | None = None,
-        ts_col: str | None = None,
-    ) -> list[dict[str, Any]]:
-        """Per-bucket (rows, lsn min/max) of the files under ``out`` via the
-        V2 parquet source with aggregate pushdown: the COUNT/MIN/MAX grouped
-        by the partition column are answered from row-group statistics in
-        executor tasks — a distributed footer read, no row data scanned.
-
-        Runs in a CHILD session (``newSession``: shared SparkContext,
-        isolated SQLConf) so flipping the V2-source/pushdown confs can
-        never race concurrent queries planned on the main session. The
-        child is created once and reused — its conf flip is deterministic,
-        and building a JVM SessionState per commit would add per-epoch
-        overhead on long streams."""
-        s = getattr(self, "_stats_session", None)
-        if s is None:
-            s = self.spark.newSession()
-            v1_list = s.conf.get("spark.sql.sources.useV1SourceList")
-            s.conf.set(
-                "spark.sql.sources.useV1SourceList",
-                ",".join(x for x in v1_list.split(",") if x != "parquet"),
+            for p, rows, lo, hi, klo, khi, tlo, thi in (
+                sc.parallelize(paths, n_slices).mapPartitions(footers).collect()
             )
-            s.conf.set("spark.sql.parquet.aggregatePushDown", "true")
-            self._stats_session = s
-        # TWO queries on purpose: parquet aggregate pushdown is
-        # all-or-nothing and only supports numeric/date min/max — folding
-        # the STRING key min/max into the same agg would silently disable
-        # pushdown for count/lsn too, turning the large-commit stats path
-        # into a full data scan. Query 1 (count + lsn range) is answered
-        # from row-group statistics; query 2 reads exactly one pruned
-        # string column for the key range.
-        rows = {
-            r["_bdir"]: r.asDict()
-            for r in s.read.parquet(out)
-            .groupBy("_bdir")
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.min("_lsn").alias("lsn_min"),
-                F.max("_lsn").alias("lsn_max"),
-            )
-            .collect()
         }
-        if key_col is not None or ts_col is not None:
-            aggs: list[F.Column] = []
-            if key_col is not None:
-                aggs += [
-                    F.min(key_col).alias("key_min"),
-                    F.max(key_col).alias("key_max"),
-                ]
-            if ts_col is not None:
-                # unix_micros: exact, timezone-free BIGINTs — never a
-                # driver-local datetime conversion
-                aggs += [
-                    F.min(F.unix_micros(ts_col)).alias("ts_min"),
-                    F.max(F.unix_micros(ts_col)).alias("ts_max"),
-                ]
-            for r in s.read.parquet(out).groupBy("_bdir").agg(*aggs).collect():
-                d = r.asDict()
-                d.pop("_bdir")
-                rows[r["_bdir"]].update(d)
-        return list(rows.values())
 
     #: optimistic-concurrency retry bound — each retry is metadata-only
     #: (the batch's data files are already written and stay valid), so the

@@ -89,8 +89,9 @@ def test_compaction_entries_carry_key_ranges(spark, tmp_path):
 
 
 def test_distributed_stats_path_also_records_ranges(spark, tmp_path):
-    """Force the distributed aggregate-pushdown stats path (threshold 0)
-    and check it produces the same key ranges as the driver path."""
+    """Force the distributed footer-read stats path (threshold 0 — paths
+    parallelized, executors read the footers) and check it produces the
+    same key ranges as the driver path."""
     table = LakeTable.create(
         spark, str(tmp_path / "t3"), TRANSCRIPT_SCHEMA,
         ("conv_id", "turn_idx"), n_buckets=2,
@@ -104,3 +105,56 @@ def test_distributed_stats_path_also_records_ranges(spark, tmp_path):
             assert e["key_min"].startswith("k") and e["key_max"].startswith("k")
             assert e["key_min"] <= e["key_max"]
     assert table.read_key("k0001").count() == 1
+
+
+def test_multi_file_bucket_commit_carries_per_file_stats(spark, tmp_path):
+    """One commit writing SEVERAL files into a bucket dir (any writer
+    whose upstream partitioning fans a bucket across tasks) must give
+    each manifest entry ITS OWN footer stats — rows sum to the batch and
+    every entry's lsn/key range equals a direct pyarrow read of that
+    file — not the bucket-wide union (which would make every entry
+    unprunable-alike). Runs both stats paths."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import bucket_expr
+
+    for name, threshold in (("drv", 10**9), ("dist", 0)):
+        root = str(tmp_path / name)
+        table = LakeTable.create(
+            spark, root, TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+            n_buckets=2,
+        )
+        table.STATS_DRIVER_THRESHOLD = threshold
+        rows = [(i, "insert", f"c{i:04d}", 0, "user", f"t{i}", None, TS)
+                for i in range(200)]
+        storage = (
+            spark.createDataFrame(rows, SCHEMA)
+            .select(
+                "conv_id", "turn_idx", "role", "text", "tool", "ts",
+                F.col("lsn").alias("_lsn"),
+                (F.col("op") == "delete").alias("_deleted"),
+                bucket_expr("conv_id", 2).alias("_bucket"),
+            )
+            .repartition(4)  # round-robin: every task holds BOTH buckets
+        )
+        files, bucket_stats = table._write_data(
+            storage, "data/multifile", key_col="conv_id", ts_col="ts",
+            ts_col_id=table.current().column_ids.get("ts"),
+        )
+        assert any(len(fs) > 1 for fs in files.values()), files
+        assert sum(s["rows_merged"] for s in bucket_stats) == 200
+        for fs in files.values():
+            ranges = set()
+            for e in fs:
+                md = pq.ParquetFile(os.path.join(root, e["path"])).metadata
+                lo, hi = LakeTable._footer_minmax(md, "_lsn")
+                assert (e["lsn_min"], e["lsn_max"]) == (int(lo), int(hi))
+                klo, khi = LakeTable._footer_minmax(md, "conv_id")
+                assert (e["key_min"], e["key_max"]) == (klo, khi)
+                assert e["ts_min"] <= e["ts_max"] and e["ts_id"] is not None
+                ranges.add((e["lsn_min"], e["lsn_max"], e["key_min"]))
+            # per-file, not bucket-union: the fanned files carry distinct
+            # stats (deterministic data + hash -> stable across runs)
+            assert len(ranges) == len(fs), fs
