@@ -45,6 +45,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 from postgres_to_snowflake_data_pipeline_spark.functions import kmeans as km
@@ -299,3 +300,224 @@ class AnnIndex:
                 os.path.join(dirpath, f) for f in files if f.endswith(".parquet")
             )
         return out
+
+
+class LakeAnnIndex:
+    """The IVF index stored AS a lake table — index maintenance with the
+    lake's transactional guarantees (round 4b).
+
+    ``AnnIndex`` above owns a raw cell-partitioned parquet layout: the
+    right READ shape (a search opens only probed cell directories), but
+    its maintenance is single-writer and at-most-once — a re-delivered
+    ``foreachBatch`` batch (Spark checkpoint recovery re-invokes with the
+    same batch_id) would double-insert its vectors. This variant stores
+    rows ``(cell, <key>, <vec>)`` in a :class:`LakeTable` keyed by
+    ``(cell, key)``:
+
+    - the bucket hash is a pure function of ``cell`` (``key_cols[0]``),
+      so the layout clusters by cell and a search reads ONLY the probed
+      cells' buckets THROUGH THE MANIFEST (file sets, no directory
+      listing — at object-store scale, listing is a job);
+    - every maintenance batch is a commit-keyed epoch
+      (``apply_batch(epoch=...)``): re-delivery is a metadata no-op —
+      EXACTLY-ONCE index maintenance on a streaming cadence;
+    - CAS commits, snapshot time travel, retention GC, and per-file
+      key(=cell) range stats all apply unchanged.
+
+    Insert-only contract (classic IVF insert): re-inserting a key whose
+    embedding MOVED to a different cell is a new (cell, key) row — emit a
+    delete for the old cell's row alongside, or rebuild, if embeddings
+    mutate. Centroids stay a JSON sidecar (the k×dim-double quantizer),
+    versioned with the build; the same deterministic training as
+    ``AnnIndex`` (functions/kmeans.py), so the v08 oracle SQL covers this
+    storage verbatim (catalog entry v09, queries/simops.py)."""
+
+    _TABLE = "table"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        cents: dict[int, list[float]],
+        meta: dict,
+        table: "LakeTable",
+    ):
+        self.spark = spark
+        self.root = root
+        self.cents = cents
+        self.meta = meta
+        self.table = table
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        spark: SparkSession,
+        vectors: DataFrame,
+        root: str,
+        *,
+        key_col: str = "vec_id",
+        vec_col: str = "v",
+        k: int = 8,
+        iters: int = 3,
+        sample_mod: int = 4,
+        n_buckets: int | None = None,
+    ) -> "LakeAnnIndex":
+        """Train on the hash-sample (identical math to ``AnnIndex.build``),
+        then commit the cell-assigned full set as the lake table's epoch 0.
+        ``n_buckets`` defaults to ``k`` — about one cell per hash bucket
+        (collisions are fine: the search filters on the cell column after
+        the bucket-pruned scan)."""
+        from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+        from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+        vectors = vectors.select(key_col, vec_col)
+        sample = vectors.filter(km.sample_hash(key_col) % sample_mod == 0)
+        train = sample.select(
+            F.col(key_col).alias("vec_id"), F.col(vec_col).alias("v")
+        )
+        cents = km.train_kmeans_cells(train, "v", k=k, iters=iters)
+        schema = T.StructType(
+            [T.StructField("cell", T.IntegerType(), False)]
+            + [vectors.schema[key_col], vectors.schema[vec_col]]
+        )
+        table = LakeTable.create(
+            spark,
+            os.path.join(root, cls._TABLE),
+            schema,
+            key_cols=("cell", key_col),
+            n_buckets=n_buckets or k,
+        )
+        res = apply_batch(
+            spark, table, cls._as_events(vectors, cents, 0, vec_col), epoch=0
+        )
+        meta = {
+            "key_col": key_col,
+            "vec_col": vec_col,
+            "k": k,
+            "iters": iters,
+            "sample_mod": sample_mod,
+            "dim": len(next(iter(cents.values()))) if cents else 0,
+            "base_rows": res.rows_deduped,
+            "build_snapshot_id": res.snapshot_id,
+            "cells": {str(c): v for c, v in sorted(cents.items())},
+        }
+        atomic_write_json(os.path.join(root, _SIDECAR), meta)
+        return cls(spark, root, cents, meta, table)
+
+    @staticmethod
+    def _as_events(
+        vectors: DataFrame,
+        cents: dict[int, list[float]],
+        epoch: int,
+        vec_col: str,
+    ) -> DataFrame:
+        """Change events for one maintenance batch: assign cells with the
+        (frozen) centroids; ``lsn = epoch`` — insert-only keys are unique
+        per batch, and a later epoch re-inserting a key wins by LWW."""
+        return vectors.select(
+            F.lit(int(epoch)).cast("long").alias("lsn"),
+            F.lit("insert").alias("op"),
+            km.argmin_cell(vec_col, cents).alias("cell"),
+            "*",
+        )
+
+    def append(self, vectors: DataFrame, epoch: int):
+        """Frozen-centroid insert as commit-keyed epoch ``epoch`` (> 0;
+        epoch 0 is the build). Exactly-once: a re-delivered epoch is a
+        metadata no-op (``ApplyResult.skipped``), so this is safe to call
+        from a streaming ``foreachBatch`` with ``batch_id + 1``."""
+        from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+
+        if epoch <= 0:
+            raise ValueError("append epochs start at 1 (0 is the build)")
+        key_col, vec_col = self.meta["key_col"], self.meta["vec_col"]
+        events = self._as_events(
+            vectors.select(key_col, vec_col), self.cents, epoch, vec_col
+        )
+        return apply_batch(self.spark, self.table, events, epoch=epoch)
+
+    def appended_share(self) -> float:
+        """Drift signal: fraction of live rows inserted after the build,
+        from the retained snapshots' commit summaries (metadata only — no
+        scan). If retention GC expired part of the post-build chain the
+        share is a LOWER bound; rebuild cadence should outpace expiry."""
+        base = int(self.meta.get("base_rows", 0))
+        build_sid = int(self.meta.get("build_snapshot_id", 0))
+        appended = 0
+        for s in self.table.snapshots():
+            if s.snapshot_id > build_sid and s.summary.get("rows_in"):
+                appended += sum(
+                    r["rows_merged"]
+                    for r in s.summary.get("bucket_lineage", [])
+                )
+        return appended / (base + appended) if (base + appended) else 0.0
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str) -> "LakeAnnIndex":
+        from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+        with open(os.path.join(root, _SIDECAR)) as f:
+            meta = json.load(f)
+        cents = {int(c): v for c, v in meta["cells"].items()}
+        table = LakeTable.load(spark, os.path.join(root, cls._TABLE))
+        return cls(spark, root, cents, meta, table)
+
+    # ------------------------------------------------------------------
+    def probed_buckets(self, cells: list[int]) -> list[int]:
+        """The hash buckets holding the probed cells — mapped through the
+        SAME Catalyst expression that assigns buckets at write time
+        (``bucket_expr`` on the int cell column), so probe and layout can
+        never drift apart."""
+        from postgres_to_snowflake_data_pipeline_spark.lake.table import bucket_expr
+
+        if not cells:
+            return []
+        nb = self.table.current().n_buckets
+        rows = (
+            self.spark.createDataFrame([(int(c),) for c in cells], "cell int")
+            .select(bucket_expr("cell", nb).alias("b"))
+            .distinct()
+            .collect()
+        )
+        return sorted(r["b"] for r in rows)
+
+    def search(
+        self,
+        queries: DataFrame,
+        *,
+        k: int = 3,
+        nprobe: int = 2,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        """Top-k cosine neighbors per query over ONLY the probed cells'
+        buckets, read through the manifest (merge-on-read: a search sees
+        every committed append immediately, snapshot-consistently).
+        Output matches the catalog's ANN queries:
+        (query_id, neighbor_id, cosine, rnk)."""
+        key_col, vec_col = self.meta["key_col"], self.meta["vec_col"]
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(km.probe_cells(vec_col, self.cents, nprobe)).alias("cell"),
+        )
+        cells = sorted(
+            r["cell"] for r in q.select("cell").distinct().collect()
+        )
+        cands = self.table.read(
+            buckets=self.probed_buckets(cells),
+            columns=["cell", key_col, vec_col],
+        ).filter(F.col("cell").isin([int(c) for c in cells]))
+        scored = cands.join(F.broadcast(q), "cell").select(
+            "query_id",
+            F.col(key_col).alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("_qv"), F.col(vec_col)), 6).alias(
+                "cosine"
+            ),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id")
+        )
+        return scored.withColumn("rnk", F.row_number().over(w)).filter(
+            F.col("rnk") <= k
+        )

@@ -87,7 +87,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         textops.t06_ngram_jaccard_pairs,
         textops.T06_SQL,
     ),
-    "t07_minhash_bands": (textops.t07_minhash_bands, textops.T07_SQL),
     "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
     "t13_levenshtein_pairs": (textops.t13_levenshtein_pairs, textops.T13_SQL),
     "t14_rolling_fingerprint": (
@@ -129,6 +128,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # the pre-append base, append the rest, reload from the sidecar,
     # search; oracle trains on the base subset and assigns the full set
     "v08_ann_ivf_append": (simops.v08_ann_ivf_append, simops.V08_SQL),
+    # the index AS a lake table (round 4b): commit-keyed maintenance
+    # epochs make appends exactly-once under streaming re-delivery (the
+    # query applies the append twice); search reads only the probed
+    # cells' hash buckets through the manifest. Same math as v08 — the
+    # oracle SQL is shared verbatim
+    "v09_ann_ivf_lake": (simops.v09_ann_ivf_lake, simops.V09_SQL),
     # multimodal binary plumbing (Arrow-batched decode stubs)
     "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
     "m02_frame_sample": (multimodal.m02_frame_sample, multimodal.M02_SQL),
@@ -150,9 +155,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # (b) a family sibling of an in-gate entry (q07~q11 ts parsing,
     # q13⊂q20 rollup/cube, t04~t14 fingerprints, v04⊂v05 LSH probing,
     # v03~v05 embedding near-dup via the same LSH bucketing, q15~q10
-    # window top-k, t09~t04/t14 fingerprint family — v03/q15/t09 demoted
-    # to keep the NEW m04 audio-features, v08 index-append, and c06
-    # key-clustered-lookup entries inside the 50-slot window).
+    # window top-k, t09~t04/t14 fingerprint family, t07~t10 MinHash
+    # oracle-parity twin — v03/q15/t09 demoted to keep the NEW m04
+    # audio-features, v08 index-append, and c06 key-clustered-lookup
+    # entries inside the 50-slot window, t07 to admit v09 lake-index).
     # ALL entries, including these, are re-verified every round by the
     # parametrized parity suite and a committed full-catalog
     # `tools/check_parity.py` run (recorded in README.md §testing).
@@ -166,6 +172,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "v03_embedding_near_dup": (simops.v03_embedding_near_dup, simops.V03_SQL),
     "q15_top_orders": (reference.q15_top_orders, reference.Q15_SQL),
     "t09_simhash": (textops.t09_simhash, textops.T09_SQL),
+    "t07_minhash_bands": (textops.t07_minhash_bands, textops.T07_SQL),
 }
 
 #: strict sub-stage twins collapsed out of the driver gate (round 4, per

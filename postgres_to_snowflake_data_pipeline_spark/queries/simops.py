@@ -594,6 +594,53 @@ def v08_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 V08_SQL = _ivf_persisted_sql(" AND vec_id % 5 != 0")
 
 
+def v09_ann_ivf_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index stored AS a lake table (lake/ann_index.py::LakeAnnIndex):
+    same sampled training, frozen-centroid insert and nprobe search as
+    v08, but every maintenance batch is a COMMIT-KEYED epoch — the append
+    is applied TWICE here (simulating Structured Streaming's at-least-once
+    foreachBatch re-delivery) and the second apply is a metadata no-op, so
+    the hash-checked result doubles as an exactly-once proof. The search
+    reads only the probed cells' hash buckets through the manifest (file
+    sets, not directory listings). Oracle: identical to v08 — storage and
+    idempotency change, the math does not."""
+    import os
+    import shutil
+    import tempfile
+
+    from postgres_to_snowflake_data_pipeline_spark.lake.ann_index import LakeAnnIndex
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"annidx9-{sf_dir.strip('/').replace('/', '-')}-pid{os.getpid()}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cands = ev.filter(F.col("vec_id") >= N_QUERIES)
+    idx = LakeAnnIndex.build(
+        spark,
+        cands.filter(F.col("vec_id") % 5 != 0),
+        work,
+        key_col="vec_id",
+        vec_col="v",
+        k=K_CELLS,
+        iters=KMEANS_ITERS,
+        sample_mod=SAMPLE_MOD,
+    )
+    appended = cands.filter(F.col("vec_id") % 5 == 0)
+    idx.append(appended, epoch=1)
+    idx.append(appended, epoch=1)  # re-delivered batch: metadata no-op
+    idx = LakeAnnIndex.load(spark, work)  # persistence round-trip
+    queries = ev.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return idx.search(queries, k=3, nprobe=NPROBE)
+
+
+V09_SQL = V08_SQL
+
+
 def _probe_list_sql() -> str:
     probes = ", ".join(f"xor(bucket, {1 << p})" for p in range(N_PLANES))
     return f"[bucket, {probes}]"
