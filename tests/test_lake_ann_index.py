@@ -14,6 +14,8 @@ Pins the properties the lake storage adds over the raw-parquet AnnIndex:
 
 from __future__ import annotations
 
+import shutil
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -109,6 +111,58 @@ def test_appended_share_from_commit_summaries(spark, built):
     idx, base, appended, _q = built
     nb, na = base.count(), appended.count()
     assert idx.appended_share() == pytest.approx(na / (nb + na))
+
+
+def test_streaming_maintenance_is_exactly_once(spark, tmp_path):
+    """The integration the class exists for: vectors arrive as a file
+    stream, ``foreachBatch`` appends each micro-batch as epoch
+    ``batch_id + 1``. Wiping the checkpoint re-delivers EVERY batch with
+    the same ids — the commit keys turn the full re-run into metadata
+    no-ops: rows, commit count and search results unchanged."""
+    root = str(tmp_path / "idx")
+    feed = str(tmp_path / "vfeed")
+    ckpt = str(tmp_path / "ckpt")
+    ev = _vectors(spark)
+    cands = ev.filter(F.col("vec_id") >= simops.N_QUERIES)
+    base = cands.filter(F.col("vec_id") % 5 != 0)
+    arriving = cands.filter(F.col("vec_id") % 5 == 0)
+    idx = LakeAnnIndex.build(
+        spark, base, root,
+        key_col="vec_id", vec_col="v",
+        k=simops.K_CELLS, iters=simops.KMEANS_ITERS,
+        sample_mod=simops.SAMPLE_MOD,
+    )
+    arriving.repartition(4).write.mode("overwrite").parquet(feed)
+
+    def drain(checkpoint: str) -> None:
+        stream = (
+            spark.readStream.schema(arriving.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream
+            .foreachBatch(lambda df, bid: idx.append(df, epoch=bid + 1))
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream did not drain in time"
+
+    drain(ckpt)
+    rows = idx.table.read().count()
+    commits = idx.table.current().commit_count
+    queries = ev.filter(F.col("vec_id") < simops.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    top = sorted(map(tuple, idx.search(queries, k=3).collect()))
+    assert rows == base.count() + arriving.count()
+
+    shutil.rmtree(ckpt)  # full re-delivery with the same batch ids
+    drain(ckpt)
+    assert idx.table.read().count() == rows
+    assert idx.table.current().commit_count == commits
+    assert sorted(map(tuple, idx.search(queries, k=3).collect())) == top
 
 
 def test_load_round_trip_and_later_epoch_wins_lww(spark, built, tmp_path):
