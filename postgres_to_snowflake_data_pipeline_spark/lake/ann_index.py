@@ -35,6 +35,13 @@ is DuckDB-oracled as catalog entry v07 (queries/simops.py).
 Durability: the sidecar is written atomically (tmp + rename) AFTER the
 data directory, so a crashed build leaves no readable index; rebuilds
 overwrite both.
+
+:class:`LakeAnnIndex` (below) is the same index stored AS a lake table —
+commit-keyed maintenance epochs (exactly-once under streaming
+re-delivery), manifest-driven bucket pruning, CAS commits, time travel
+and GC for free. Oracled as catalog entry v09. Prefer it when the index
+is maintained continuously; the raw layout above remains the minimal
+read-optimal form for build-once corpora.
 """
 
 from __future__ import annotations
@@ -453,6 +460,16 @@ class LakeAnnIndex:
                 )
         return appended / (base + appended) if (base + appended) else 0.0
 
+    def compact(self, key_slices: int | None = None):
+        """Fold the maintenance deltas (each append epoch adds delta
+        files; read amplification grows until a fold). ``key_slices > 1``
+        additionally slices each bucket's base at CELL boundaries
+        (cell = ``key_cols[0]``), so when several cells share a hash
+        bucket a search's ``key_prune`` opens only the probed cells'
+        slices instead of the whole bucket. Same maintenance-cadence
+        shape as the transcript table's (streaming/pipeline.py)."""
+        return self.table.compact(key_slices=key_slices)
+
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "LakeAnnIndex":
         from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
@@ -504,9 +521,15 @@ class LakeAnnIndex:
         cells = sorted(
             r["cell"] for r in q.select("cell").distinct().collect()
         )
+        # bucket pruning (hash of cell) + per-file cell-range pruning:
+        # key_prune drops files whose [key_min, key_max] covers none of
+        # the probed cells — after compact(key_slices=k) that opens only
+        # the probed cells' SLICES even when several cells share a hash
+        # bucket. The residual isin filter stays for row-level exactness.
         cands = self.table.read(
             buckets=self.probed_buckets(cells),
             columns=["cell", key_col, vec_col],
+            key_prune=[int(c) for c in cells],
         ).filter(F.col("cell").isin([int(c) for c in cells]))
         scored = cands.join(F.broadcast(q), "cell").select(
             "query_id",

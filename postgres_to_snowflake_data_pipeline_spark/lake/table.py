@@ -226,7 +226,7 @@ class LakeTable:
         include_tombstones: bool = False,
         buckets: list[int] | None = None,
         columns: list[str] | None = None,
-        key_prune: str | None = None,
+        key_prune: Any | list | None = None,
         ts_prune: tuple[datetime, datetime] | None = None,
         semi_keys: DataFrame | None = None,
     ) -> DataFrame:
@@ -285,6 +285,14 @@ class LakeTable:
             and columns is not None
             and ts_col not in set(columns) | set(snap.key_cols)
         )
+        # key_prune accepts one value or several (e.g. the ANN lake
+        # index's probed cells): a file survives if ANY value can lie in
+        # its [key_min, key_max]
+        prune_vals = (
+            list(key_prune)
+            if isinstance(key_prune, (list, tuple, set, frozenset))
+            else None if key_prune is None else [key_prune]
+        )
         entries: list[dict[str, Any]] = []
         has_delta = False
         for b, fs in snap.files.items():
@@ -297,8 +305,10 @@ class LakeTable:
                 # key; entries without stats (pre-stats commits) always
                 # qualify. Sound for LWW: a skipped file provably holds no
                 # row of this key, so the resolution set is unchanged.
-                if key_prune is not None and e.get("key_min") is not None:
-                    if not (e["key_min"] <= key_prune <= e["key_max"]):
+                if prune_vals is not None and e.get("key_min") is not None:
+                    if not any(
+                        e["key_min"] <= v <= e["key_max"] for v in prune_vals
+                    ):
                         continue
                 kept.append(e)
             if ts_prune is not None:

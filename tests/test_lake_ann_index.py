@@ -107,6 +107,59 @@ def test_search_reads_only_probed_buckets_through_manifest(spark, built):
     assert got == brute
 
 
+def test_compacted_index_prunes_to_probed_cell_slices(spark, tmp_path):
+    """After maintenance compaction with cell-boundary slicing
+    (compact(key_slices=k)), a search opens only files whose manifest
+    cell range intersects the probed cells — even inside a hash bucket
+    shared by several cells — and the results are unchanged."""
+    root = str(tmp_path / "idx")
+    ev = _vectors(spark)
+    cands = ev.filter(F.col("vec_id") >= simops.N_QUERIES)
+    idx = LakeAnnIndex.build(
+        spark, cands.filter(F.col("vec_id") % 5 != 0), root,
+        key_col="vec_id", vec_col="v",
+        k=simops.K_CELLS, iters=simops.KMEANS_ITERS,
+        sample_mod=simops.SAMPLE_MOD,
+        n_buckets=3,  # force several cells per hash bucket
+    )
+    idx.append(cands.filter(F.col("vec_id") % 5 == 0), epoch=1)
+    queries = ev.filter(F.col("vec_id") < simops.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    before = sorted(map(tuple, idx.search(queries, k=3).collect()))
+    snap = idx.compact(key_slices=4)
+    assert all(
+        e["kind"] == "base" for fs in snap.files.values() for e in fs
+    )
+    res = idx.search(queries, k=3)
+    assert sorted(map(tuple, res.collect())) == before
+
+    probe = sorted(
+        r["cell"]
+        for r in queries.select(
+            F.explode(km.probe_cells("v", idx.cents, 2)).alias("cell")
+        )
+        .distinct()
+        .collect()
+    )
+    by_suffix = {
+        e["path"]: e for fs in snap.files.values() for e in fs
+    }
+    opened = [f for f in res.inputFiles() if idx.table.root in f]
+    assert opened
+    for f in opened:
+        e = next(v for p, v in by_suffix.items() if f.endswith(p))
+        assert any(
+            e["key_min"] <= c <= e["key_max"] for c in probe
+        ), (f, e, probe)
+    # and slicing actually skipped something: fewer files than the
+    # probed buckets hold in total
+    all_probed_bucket_files = idx.table.read(
+        buckets=idx.probed_buckets(probe)
+    ).inputFiles()
+    assert len(opened) < len(all_probed_bucket_files)
+
+
 def test_appended_share_from_commit_summaries(spark, built):
     idx, base, appended, _q = built
     nb, na = base.count(), appended.count()
