@@ -374,10 +374,22 @@ class LakeAnnIndex:
         then commit the cell-assigned full set as the lake table's epoch 0.
         ``n_buckets`` defaults to ``k`` — about one cell per hash bucket
         (collisions are fine: the search filters on the cell column after
-        the bucket-pruned scan)."""
+        the bucket-pruned scan).
+
+        A (re)build is DESTRUCTIVE and re-runnable: the stale sidecar is
+        removed FIRST and written back LAST, so a crash at any point
+        leaves either the old intact index or a sidecar-less root where
+        ``load`` fails loudly and ``build`` can simply run again —
+        never an old quantizer paired with a new layout."""
+        import shutil
+
         from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
         from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
 
+        sidecar = os.path.join(root, _SIDECAR)
+        if os.path.exists(sidecar):
+            os.unlink(sidecar)
+        shutil.rmtree(os.path.join(root, cls._TABLE), ignore_errors=True)
         vectors = vectors.select(key_col, vec_col)
         sample = vectors.filter(km.sample_hash(key_col) % sample_mod == 0)
         train = sample.select(
@@ -395,8 +407,17 @@ class LakeAnnIndex:
             key_cols=("cell", key_col),
             n_buckets=n_buckets or k,
         )
+        # salt_buckets=0: the AUTO skew probe measures hot-BUCKET share,
+        # and a cell-keyed table (~k cells over ~k buckets) trips it by
+        # construction — but batch keys are unique under the insert-only
+        # contract, so the salted two-stage dedup would be a pure extra
+        # shuffle on every maintenance batch
         res = apply_batch(
-            spark, table, cls._as_events(vectors, cents, 0, vec_col), epoch=0
+            spark,
+            table,
+            cls._as_events(vectors, cents, 0, vec_col),
+            epoch=0,
+            salt_buckets=0,
         )
         meta = {
             "key_col": key_col,
@@ -442,7 +463,11 @@ class LakeAnnIndex:
         events = self._as_events(
             vectors.select(key_col, vec_col), self.cents, epoch, vec_col
         )
-        return apply_batch(self.spark, self.table, events, epoch=epoch)
+        # salt off: see build() — unique insert keys, skew probe would
+        # misfire on the cell-keyed bucket shape every PROBE_EVERY epochs
+        return apply_batch(
+            self.spark, self.table, events, epoch=epoch, salt_buckets=0
+        )
 
     def appended_share(self) -> float:
         """Drift signal: fraction of live rows inserted after the build,
@@ -512,25 +537,37 @@ class LakeAnnIndex:
         every committed append immediately, snapshot-consistently).
         Output matches the catalog's ANN queries:
         (query_id, neighbor_id, cosine, rnk)."""
+        from postgres_to_snowflake_data_pipeline_spark.lake.table import bucket_expr
+
         key_col, vec_col = self.meta["key_col"], self.meta["vec_col"]
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
             F.explode(km.probe_cells(vec_col, self.cents, nprobe)).alias("cell"),
         )
-        cells = sorted(
-            r["cell"] for r in q.select("cell").distinct().collect()
+        # ONE driver round-trip resolves both prune levels: the distinct
+        # probed cells AND their hash buckets (bucket_expr on the same
+        # IntegerType cell column the write side hashes — probe and
+        # layout can never drift apart). Bounded by min(queries×nprobe, k).
+        nb = self.table.current().n_buckets
+        cb = (
+            q.select("cell")
+            .distinct()
+            .select("cell", bucket_expr("cell", nb).alias("b"))
+            .collect()
         )
+        cells = sorted(int(r["cell"]) for r in cb)
+        probed_buckets = sorted({r["b"] for r in cb})
         # bucket pruning (hash of cell) + per-file cell-range pruning:
         # key_prune drops files whose [key_min, key_max] covers none of
         # the probed cells — after compact(key_slices=k) that opens only
         # the probed cells' SLICES even when several cells share a hash
         # bucket. The residual isin filter stays for row-level exactness.
         cands = self.table.read(
-            buckets=self.probed_buckets(cells),
+            buckets=probed_buckets,
             columns=["cell", key_col, vec_col],
-            key_prune=[int(c) for c in cells],
-        ).filter(F.col("cell").isin([int(c) for c in cells]))
+            key_prune=cells,
+        ).filter(F.col("cell").isin(cells))
         scored = cands.join(F.broadcast(q), "cell").select(
             "query_id",
             F.col(key_col).alias("neighbor_id"),

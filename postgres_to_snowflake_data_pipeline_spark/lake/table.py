@@ -977,7 +977,14 @@ class LakeTable:
         answer STRING min/max from statistics and silently degraded to
         scanning the whole key column). The executor fn is a CLOSURE,
         self-contained on purpose: workers don't have the package on
-        their import path when the driver runs from a foreign cwd."""
+        their import path when the driver runs from a foreign cwd.
+
+        I/O layer honesty: like the rest of this table's commit path
+        (manifest listing, sidecars), the opener is plain-filesystem —
+        executors must see the table root (local disk here, NFS/alluxio
+        alike). An object-store deployment swaps the closure's open for
+        ``pyarrow.fs.FileSystem.from_uri`` — the SHAPE (parallelize
+        paths, read footers, never rows) is the part that scales."""
         if len(paths) <= self.STATS_DRIVER_THRESHOLD:
             import pyarrow.parquet as pq
 

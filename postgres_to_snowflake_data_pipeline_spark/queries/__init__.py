@@ -151,7 +151,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # m03, was silently dropped). Membership ROTATES each round so every
     # entry gets a driver-green row at least every other round: round 4
     # moved q09/q12/v02 (green in r2, shadowed in r3) back in-gate and
-    # demoted these SEVEN — each (a) driver-green in earlier rounds and
+    # demoted the siblings below — each (a) driver-green in earlier rounds and
     # (b) a family sibling of an in-gate entry (q07~q11 ts parsing,
     # q13⊂q20 rollup/cube, t04~t14 fingerprints, v04⊂v05 LSH probing,
     # v03~v05 embedding near-dup via the same LSH bucketing, q15~q10

@@ -144,9 +144,9 @@ def test_ts_prune_equals_residual_filter(spark, tmp_path):
 
 
 def test_compaction_and_distributed_stats_keep_zone_maps(spark, tmp_path):
-    """Zone maps survive compaction, and the distributed (aggregate
-    pushdown) stats path records the same ts/lsn ranges as the driver
-    footer path."""
+    """Zone maps survive compaction, and the distributed stats path
+    (paths parallelized, executors read the parquet footers) records
+    the same ts/lsn ranges as the driver footer path."""
     table = _mk_table(spark, tmp_path / "t")
     keys = [f"c{i:03d}" for i in range(12)]
     apply_batch(spark, table, _batch(spark, _epoch_rows(keys, 0, D0)), epoch=0)
