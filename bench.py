@@ -43,6 +43,7 @@ HEADLINE = [
     "v04_ann_lsh_bucketed",
     "v06_ann_ivf_kmeans",
     "v07_ann_ivf_persisted",
+    "v09_ann_ivf_lake",
     "m01_multimodal_decode",
     "m02_frame_sample",
     "m04_audio_features",
