@@ -90,16 +90,61 @@ def child(cores: int, feed_path: str, n_events: int) -> None:
                       "events_per_sec": round(n_events / dt, 1)}), flush=True)
 
 
-def run_child(args: list[str]) -> dict:
+def run_child(args: list[str], env: dict | None = None) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--child", *args],
         capture_output=True, text=True, cwd=REPO,
-        env=dict(os.environ, PYTHONPATH=REPO),
+        env=dict(env or os.environ, PYTHONPATH=REPO),
     )
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise RuntimeError("child failed")
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def paired(n_events: int, feed: str, n_pairs: int = 3) -> None:
+    """Interleaved A/B design: alternate single-trial children at N and
+    4N cores so each EFFICIENCY SAMPLE is a ratio of two runs from the
+    same (minutes-long) hypervisor-steal window. The level-at-a-time
+    design measures each level inside ONE child — if the window shifts
+    between the two children, the ratio is polluted even though each
+    level's own trials are tight (observed: identical 4-core replays
+    spread 41-61 s across an hour while per-phase A/B timing of two code
+    versions agreed within 4%). Reports per-pair efficiencies and their
+    median."""
+    lo_c, hi_c = CORES[0], CORES[-1]
+    factor = hi_c / lo_c
+    pairs = []
+    env = dict(os.environ, SPARK_GRAFT_SCALING_TRIALS="1")
+    for i in range(n_pairs):
+        lo = run_child([str(lo_c), feed, str(n_events)], env=env)
+        hi = run_child([str(hi_c), feed, str(n_events)], env=env)
+        pairs.append(
+            {
+                "pair": i,
+                f"sec_{lo_c}": lo["sec"],
+                f"sec_{hi_c}": hi["sec"],
+                "efficiency": round(lo["sec"] / hi["sec"] / factor, 3),
+            }
+        )
+        print(json.dumps(pairs[-1]), flush=True)
+    effs = sorted(p["efficiency"] for p in pairs)
+    med = effs[len(effs) // 2]
+    print(
+        json.dumps(
+            {
+                "n_events": n_events,
+                "mode": "paired-interleaved",
+                "cores_pair": [lo_c, hi_c],
+                "pairs": pairs,
+                "efficiencies": effs,
+                "scaling_efficiency_median": med,
+                "criterion": "efficiency >= 0.8 between N and 4N parallelism",
+                "passes": med >= 0.8,
+            },
+            indent=2,
+        )
+    )
 
 
 def main() -> None:
@@ -108,13 +153,22 @@ def main() -> None:
         return
     global CORES
     argv = list(sys.argv[1:])
+    use_paired = False
     if argv[:1] == ["--curve"]:
         CORES = (1, 2, 4, 8, 32)
+        argv = argv[1:]
+    elif argv[:1] == ["--paired"]:
+        use_paired = True
         argv = argv[1:]
     n_events = int(argv[0]) if argv else 16_000_000
     feed = os.path.join(tempfile.gettempdir(), "scal-feed")
     shutil.rmtree(feed, ignore_errors=True)
     run_child(["32", feed, str(n_events)])  # generate once
+
+    if use_paired:
+        paired(n_events, feed)
+        shutil.rmtree(feed, ignore_errors=True)
+        return
 
     results = {c: run_child([str(c), feed, str(n_events)]) for c in CORES}
     lo, hi = results[CORES[0]], results[CORES[-1]]
