@@ -117,11 +117,18 @@ def paired(n_events: int, feed: str, n_pairs: int = 3) -> None:
     pairs = []
     env = dict(os.environ, SPARK_GRAFT_SCALING_TRIALS="1")
     for i in range(n_pairs):
-        lo = run_child([str(lo_c), feed, str(n_events)], env=env)
-        hi = run_child([str(hi_c), feed, str(n_events)], env=env)
+        # Alternate within-pair order (lo,hi / hi,lo / ...) so a monotone
+        # drift in neighbor-VM load across the session biases successive
+        # pairs in OPPOSITE directions and the median cancels it, instead
+        # of every pair's hi-core run landing in the later (more degraded)
+        # half of its window.
+        order = (lo_c, hi_c) if i % 2 == 0 else (hi_c, lo_c)
+        res = {c: run_child([str(c), feed, str(n_events)], env=env) for c in order}
+        lo, hi = res[lo_c], res[hi_c]
         pairs.append(
             {
                 "pair": i,
+                "order": list(order),
                 f"sec_{lo_c}": lo["sec"],
                 f"sec_{hi_c}": hi["sec"],
                 "efficiency": round(lo["sec"] / hi["sec"] / factor, 3),
@@ -154,12 +161,15 @@ def main() -> None:
     global CORES
     argv = list(sys.argv[1:])
     use_paired = False
-    if argv[:1] == ["--curve"]:
-        CORES = (1, 2, 4, 8, 32)
+    while argv and argv[0] in ("--curve", "--paired"):
+        if argv[0] == "--curve":
+            CORES = (1, 2, 4, 8, 32)
+        else:
+            use_paired = True
         argv = argv[1:]
-    elif argv[:1] == ["--paired"]:
-        use_paired = True
-        argv = argv[1:]
+    if argv and argv[0].startswith("--"):
+        sys.exit(f"usage: bench_scaling.py [--curve] [--paired] [n_events]; "
+                 f"unknown flag {argv[0]}")
     n_events = int(argv[0]) if argv else 16_000_000
     feed = os.path.join(tempfile.gettempdir(), "scal-feed")
     shutil.rmtree(feed, ignore_errors=True)

@@ -93,27 +93,56 @@ def main() -> None:
     )
 
     t0 = time.perf_counter()
+    # Each writer's output goes straight to its own file: a PIPE left
+    # undrained while the parent waits on an earlier writer would block
+    # that writer on a full pipe buffer — silently serializing the very
+    # cross-process race this soak exists to exercise.
+    logs = [open(os.path.join(work, f"writer-{w}.log"), "w+") for w in range(n_writers)]
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--writer", root, feed,
              str(w), str(n_writers), str(epochs)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            stdout=logs[w], stderr=subprocess.STDOUT, text=True,
             cwd=REPO, env=dict(os.environ, PYTHONPATH=REPO),
         )
         for w in range(n_writers)
     ]
+    deadline = time.monotonic() + 1800
+    timed_out = False
     exit_codes = []
-    for p in procs:
-        out, err = p.communicate(timeout=1800)
+    for p, log in zip(procs, logs):
+        try:
+            p.wait(timeout=max(1.0, deadline - time.monotonic()))
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            for q in procs:  # no orphaned JVMs
+                if q.poll() is None:
+                    q.kill()
+            p.wait()
         exit_codes.append(p.returncode)
         if p.returncode != 0:
-            sys.stderr.write(err[-3000:])
+            log.seek(0, os.SEEK_END)
+            log.seek(max(0, log.tell() - 3000))
+            sys.stderr.write(log.read())
+        log.close()
     wall = time.perf_counter() - t0
+
+    if timed_out:
+        # A hung writer leaves the table half-written; validating it would
+        # only add noise (and may itself hang). Keep the JSON-line contract.
+        print(json.dumps({
+            "soak": "multiprocess_writers", "n_events": n_events,
+            "n_writers": n_writers, "epochs_per_writer": epochs,
+            "wall_sec": round(wall, 1), "writer_exit_codes": exit_codes,
+            "timed_out": True, "ok": False,
+        }))
+        spark.stop()
+        sys.exit(1)
 
     final = LakeTable.load(spark, root)
     snap = final.current()
     keys_present = all(
-        final.has_commit_key(f"epoch:{e}") for e in range(n_writers * epochs)
+        snap.has_commit_key(f"epoch:{e}") for e in range(n_writers * epochs)
     )
     # lineage reconciliation across every retained merge commit
     rows_in = sum(
