@@ -71,6 +71,9 @@ class ApplyResult:
     rows_in: int
     rows_deduped: int
     snapshot_id: int | None
+    #: set when the batch was STAGED (write-audit-publish) instead of
+    #: committed: the staged-commit name to audit then publish/discard
+    staged: str | None = None
 
 
 #: auto-salting (see apply_batch docstring): fan-out width when the skew
@@ -145,6 +148,7 @@ def apply_batch(
     epoch: int,
     lineage_path: str | None = None,
     salt_buckets: int | None = None,
+    stage: str | None = None,
 ) -> ApplyResult:
     """Apply one batch of change events to the table, exactly once.
 
@@ -157,7 +161,15 @@ def apply_batch(
     within noise (BENCH.md §2b). Pass an int > 1 to force salting on,
     ``0`` to force it off. The decision and the probed share ride the
     commit summary (``salt_buckets``; ``hot_bucket_share``, null on
-    reused-verdict commits)."""
+    reused-verdict commits).
+
+    ``stage``: a write-audit-publish gate — the batch's delta is written
+    and LWW-deduped exactly as a commit would be, but lands as a STAGED
+    commit under this name, invisible to every reader until
+    ``table.publish_staged(name)``. Audit via ``table.read_staged(name)``;
+    reject via ``table.discard_staged(name)``. Exactly-once is preserved
+    end-to-end: the epoch key is checked at stage time AND at publish time
+    (the staged descriptor carries it as its publish key)."""
     commit_key = f"epoch:{epoch}"
     if table.has_commit_key(commit_key):
         return ApplyResult(epoch, True, 0, 0, None)
@@ -280,12 +292,30 @@ def apply_batch(
             return {"rows_in": 0, "lsn_min": None, "lsn_max": None}
         return {k: (int(v) if v is not None else None) for k, v in m.items()}
 
+    batch_summary = {"epoch": epoch, "salt_buckets": salt_buckets or 0,
+                     "hot_bucket_share": hot_share}
+    if stage is not None:
+        desc = table.stage_merge(
+            storage,
+            stage,
+            commit_key=commit_key,
+            schema=table_schema,
+            summary=batch_summary,
+            summary_fn=_obs_metrics,
+        )
+        if desc is None:
+            return ApplyResult(epoch, True, 0, 0, None)
+        s = desc["summary"]
+        return ApplyResult(
+            epoch, False, int(s.get("rows_in") or 0),
+            sum(r["rows_merged"] for r in s.get("bucket_lineage", [])),
+            None, staged=stage,
+        )
     snap = table.merge(
         storage,
         commit_key=commit_key,
         schema=table_schema,
-        summary={"epoch": epoch, "salt_buckets": salt_buckets or 0,
-                 "hot_bucket_share": hot_share},
+        summary=batch_summary,
         summary_fn=_obs_metrics,
     )
     if snap is None:

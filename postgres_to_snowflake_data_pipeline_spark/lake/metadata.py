@@ -330,6 +330,45 @@ class MetadataLog:
                     continue  # dropped by a concurrent writer mid-listing
         return out
 
+    # -- staged commits (write-audit-publish) ----------------------------
+    def _staged_path(self, name: str) -> str:
+        return os.path.join(self.meta_dir, f"staged-{name}.json")
+
+    def write_staged(self, name: str, payload: dict[str, Any]) -> bool:
+        """CAS-create the staged-commit descriptor ``staged-{name}.json``
+        (exactly one stager per name; returns False on a lost race). The
+        descriptor lives OUTSIDE the v-chain, so readers never see it."""
+        if not self._TAG_RE.match(name):
+            raise ValueError(f"invalid staged-commit name: {name!r}")
+        return self._cas_create(self._staged_path(name), json.dumps(payload))
+
+    def load_staged(self, name: str) -> dict[str, Any] | None:
+        try:
+            with open(self._staged_path(name)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def delete_staged(self, name: str) -> None:
+        try:
+            os.remove(self._staged_path(name))
+        except FileNotFoundError:
+            pass
+
+    def staged_list(self) -> dict[str, dict[str, Any]]:
+        """name -> descriptor for every staged commit on disk."""
+        out: dict[str, dict[str, Any]] = {}
+        try:
+            names = os.listdir(self.meta_dir)
+        except FileNotFoundError:
+            return out
+        for f in names:
+            if f.startswith("staged-") and f.endswith(".json"):
+                d = self.load_staged(f[7:-5])
+                if d is not None:  # dropped by a concurrent publish/discard
+                    out[f[7:-5]] = d
+        return out
+
     def repair_hint(self) -> None:
         """Recreate a missing ``_current`` hint from the snapshot files on
         disk (crash between a CAS-created snapshot and its hint write).

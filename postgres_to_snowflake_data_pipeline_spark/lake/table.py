@@ -38,6 +38,7 @@ both as a data column and as the ``_bdir=N`` partition directory).
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import uuid
@@ -1250,6 +1251,28 @@ class LakeTable:
         """
         if commit_key is not None and self.has_commit_key(commit_key):
             return None
+        new_files, summary = self._write_merge_delta(
+            winners, schema, summary, summary_fn
+        )
+        return self._next_commit(
+            new_files,
+            schema or self.current().schema,
+            dict(summary, operation="merge"),
+            commit_key,
+            replace_buckets=False,
+        )
+
+    def _write_merge_delta(
+        self,
+        winners: DataFrame,
+        schema: T.StructType | None,
+        summary: dict[str, Any] | None,
+        summary_fn: Any,
+    ) -> tuple[dict[str, list[dict[str, Any]]], dict[str, Any]]:
+        """The data-write half of ``merge``, shared with ``stage_merge``:
+        bucket-cluster the winners, write one delta file per affected
+        bucket, and return (bucket -> delta entries, summary with lineage
+        folded in). No metadata is committed here."""
         snap = self.current()
         target_schema = schema or snap.schema
         kcol = snap.key_cols[0]
@@ -1281,13 +1304,182 @@ class LakeTable:
         new_files = {b: [dict(e, kind="delta") for e in es] for b, es in raw.items()}
         total_rows = sum(b["rows_merged"] for b in bucket_lineage)
         extra = summary_fn(total_rows) if summary_fn is not None else {}
-        return self._next_commit(
-            new_files,
-            target_schema,
-            dict(summary or {}, **extra, bucket_lineage=bucket_lineage, operation="merge"),
-            commit_key,
+        return new_files, dict(
+            summary or {}, **extra, bucket_lineage=bucket_lineage
+        )
+
+    # ------------------------------------------------------------------
+    # staged commits (write-audit-publish)
+    # ------------------------------------------------------------------
+    def stage_merge(
+        self,
+        winners: DataFrame,
+        name: str,
+        commit_key: str | None = None,
+        schema: T.StructType | None = None,
+        summary: dict[str, Any] | None = None,
+        summary_fn: Any = None,
+    ) -> dict[str, Any] | None:
+        """Write a merge batch WITHOUT publishing it — the write half of
+        the write-audit-publish pattern (Iceberg WAP). The batch's delta
+        files and manifest land on disk exactly as ``merge`` would write
+        them, but the snapshot descriptor is a CAS-created sidecar
+        (``_meta/staged-{name}.json``) outside the v-chain: no reader, view
+        refresh, or changefeed can observe the rows until
+        ``publish_staged(name)`` folds them in — so a data-quality gate can
+        audit the batch (``read_staged``) against the live table first,
+        and a failed audit is a metadata-cheap ``discard_staged``.
+
+        Exactly-once composes with epochs: if ``commit_key`` is already
+        applied this is a no-op returning None (same contract as ``merge``);
+        the key is checked again at publish time, so stage→publish replayed
+        end-to-end after a crash is still applied once. Publishing carries
+        its own idempotency key even when ``commit_key`` is None.
+
+        Returns the staged descriptor dict (also retrievable via
+        ``staged()``). Raises if ``name`` is already staged — audit
+        attempts must be distinguishable, not silently merged."""
+        if commit_key is not None and self.has_commit_key(commit_key):
+            return None
+        if self.log.load_staged(name) is not None:
+            raise ValueError(f"staged commit already exists: {name}")
+        snap = self.current()
+        target_schema = schema or snap.schema
+        new_files, full_summary = self._write_merge_delta(
+            winners, schema, summary, summary_fn
+        )
+        # the staged manifest uses the `stg-` name grammar: invisible to
+        # list_manifests() (the v-chain manifest GC) and to readers
+        mname = f"stg-{name}-{uuid.uuid4().hex[:8]}.json"
+        self.log._atomic_write(
+            self.log.manifest_path(mname), json.dumps({"files": new_files})
+        )
+        desc = {
+            "name": name,
+            "manifest": mname,
+            "buckets": sorted(new_files),
+            "schema": target_schema.jsonValue(),
+            "summary": full_summary,
+            "commit_key": commit_key,
+            "publish_key": commit_key
+            or f"stage-publish:{name}:{uuid.uuid4().hex[:8]}",
+            "n_buckets": snap.n_buckets,
+            "created_at_unix": time.time(),
+        }
+        if not self.log.write_staged(name, desc):
+            self.log.delete_manifest(mname)
+            raise ValueError(f"staged commit already exists: {name}")
+        return desc
+
+    def staged(self) -> dict[str, dict[str, Any]]:
+        """name -> descriptor for every staged (unpublished) commit."""
+        return self.log.staged_list()
+
+    def read_staged(
+        self,
+        name: str,
+        with_base: bool = False,
+        include_internal: bool = False,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
+        """Audit view of a staged commit. ``with_base=False`` (default)
+        returns just the staged batch's LWW-resolved rows — what a quality
+        gate validates (counts, null rates, predicates). ``with_base=True``
+        returns the table AS IT WOULD READ after publish (current files +
+        staged delta, one LWW resolution), for invariants that need the
+        merged state — without committing anything."""
+        st = self.log.load_staged(name)
+        if st is None:
+            raise ValueError(f"no such staged commit: {name}")
+        snap = self.current()
+        staged_schema = T.StructType.fromJson(st["schema"])
+        want = list(staged_schema.fields)
+        entries = [
+            e
+            for es in self.log._load_manifest(st["manifest"]).values()
+            for e in es
+        ]
+        if with_base:
+            want = list(
+                evolve_schema(
+                    snap.schema, staged_schema,
+                    retired={n.lower() for n in snap.retired_names},
+                ).fields
+            )
+            entries = [
+                e for es in snap.files.values() for e in es
+            ] + entries
+        df = self._read_files(snap, entries, fields=want)
+        if df is None:
+            fields = want + (INTERNAL_FIELDS if include_internal else [])
+            return self.spark.createDataFrame([], T.StructType(fields))
+        df = self._resolve_lww(df, snap.key_cols)
+        if not include_tombstones:
+            df = df.filter(~F.col("_deleted"))
+        if not include_internal:
+            df = df.select(*[f.name for f in want])
+        return df
+
+    def publish_staged(self, name: str) -> Snapshot | None:
+        """Atomically fold a staged commit into the table — the publish
+        half of write-audit-publish. Metadata-only (the data files were
+        written at stage time); goes through the same optimistic-CAS rebase
+        loop as any merge, so publishes compose with concurrent merges and
+        compactions (the staged delta appended after a racing compaction
+        still resolves correctly under LWW — same argument as
+        ``_rebase_replace``). Idempotent under the descriptor's publish
+        key: re-publishing after a crash (or after the same epoch key was
+        applied elsewhere) returns None and just cleans up. The staged
+        descriptor and manifest are removed on success or no-op."""
+        st = self.log.load_staged(name)
+        if st is None:
+            raise ValueError(f"no such staged commit: {name}")
+        parent = self.current()
+        if parent.n_buckets != st["n_buckets"]:
+            raise ValueError(
+                f"staged commit {name} was written for n_buckets="
+                f"{st['n_buckets']} but the table now has {parent.n_buckets}"
+            )
+        files = self.log._load_manifest(st["manifest"])
+        snap = self._next_commit(
+            {b: [dict(e) for e in es] for b, es in files.items()},
+            T.StructType.fromJson(st["schema"]),
+            dict(
+                st["summary"],
+                operation="merge",
+                operation_detail="publish-staged",
+                staged_name=name,
+            ),
+            st["publish_key"],
             replace_buckets=False,
         )
+        self.log.delete_staged(name)
+        self.log.delete_manifest(st["manifest"])
+        return snap
+
+    def discard_staged(self, name: str) -> dict[str, int]:
+        """Reject a staged commit: delete its data files, manifest, and
+        descriptor. Returns {deleted_files, freed_bytes}."""
+        st = self.log.load_staged(name)
+        if st is None:
+            raise ValueError(f"no such staged commit: {name}")
+        deleted = freed = 0
+        try:
+            files = self.log._load_manifest(st["manifest"])
+        except FileNotFoundError:
+            files = {}
+        for es in files.values():
+            for e in es:
+                full = os.path.join(self.root, e["path"])
+                try:
+                    freed += os.path.getsize(full)
+                    os.remove(full)
+                    deleted += 1
+                except FileNotFoundError:
+                    pass
+        self.log.delete_staged(name)
+        self.log.delete_manifest(st["manifest"])
+        return {"deleted_files": deleted, "freed_bytes": freed}
 
     @classmethod
     def rebucket(
@@ -1435,6 +1627,17 @@ class LakeTable:
         referenced = {
             e["path"] for s in keep for es in s.files.values() for e in es
         }
+        # staged (write-audit-publish) commits are pinned like tags: their
+        # data files are referenced only by the staged sidecar, never by a
+        # kept snapshot — without this, any audit window longer than the
+        # orphan grace would see its staged batch GC'd out from under it.
+        # Cleanup of rejected batches is explicit (discard_staged).
+        for st in self.log.staged_list().values():
+            try:
+                m = self.log._load_manifest(st["manifest"])
+            except FileNotFoundError:
+                continue  # concurrently published/discarded mid-scan
+            referenced |= {e["path"] for es in m.values() for e in es}
         data_root = os.path.join(self.root, "data")
         deleted = freed = 0
         for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
