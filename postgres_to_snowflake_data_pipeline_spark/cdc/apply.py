@@ -23,6 +23,7 @@ expressed as merge-on-read (SURVEY.md §7.4 hard-part #2/#3).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Any
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
@@ -74,6 +75,41 @@ class ApplyResult:
     #: set when the batch was STAGED (write-audit-publish) instead of
     #: committed: the staged-commit name to audit then publish/discard
     staged: str | None = None
+    #: audit-gated applies only: the audit report ({"passed": bool,
+    #: "rows": n, "checks": [...]}); rejected batches also set
+    #: ``rejected=True`` (the epoch is applied-as-rejected, zero rows)
+    audit: dict | None = None
+    rejected: bool = False
+
+
+class AuditFailed(RuntimeError):
+    """An audit-gated batch failed its checks under ``on_fail='fail'``.
+    The batch stays STAGED (inspect via ``table.read_staged(name)``); the
+    epoch is NOT applied — resolve by ``table.publish_staged(name)`` (waive),
+    ``table.reject_staged(name)`` (record + quarantine), or
+    ``table.discard_staged(name)`` then re-apply a corrected feed."""
+
+    def __init__(self, table_root: str, staged_name: str, report: dict):
+        self.table_root = table_root
+        self.staged_name = staged_name
+        self.report = report
+        failed = [
+            c for c in report.get("checks", []) if not c.get("passed", True)
+        ]
+        super().__init__(
+            f"audit failed for staged batch {staged_name!r} on table "
+            f"{table_root}: {failed or report}"
+        )
+
+
+@dataclass(frozen=True)
+class StagedAudit:
+    """One table's audit gate for multi-table routing: ``audit_fn(table,
+    staged_name) -> report`` (a dict with at least ``passed: bool``), and
+    what a failed audit does (see :func:`apply_audited_batch`)."""
+
+    audit_fn: Any
+    on_fail: str = "fail"
 
 
 #: auto-salting (see apply_batch docstring): fan-out width when the skew
@@ -332,6 +368,81 @@ def apply_batch(
         export_lineage(spark, table, lineage_path)
 
     return ApplyResult(epoch, False, rows_in, rows_deduped, snap.snapshot_id)
+
+
+def apply_audited_batch(
+    spark: SparkSession,
+    table: LakeTable,
+    events: DataFrame,
+    epoch: int,
+    audit_fn,
+    on_fail: str = "fail",
+    salt_buckets: int | None = None,
+    staged_name: str | None = None,
+) -> ApplyResult:
+    """The full write-audit-publish lifecycle for one epoch: stage the
+    batch (invisible to readers), run ``audit_fn(table, staged_name) ->
+    report`` over it, then publish on pass / handle failure per
+    ``on_fail``:
+
+    - ``'fail'``  — raise :class:`AuditFailed`, leaving the batch STAGED
+      for inspection; the epoch stays unapplied, so the pipeline halts at
+      this table until an operator publishes, rejects, or discards it
+      (quality gate as a circuit breaker).
+    - ``'reject'`` — ``table.reject_staged``: quarantine the files and fold
+      an empty commit under the epoch key, so the epoch is applied-as-
+      rejected exactly once and downstream (frontier, later epochs)
+      proceeds (quality gate as a filter, the reference's
+      ON_ERROR='CONTINUE' posture made auditable).
+
+    Crash-resumable at every boundary, driven by durable state only:
+    epoch key already folded -> no-op; staged descriptor already on disk
+    (crash after stage, before verdict) -> SKIP the data write and resume
+    at the audit; publish/reject are idempotent under the descriptor's
+    publish key. ``audit_fn`` must therefore be deterministic in the
+    staged data — it reads ``table.read_staged(name)``, never the feed.
+    """
+    if on_fail not in ("fail", "reject"):
+        raise ValueError(f"on_fail must be 'fail' or 'reject', got {on_fail!r}")
+    commit_key = f"epoch:{epoch}"
+    name = staged_name or f"audit-epoch-{epoch}"
+    if table.has_commit_key(commit_key):
+        return ApplyResult(epoch, True, 0, 0, None)
+    desc = table.log.load_staged(name)
+    if desc is None:
+        res = apply_batch(
+            spark, table, events, epoch=epoch,
+            salt_buckets=salt_buckets, stage=name,
+        )
+        if res.skipped:  # racer applied the epoch between checks
+            return res
+    else:
+        # resume-at-audit: the batch was fully staged by a previous attempt
+        s = desc["summary"]
+        res = ApplyResult(
+            epoch, False, int(s.get("rows_in") or 0),
+            sum(r["rows_merged"] for r in s.get("bucket_lineage", [])),
+            None, staged=name,
+        )
+    report = audit_fn(table, name)
+    res.audit = report
+    if report.get("passed"):
+        snap = table.publish_staged(name)
+        res.staged = None
+        res.snapshot_id = snap.snapshot_id if snap is not None else None
+        return res
+    if on_fail == "reject":
+        failed = [
+            c.get("label") or c.get("kind", "?")
+            for c in report.get("checks", [])
+            if not c.get("passed", True)
+        ]
+        snap = table.reject_staged(name, reason="; ".join(failed) or "audit failed")
+        res.staged = None
+        res.rejected = True
+        res.snapshot_id = snap.snapshot_id if snap is not None else None
+        return res
+    raise AuditFailed(table.root, name, report)
 
 
 def bootstrap_snapshot(

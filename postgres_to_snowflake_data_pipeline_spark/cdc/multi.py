@@ -36,7 +36,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from postgres_to_snowflake_data_pipeline_spark.cdc.apply import ApplyResult, apply_batch
+from postgres_to_snowflake_data_pipeline_spark.cdc.apply import (
+    ApplyResult,
+    StagedAudit,
+    apply_audited_batch,
+    apply_batch,
+)
 from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import ORDER_COL
 from postgres_to_snowflake_data_pipeline_spark.lake.metadata import atomic_write_json
 from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
@@ -59,6 +64,7 @@ def apply_multi_table(
     salt_buckets: int | None = None,
     frontier_root: str | None = None,
     table_columns: dict[str, set[str]] | None = None,
+    audits: dict[str, StagedAudit] | None = None,
 ) -> MultiApplyResult:
     """Apply one epoch of a table-tagged change feed to every target table.
 
@@ -66,6 +72,12 @@ def apply_multi_table(
     tagged with unknown tables are skipped (tolerant routing, like the
     reference's ON_ERROR='CONTINUE') and reported via
     ``result.unknown_rows``.
+
+    ``audits`` routes named tables through the write-audit-publish gate
+    (:func:`apply_audited_batch`): their slice is staged, audited, then
+    published or rejected — both fold the epoch key, so the frontier below
+    advances either way; ``on_fail='fail'`` instead raises with the batch
+    left staged, halting the epoch at that table.
 
     ``table_columns`` scopes each table's slice to its own payload columns
     (plus op/lsn). A heterogeneous multi-source union carries the SUPERSET
@@ -98,9 +110,24 @@ def apply_multi_table(
                     if c in table_columns[name] or c in ("op", ORDER_COL)
                 ]
                 slice_df = slice_df.select(*keep)
-            results[name] = apply_batch(
-                spark, table, slice_df, epoch=epoch, salt_buckets=salt_buckets
-            )
+            if audits and name in audits:
+                # write-audit-publish gate: the slice is staged (invisible),
+                # audited against declarative checks, then published or
+                # rejected — either way the epoch key folds, so the frontier
+                # below still advances. on_fail='fail' raises instead,
+                # leaving the batch staged and the epoch (hence the
+                # frontier) halted at this table until an operator acts.
+                a = audits[name]
+                results[name] = apply_audited_batch(
+                    spark, table, slice_df, epoch=epoch,
+                    audit_fn=a.audit_fn, on_fail=a.on_fail,
+                    salt_buckets=salt_buckets,
+                )
+            else:
+                results[name] = apply_batch(
+                    spark, table, slice_df, epoch=epoch,
+                    salt_buckets=salt_buckets,
+                )
         # null-safe: ~isin(...) evaluates to NULL (not TRUE) for NULL tags,
         # which filter() would drop — exactly the silent loss this counter
         # exists to surface

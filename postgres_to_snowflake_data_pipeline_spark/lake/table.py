@@ -1481,6 +1481,83 @@ class LakeTable:
         self.log.delete_manifest(st["manifest"])
         return {"deleted_files": deleted, "freed_bytes": freed}
 
+    def reject_staged(
+        self,
+        name: str,
+        reason: str | None = None,
+        quarantine: bool = True,
+    ) -> Snapshot | None:
+        """Reject a staged commit AS A RECORDED DECISION — the audit-failed
+        sibling of :meth:`publish_staged`. Unlike ``discard_staged`` (which
+        deletes the batch and leaves the epoch unapplied, for "fix the feed
+        and re-apply" flows), reject folds an EMPTY commit under the staged
+        descriptor's publish key: the epoch becomes APPLIED-AS-REJECTED
+        exactly once — replaying it is a no-op, the rejection (with
+        ``reason``) is inspectable in snapshot history, and a cross-table
+        frontier can still advance past the epoch instead of stalling
+        forever on a quarantined table. No reader sees the rows: the commit
+        references zero files and the table schema is unchanged (a rejected
+        batch must not schema-evolve the table either).
+
+        The batch's data files move to ``_quarantine/{name}/`` under the
+        table root — outside ``data/``, so snapshot GC never touches them —
+        for inspection and manual backfill; ``quarantine=False`` deletes
+        them instead. Idempotent like publish: if the publish key is
+        already folded (crash between the reject commit and cleanup, or a
+        racer), returns None and just cleans up."""
+        st = self.log.load_staged(name)
+        if st is None:
+            raise ValueError(f"no such staged commit: {name}")
+        try:
+            files = self.log._load_manifest(st["manifest"])
+        except FileNotFoundError:
+            files = {}
+        data_root = os.path.join(self.root, "data")
+        qroot = os.path.join(self.root, "_quarantine", name)
+        moved = deleted = 0
+        for es in files.values():
+            for e in es:
+                full = os.path.join(self.root, e["path"])
+                try:
+                    if quarantine:
+                        dest = os.path.join(
+                            qroot, os.path.relpath(full, data_root)
+                        )
+                        os.makedirs(os.path.dirname(dest), exist_ok=True)
+                        os.replace(full, dest)
+                        moved += 1
+                    else:
+                        os.remove(full)
+                        deleted += 1
+                except FileNotFoundError:
+                    pass  # already quarantined/deleted by a crashed attempt
+        # lineage keys only (epoch, observed rows/LSN range) — NOT
+        # bucket_lineage, whose file entries would imply rows this commit
+        # does not add
+        lineage = {
+            k: st["summary"].get(k)
+            for k in ("epoch", "rows_in", "lsn_min", "lsn_max")
+            if k in st["summary"]
+        }
+        snap = self._next_commit(
+            {},
+            self.current().schema,
+            dict(
+                lineage,
+                operation="audit-reject",
+                staged_name=name,
+                reject_reason=reason,
+                quarantined_files=moved,
+                quarantine_path=(os.path.relpath(qroot, self.root)
+                                 if quarantine and moved else None),
+            ),
+            st["publish_key"],
+            replace_buckets=False,
+        )
+        self.log.delete_staged(name)
+        self.log.delete_manifest(st["manifest"])
+        return snap
+
     @classmethod
     def rebucket(
         cls,

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from postgres_to_snowflake_data_pipeline_spark.cdc.apply import StagedAudit
 from postgres_to_snowflake_data_pipeline_spark.cdc.multi import (
     TABLE_COL,
     MultiApplyResult,
@@ -297,6 +298,181 @@ class ViewSpec:
             raise ValueError(f"incremental view {self.name!r}: aggs required")
 
 
+#: check kinds an AuditSpec accepts; row-level kinds count violating rows,
+#: batch-level kinds bound the row count itself
+_ROW_CHECKS = ("expr", "not_null")
+_COUNT_CHECKS = ("min_rows", "max_rows")
+
+
+@dataclass(frozen=True)
+class AuditSpec:
+    """A declarative data-quality gate on one table's epoch batches —
+    the write-audit-publish pattern (Iceberg WAP) as pipeline spec: each
+    epoch's batch for ``table`` is STAGED (invisible to readers, views,
+    changefeeds), the checks below run over it, and it is published on
+    pass. On fail, ``on_fail`` decides:
+
+    - ``'fail'``   — halt: raise ``AuditFailed``, batch stays staged for
+      inspection (``table.read_staged``), the epoch stays unapplied.
+    - ``'reject'`` — continue: quarantine the batch's files and fold an
+      empty commit under the epoch key, so exactly-once and the
+      cross-table frontier advance; the rejection + reason are recorded
+      in snapshot history (the reference's ON_ERROR='CONTINUE' posture,
+      /root/reference/dags/s3_to_snowflake_dag.py COPY options, made
+      auditable instead of silent).
+
+    Each check is a JSON-able dict:
+
+    - ``{"kind": "expr", "expr": "<boolean SQL over the batch rows>"}`` —
+      rows where the expression is not TRUE (false OR NULL) are
+      violations.
+    - ``{"kind": "not_null", "columns": [...]}`` — NULL in any listed
+      column is a violation (reported per column).
+    - ``{"kind": "min_rows", "value": N}`` / ``{"kind": "max_rows",
+      "value": N}`` — bounds on the scope's row count (e.g. min_rows=1
+      catches a silently-empty feed; max_rows a runaway producer).
+
+    Optional per check: ``"max_violations"`` (int, default 0) tolerates
+    up to that many violating rows; ``"scope"``: ``"batch"`` (default —
+    the staged batch's LWW survivors, what this epoch adds) or
+    ``"merged"`` (the table AS IT WOULD READ post-publish — for
+    invariants over merged state); ``"label"`` names the check in
+    reports.
+
+    Cost shape: all same-scope checks compile into ONE aggregate pass
+    (single job, map-side partials); a ``merged``-scope check reads
+    current files + staged delta, so reserve it for invariants that
+    genuinely need merged state. Checks see payload columns only.
+
+    Validated at spec LOAD, so a typo'd kind/expr-less check fails before
+    any epoch runs."""
+
+    table: str
+    checks: tuple[dict[str, Any], ...]
+    on_fail: str = "fail"
+
+    def __post_init__(self) -> None:
+        if self.on_fail not in ("fail", "reject"):
+            raise ValueError(
+                f"audit on {self.table!r}: on_fail must be 'fail' or "
+                f"'reject', got {self.on_fail!r}"
+            )
+        if not self.checks:
+            raise ValueError(f"audit on {self.table!r}: checks must be non-empty")
+        for c in self.checks:
+            kind = c.get("kind")
+            if kind not in _ROW_CHECKS + _COUNT_CHECKS:
+                raise ValueError(
+                    f"audit on {self.table!r}: unknown check kind {kind!r} "
+                    f"(want one of {_ROW_CHECKS + _COUNT_CHECKS})"
+                )
+            if kind == "expr" and not isinstance(c.get("expr"), str):
+                raise ValueError(
+                    f"audit on {self.table!r}: expr check needs a SQL "
+                    f"string under 'expr', got {c!r}"
+                )
+            if kind == "not_null" and not c.get("columns"):
+                raise ValueError(
+                    f"audit on {self.table!r}: not_null check needs a "
+                    f"non-empty 'columns' list, got {c!r}"
+                )
+            if kind in _COUNT_CHECKS and not isinstance(c.get("value"), int):
+                raise ValueError(
+                    f"audit on {self.table!r}: {kind} check needs an int "
+                    f"'value', got {c!r}"
+                )
+            if c.get("scope", "batch") not in ("batch", "merged"):
+                raise ValueError(
+                    f"audit on {self.table!r}: scope must be 'batch' or "
+                    f"'merged', got {c.get('scope')!r}"
+                )
+            mv = c.get("max_violations", 0)
+            if not isinstance(mv, int) or mv < 0:
+                raise ValueError(
+                    f"audit on {self.table!r}: max_violations must be a "
+                    f"non-negative int, got {mv!r}"
+                )
+
+
+def compile_audit(spec: AuditSpec):
+    """AuditSpec -> ``audit_fn(table, staged_name) -> report`` for
+    :func:`apply_audited_batch`. All checks of one scope fold into a
+    single aggregate (one Spark job per scope used). Deterministic in the
+    staged data, as the resume-at-audit contract requires."""
+
+    def _label(c: dict[str, Any]) -> str:
+        if c.get("label"):
+            return str(c["label"])
+        kind = c["kind"]
+        detail = c.get("expr") or ",".join(c.get("columns", ())) or c.get("value")
+        return f"{kind}:{detail}"
+
+    def audit_fn(table: Any, name: str) -> dict[str, Any]:
+        results: list[tuple[int, dict[str, Any]]] = []
+        for scope in ("batch", "merged"):
+            scoped = [
+                (i, c)
+                for i, c in enumerate(spec.checks)
+                if c.get("scope", "batch") == scope
+            ]
+            if not scoped:
+                continue
+            df = table.read_staged(name, with_base=(scope == "merged"))
+            aggs = [F.count(F.lit(1)).alias("_rows")]
+            slots: list[tuple[int, dict, list[tuple[str, str]]]] = []
+            for i, c in scoped:
+                if c["kind"] == "expr":
+                    a = f"_v{i}"
+                    aggs.append(
+                        F.sum(
+                            F.when(
+                                F.coalesce(F.expr(c["expr"]), F.lit(False)),
+                                0,
+                            ).otherwise(1)
+                        ).alias(a)
+                    )
+                    slots.append((i, c, [(a, c["expr"])]))
+                elif c["kind"] == "not_null":
+                    cols = []
+                    for j, col in enumerate(c["columns"]):
+                        a = f"_v{i}_{j}"
+                        aggs.append(
+                            F.sum(
+                                F.when(F.col(col).isNull(), 1).otherwise(0)
+                            ).alias(a)
+                        )
+                        cols.append((a, col))
+                    slots.append((i, c, cols))
+                else:  # count checks need only _rows
+                    slots.append((i, c, []))
+            row = df.agg(*aggs).first().asDict()
+            nrows = int(row["_rows"] or 0)
+            for i, c, aliases in slots:
+                entry: dict[str, Any] = {
+                    "label": _label(c), "kind": c["kind"], "scope": scope,
+                    "rows": nrows,
+                }
+                if c["kind"] in _COUNT_CHECKS:
+                    entry["value"] = c["value"]
+                    entry["passed"] = (
+                        nrows >= c["value"]
+                        if c["kind"] == "min_rows"
+                        else nrows <= c["value"]
+                    )
+                else:
+                    by = {key: int(row[a] or 0) for a, key in aliases}
+                    violations = sum(by.values())
+                    entry["violations"] = violations
+                    if c["kind"] == "not_null":
+                        entry["violations_by_column"] = by
+                    entry["passed"] = violations <= c.get("max_violations", 0)
+                results.append((i, entry))
+        checks = [e for _i, e in sorted(results, key=lambda t: t[0])]
+        return {"passed": all(e["passed"] for e in checks), "checks": checks}
+
+    return audit_fn
+
+
 @dataclass(frozen=True)
 class ExportSpec:
     """Post-epoch snapshot export of a table (the reference's
@@ -314,6 +490,7 @@ class PipelineSpec:
     tables: tuple[TableSpec, ...]
     views: tuple[ViewSpec, ...] = ()
     exports: tuple[ExportSpec, ...] = ()
+    audits: tuple[AuditSpec, ...] = ()
     frontier: bool = True
     salt_buckets: int | None = None
 
@@ -333,6 +510,12 @@ class PipelineSpec:
         for e in self.exports:
             if e.table not in known:
                 raise ValueError(f"export targets unknown table {e.table!r}")
+        audited = [a.table for a in self.audits]
+        if len(set(audited)) != len(audited):
+            raise ValueError(f"multiple audits for one table: {audited}")
+        for a in self.audits:
+            if a.table not in known:
+                raise ValueError(f"audit targets unknown table {a.table!r}")
 
     # -- JSON round-trip ----------------------------------------------------
     @classmethod
@@ -379,6 +562,14 @@ class PipelineSpec:
                 )
                 for e in raw.get("exports", [])
             ),
+            audits=tuple(
+                AuditSpec(
+                    table=a["table"],
+                    checks=tuple(dict(c) for c in a["checks"]),
+                    on_fail=a.get("on_fail", "fail"),
+                )
+                for a in raw.get("audits", [])
+            ),
             frontier=raw.get("frontier", True),
             salt_buckets=raw.get("salt_buckets"),
         )
@@ -419,6 +610,11 @@ class PipelineSpec:
                 {"table": e.table, "path": e.path, "date_col": e.date_col}
                 for e in self.exports
             ],
+            "audits": [
+                {"table": a.table, "checks": [dict(c) for c in a.checks],
+                 "on_fail": a.on_fail}
+                for a in self.audits
+            ],
             "frontier": self.frontier,
             "salt_buckets": self.salt_buckets,
         }
@@ -444,6 +640,10 @@ class Pipeline:
         self.spec = spec
         self.tables: dict[str, LakeTable] = {}
         self._views: dict[str, Any] = {}
+        self._audits = {
+            a.table: StagedAudit(compile_audit(a), a.on_fail)
+            for a in spec.audits
+        }
         for t in spec.tables:
             try:
                 self.tables[t.name] = LakeTable.load(
@@ -608,6 +808,7 @@ class Pipeline:
                 else None
             ),
             table_columns=table_columns,
+            audits=self._audits or None,
         )
         views = {
             v.name: self._view_handle(v).refresh() for v in self.spec.views
@@ -625,6 +826,11 @@ class Pipeline:
             "unknown_rows": applied.unknown_rows,
             "views": views,
             "exports": exports,
+            "audits": {
+                name: r.audit
+                for name, r in applied.items()
+                if r.audit is not None
+            },
         }
 
     # -- streaming ----------------------------------------------------------
