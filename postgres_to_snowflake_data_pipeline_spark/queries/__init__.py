@@ -45,6 +45,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c06_key_clustered_lookup,
         cdcq.C06_SQL,
     ),
+    # write-audit-publish gate live in the routed pipeline (round 4c): a
+    # poisoned epoch is staged, audit-rejected + quarantined, the frontier
+    # still advances; oracle = LWW recompute over the feed minus the
+    # rejected slice
+    "c07_audited_pipeline": (cdcq.c07_audited_pipeline, cdcq.C07_SQL),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -137,7 +142,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # multimodal binary plumbing (Arrow-batched decode stubs)
     "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
     "m02_frame_sample": (multimodal.m02_frame_sample, multimodal.M02_SQL),
-    "m03_resize": (multimodal.m03_resize, multimodal.M03_SQL),
     # audio feature extraction over REAL decoded PCM (round 4): exact
     # integer features (energy/peak/zero-crossings), oracle re-derives
     # every sample arithmetically from the generator's cycled-text PCM
@@ -158,7 +162,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # window top-k, t09~t04/t14 fingerprint family, t07~t10 MinHash
     # oracle-parity twin — v03/q15/t09 demoted to keep the NEW m04
     # audio-features, v08 index-append, and c06 key-clustered-lookup
-    # entries inside the 50-slot window, t07 to admit v09 lake-index).
+    # entries inside the 50-slot window, t07 to admit v09 lake-index,
+    # m03 (~m02: both deterministic-fake multimodal plumbing, m03 green
+    # in r3) to admit c07 audited-pipeline).
     # ALL entries, including these, are re-verified every round by the
     # parametrized parity suite and a committed full-catalog
     # `tools/check_parity.py` run (recorded in README.md §testing).
@@ -173,6 +179,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q15_top_orders": (reference.q15_top_orders, reference.Q15_SQL),
     "t09_simhash": (textops.t09_simhash, textops.T09_SQL),
     "t07_minhash_bands": (textops.t07_minhash_bands, textops.T07_SQL),
+    "m03_resize": (multimodal.m03_resize, multimodal.M03_SQL),
 }
 
 #: strict sub-stage twins collapsed out of the driver gate (round 4, per

@@ -253,6 +253,96 @@ def c04_routed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def c07_audited_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c04's routed pipeline with the WRITE-AUDIT-PUBLISH gate live: the
+    'even' table carries a declarative audit (``not_null role``,
+    on_fail='reject'), the 'odd' table a passing audit. Epoch 0's
+    even-shard rows are poisoned (role=NULL), so the gate stages them,
+    fails the check, QUARANTINES the batch, and folds an applied-as-
+    rejected empty commit — the cross-table frontier still reaches epoch 1,
+    where the clean even batch audits green and publishes.
+
+    The oracle recomputes the observable contract declaratively: the LWW
+    state over the feed MINUS the rejected slice (even-shard rows at
+    lsn > mid, mid = floor((min+max)/2) — identical integer arithmetic in
+    both engines). Rejecting the UPPER half makes the gate observable in
+    the data itself — the even table's winners are the lower-half ones, a
+    state c04's all-epochs replay can never produce — so the value-hash
+    match proves stage → audit → reject/publish → frontier end-to-end
+    (the reference's ON_ERROR='CONTINUE' COPY posture,
+    /root/reference/dags/s3_to_snowflake_dag.py, made exact + auditable)."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.multi import (
+        latest_frontier,
+        read_at_frontier,
+    )
+    from postgres_to_snowflake_data_pipeline_spark.orchestrate import (
+        Pipeline,
+        PipelineSpec,
+    )
+
+    work = _work_dir("cdcg", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    shard = F.when(
+        F.expr("CAST(substr(conv_id, 2) AS INT) % 2 = 0"), "even"
+    ).otherwise("odd")
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).withColumn("_table", shard).write.mode(
+        "overwrite"
+    ).parquet(feed_path)
+    feed = spark.read.parquet(feed_path)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    spec = PipelineSpec.from_dict(
+        {
+            "lake_root": os.path.join(work, "lake"),
+            "sources": [{"name": "wal", "kind": "dataframe"}],
+            "tables": [
+                {"name": "even", "key_cols": ["conv_id", "turn_idx"],
+                 "n_buckets": 4},
+                {"name": "odd", "key_cols": ["conv_id", "turn_idx"],
+                 "n_buckets": 4},
+            ],
+            "audits": [
+                {"table": "even", "on_fail": "reject", "checks": [
+                    {"kind": "not_null", "columns": ["role"],
+                     "label": "role-set"},
+                ]},
+                {"table": "odd", "on_fail": "fail", "checks": [
+                    {"kind": "expr", "expr": "turn_idx BETWEEN 0 AND 4"},
+                    {"kind": "min_rows", "value": 1},
+                ]},
+            ],
+        }
+    )
+    pipe = Pipeline(spark, spec)
+    # epoch 0 carries the UPPER lsn half, poisoned on the even shard
+    # (role=NULL); epoch 1 the clean lower half — out-of-order arrival the
+    # LWW merge handles like any late data. Rejecting the upper slice is
+    # therefore OBSERVABLE: the even table's final winners are the
+    # lower-half ones, not (as in c04) the global max-lsn ones — so the
+    # oracle hash can only match if the gate really kept the poisoned rows
+    # out. (read_staged drops tombstones, so delete-winners' NULL roles
+    # never count — only the poisoned upserts trip the check.)
+    e0 = feed.filter(F.col("lsn") > mid).withColumn(
+        "role",
+        F.when(F.col("_table") == "even", F.lit(None).cast("string"))
+        .otherwise(F.col("role")),
+    )
+    r0 = pipe.run_epoch(0, feeds={"wal": e0})
+    assert r0["tables"]["even"].rejected, "audit gate failed to reject"
+    pipe.run_epoch(1, feeds={"wal": feed.filter(F.col("lsn") <= mid)})
+    fr = latest_frontier(os.path.join(spec.lake_root, "_frontier"))
+    assert fr is not None and fr.epoch == 1, "frontier stalled on rejection"
+    states = read_at_frontier(pipe.tables, fr)
+    out = None
+    for name in ("even", "odd"):
+        part = states[name].select(
+            F.lit(name).alias("shard"), "conv_id", "turn_idx", "role", "text",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def c05_time_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the feed in 4 epochs (NO compaction — the deltas stay as many
     small files), then read the upper two-thirds of event time through
@@ -346,6 +436,36 @@ w AS (
          arg_max(role, lsn) AS role,
          arg_max(text, lsn) AS text
   FROM feed GROUP BY 1, 2, 3
+)
+SELECT shard, conv_id, turn_idx, role, text FROM w WHERE op <> 'delete'
+"""
+
+
+C07_SQL = f"""
+WITH b AS (
+  SELECT (min(event_id) + max(event_id)) // 2 AS mid FROM events
+),
+feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS shard,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL ELSE event_type END AS role,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL ELSE props END AS text
+  FROM events
+),
+-- the audit gate rejects the even shard's poisoned upper-lsn batch:
+-- the surviving feed is the odd shard in full + the even lower half
+kept AS (
+  SELECT f.* FROM feed f, b WHERE f.shard = 'odd' OR f.lsn <= b.mid
+),
+w AS (
+  SELECT shard, conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text
+  FROM kept GROUP BY 1, 2, 3
 )
 SELECT shard, conv_id, turn_idx, role, text FROM w WHERE op <> 'delete'
 """
