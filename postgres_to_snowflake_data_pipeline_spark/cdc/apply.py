@@ -341,12 +341,7 @@ def apply_batch(
         )
         if desc is None:
             return ApplyResult(epoch, True, 0, 0, None)
-        s = desc["summary"]
-        return ApplyResult(
-            epoch, False, int(s.get("rows_in") or 0),
-            sum(r["rows_merged"] for r in s.get("bucket_lineage", [])),
-            None, staged=stage,
-        )
+        return _staged_result(epoch, stage, desc["summary"])
     snap = table.merge(
         storage,
         commit_key=commit_key,
@@ -368,6 +363,18 @@ def apply_batch(
         export_lineage(spark, table, lineage_path)
 
     return ApplyResult(epoch, False, rows_in, rows_deduped, snap.snapshot_id)
+
+
+def _staged_result(epoch: int, name: str, summary: dict) -> ApplyResult:
+    """The ApplyResult for a batch that is (or was) STAGED under ``name``,
+    decoded from the staged descriptor's summary — the single decoder
+    shared by the fresh-stage and resume-at-audit paths so the two can't
+    drift if the summary shape evolves."""
+    return ApplyResult(
+        epoch, False, int(summary.get("rows_in") or 0),
+        sum(r["rows_merged"] for r in summary.get("bucket_lineage", [])),
+        None, staged=name,
+    )
 
 
 def apply_audited_batch(
@@ -401,48 +408,73 @@ def apply_audited_batch(
     at the audit; publish/reject are idempotent under the descriptor's
     publish key. ``audit_fn`` must therefore be deterministic in the
     staged data — it reads ``table.read_staged(name)``, never the feed.
-    """
+
+    Cross-writer races degrade to ``skipped`` exactly like ``apply_batch``:
+    a concurrent auditor of the same epoch may win the stage CAS (we
+    resume from ITS identical staged batch), finish the verdict while we
+    audit (their publish/reject deletes the descriptor; ours sees the
+    epoch key folded and skips), or apply the epoch unstaged elsewhere.
+    Only a descriptor that vanished WITHOUT the epoch key folding — an
+    operator's out-of-band ``discard_staged`` — re-raises, since silently
+    reporting that as applied would hide the discard."""
     if on_fail not in ("fail", "reject"):
         raise ValueError(f"on_fail must be 'fail' or 'reject', got {on_fail!r}")
     commit_key = f"epoch:{epoch}"
     name = staged_name or f"audit-epoch-{epoch}"
+
+    def _raced() -> ApplyResult:
+        if table.has_commit_key(commit_key):
+            return ApplyResult(epoch, True, 0, 0, None)
+        raise  # genuine lifecycle error (e.g. external discard) — surface it
+
     if table.has_commit_key(commit_key):
         return ApplyResult(epoch, True, 0, 0, None)
     desc = table.log.load_staged(name)
     if desc is None:
-        res = apply_batch(
-            spark, table, events, epoch=epoch,
-            salt_buckets=salt_buckets, stage=name,
-        )
-        if res.skipped:  # racer applied the epoch between checks
-            return res
+        try:
+            res = apply_batch(
+                spark, table, events, epoch=epoch,
+                salt_buckets=salt_buckets, stage=name,
+            )
+        except ValueError:
+            # lost the stage CAS to a concurrent auditor of this epoch:
+            # resume from its (identical, deterministic) staged batch —
+            # or skip if it already carried the epoch to a verdict
+            desc = table.log.load_staged(name)
+            if desc is None:
+                return _raced()
+            res = _staged_result(epoch, name, desc["summary"])
+        else:
+            if res.skipped:  # racer applied the epoch between checks
+                return res
     else:
         # resume-at-audit: the batch was fully staged by a previous attempt
-        s = desc["summary"]
-        res = ApplyResult(
-            epoch, False, int(s.get("rows_in") or 0),
-            sum(r["rows_merged"] for r in s.get("bucket_lineage", [])),
-            None, staged=name,
-        )
-    report = audit_fn(table, name)
+        res = _staged_result(epoch, name, desc["summary"])
+    try:
+        report = audit_fn(table, name)
+    except ValueError:
+        return _raced()  # racer published/rejected mid-audit
     res.audit = report
-    if report.get("passed"):
-        snap = table.publish_staged(name)
-        res.staged = None
-        res.snapshot_id = snap.snapshot_id if snap is not None else None
-        return res
-    if on_fail == "reject":
-        failed = [
-            c.get("label") or c.get("kind", "?")
-            for c in report.get("checks", [])
-            if not c.get("passed", True)
-        ]
-        snap = table.reject_staged(name, reason="; ".join(failed) or "audit failed")
-        res.staged = None
-        res.rejected = True
-        res.snapshot_id = snap.snapshot_id if snap is not None else None
-        return res
-    raise AuditFailed(table.root, name, report)
+    try:
+        if report.get("passed"):
+            snap = table.publish_staged(name)
+        elif on_fail == "reject":
+            failed = [
+                c.get("label") or c.get("kind", "?")
+                for c in report.get("checks", [])
+                if not c.get("passed", True)
+            ]
+            snap = table.reject_staged(
+                name, reason="; ".join(failed) or "audit failed"
+            )
+            res.rejected = True
+        else:
+            raise AuditFailed(table.root, name, report)
+    except ValueError:
+        return _raced()  # descriptor gone: racer finished first
+    res.staged = None
+    res.snapshot_id = snap.snapshot_id if snap is not None else None
+    return res
 
 
 def bootstrap_snapshot(

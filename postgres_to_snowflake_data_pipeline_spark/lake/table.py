@@ -1504,17 +1504,65 @@ class LakeTable:
         for inspection and manual backfill; ``quarantine=False`` deletes
         them instead. Idempotent like publish: if the publish key is
         already folded (crash between the reject commit and cleanup, or a
-        racer), returns None and just cleans up."""
+        racer), returns None and just cleans up.
+
+        Ordering matters: the reject COMMITS FIRST and only then touches
+        the data files. The inverse order would let a racing
+        ``publish_staged`` — metadata-only, referencing the same
+        ``data/`` paths — win the publish-key CAS while this call has
+        already moved its files out from under the published snapshot;
+        and a crash mid-move would strand the descriptor pointing at
+        half-moved files, breaking the audit lifecycle's resume-at-audit
+        contract. Committing first makes a lost CAS decidable from
+        history: a ``publish-staged`` winner means the files are LIVE
+        (leave them; clean up metadata only), an ``audit-reject`` winner
+        (our own crashed earlier attempt) means finish its quarantine."""
         st = self.log.load_staged(name)
         if st is None:
             raise ValueError(f"no such staged commit: {name}")
+        # lineage keys only (epoch, observed rows/LSN range) — NOT
+        # bucket_lineage, whose file entries would imply rows this commit
+        # does not add
+        lineage = {
+            k: st["summary"].get(k)
+            for k in ("epoch", "rows_in", "lsn_min", "lsn_max")
+            if k in st["summary"]
+        }
+        qroot = os.path.join(self.root, "_quarantine", name)
+        snap = self._next_commit(
+            {},
+            self.current().schema,
+            dict(
+                lineage,
+                operation="audit-reject",
+                staged_name=name,
+                reject_reason=reason,
+                quarantine_path=(os.path.relpath(qroot, self.root)
+                                 if quarantine else None),
+            ),
+            st["publish_key"],
+            replace_buckets=False,
+        )
+        if snap is None:
+            # lost the publish-key CAS (or resuming a crashed attempt):
+            # decide from history what happened to the staged files
+            ours = any(
+                s.summary.get("staged_name") == name
+                and s.summary.get("operation") == "audit-reject"
+                for s in self.snapshots()
+            )
+            if not ours:
+                # a publish (or a plain apply of the same epoch elsewhere)
+                # folded the key — the files are live or orphaned-for-GC;
+                # either way they are not ours to move. Metadata only.
+                self.log.delete_staged(name)
+                self.log.delete_manifest(st["manifest"])
+                return None
         try:
             files = self.log._load_manifest(st["manifest"])
         except FileNotFoundError:
             files = {}
         data_root = os.path.join(self.root, "data")
-        qroot = os.path.join(self.root, "_quarantine", name)
-        moved = deleted = 0
         for es in files.values():
             for e in es:
                 full = os.path.join(self.root, e["path"])
@@ -1525,35 +1573,10 @@ class LakeTable:
                         )
                         os.makedirs(os.path.dirname(dest), exist_ok=True)
                         os.replace(full, dest)
-                        moved += 1
                     else:
                         os.remove(full)
-                        deleted += 1
                 except FileNotFoundError:
                     pass  # already quarantined/deleted by a crashed attempt
-        # lineage keys only (epoch, observed rows/LSN range) — NOT
-        # bucket_lineage, whose file entries would imply rows this commit
-        # does not add
-        lineage = {
-            k: st["summary"].get(k)
-            for k in ("epoch", "rows_in", "lsn_min", "lsn_max")
-            if k in st["summary"]
-        }
-        snap = self._next_commit(
-            {},
-            self.current().schema,
-            dict(
-                lineage,
-                operation="audit-reject",
-                staged_name=name,
-                reject_reason=reason,
-                quarantined_files=moved,
-                quarantine_path=(os.path.relpath(qroot, self.root)
-                                 if quarantine and moved else None),
-            ),
-            st["publish_key"],
-            replace_buckets=False,
-        )
         self.log.delete_staged(name)
         self.log.delete_manifest(st["manifest"])
         return snap

@@ -366,6 +366,19 @@ class AuditSpec:
                     f"audit on {self.table!r}: unknown check kind {kind!r} "
                     f"(want one of {_ROW_CHECKS + _COUNT_CHECKS})"
                 )
+            # unknown keys are rejected, not ignored: a typo'd optional
+            # key ("scopes", "max_violation") would otherwise silently
+            # weaken the gate to its defaults
+            allowed = {"kind", "label", "scope"} | (
+                {"value"} if kind in _COUNT_CHECKS
+                else {"max_violations", "expr" if kind == "expr" else "columns"}
+            )
+            extra = set(c) - allowed
+            if extra:
+                raise ValueError(
+                    f"audit on {self.table!r}: unknown keys {sorted(extra)} "
+                    f"in {kind} check (allowed: {sorted(allowed)})"
+                )
             if kind == "expr" and not isinstance(c.get("expr"), str):
                 raise ValueError(
                     f"audit on {self.table!r}: expr check needs a SQL "

@@ -83,6 +83,13 @@ def test_spec_validation_and_json_round_trip(tmp_path):
                   on_fail="quarantine")
     with pytest.raises(ValueError, match="checks must be non-empty"):
         AuditSpec(table="t", checks=())
+    # typo'd optional keys are rejected, not silently defaulted
+    with pytest.raises(ValueError, match="unknown keys.*scopes"):
+        AuditSpec(table="t", checks=(
+            {"kind": "expr", "expr": "1=1", "scopes": "merged"},))
+    with pytest.raises(ValueError, match="unknown keys.*max_violation"):
+        AuditSpec(table="t", checks=(
+            {"kind": "not_null", "columns": ["a"], "max_violation": 5},))
     raw = spec.to_dict()
     raw["audits"][0]["table"] = "nope"
     with pytest.raises(ValueError, match="unknown table"):
@@ -165,7 +172,15 @@ def test_pipeline_audit_reject_quarantines_and_continues(spark, tmp_path):
     assert rej[0].summary["epoch"] == 0
     qroot = os.path.join(ta.root, "_quarantine")
     qfiles = [os.path.join(d, f) for d, _s, fs in os.walk(qroot) for f in fs]
-    assert len(qfiles) == rej[0].summary["quarantined_files"] > 0
+    assert len(qfiles) > 0
+    assert rej[0].summary["quarantine_path"] == os.path.join(
+        "_quarantine", "audit-epoch-0"
+    )
+    # nothing of the rejected batch is left under data/ to be GC'd or read
+    data_files = {
+        f for _d, _s, fs in os.walk(os.path.join(ta.root, "data")) for f in fs
+    }
+    assert not data_files & {os.path.basename(p) for p in qfiles}
     assert ta.staged() == {}
     # exactly-once: replaying the rejected epoch is a skip, rows stay out
     res0b = pipe.run_epoch(0, feeds={"wal": e0})
@@ -259,6 +274,76 @@ def test_max_violations_and_merged_scope(spark, tmp_path):
     # merged scope saw base + staged LWW state, not just the batch
     assert by_label["merged-cap"]["rows"] >= base_rows
     assert by_label["merged-cap"]["rows"] == table.read().count()
+
+
+def test_reject_loses_race_to_publish_leaves_published_files_live(spark, tmp_path):
+    """The corruption scenario the commit-first ordering exists for: a
+    publish wins the publish-key CAS, then a stale reject of the same
+    staged name runs. The reject must NOT touch the (now live) data files
+    — it sees the key folded by a publish and cleans up metadata only."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=KEYS, n_buckets=4,
+    )
+    ev = change_events(spark, 1000, n_convs=50)
+    apply_batch(spark, table, ev, epoch=0, stage="gate")
+    desc = dict(table.staged()["gate"])
+    manifest = dict(table.log._load_manifest(desc["manifest"]))
+    snap = table.publish_staged("gate")
+    assert snap is not None
+    rows = table.read().count()
+    # a stale racer still holds the descriptor view: resurrect it
+    table.log._atomic_write(
+        table.log.manifest_path(desc["manifest"]),
+        json.dumps({"files": manifest}),
+    )
+    assert table.log.write_staged("gate", desc)
+    assert table.reject_staged("gate", reason="stale") is None
+    # the published files are intact and readable; nothing was quarantined
+    assert table.read().count() == rows
+    assert_matches_oracle(table.read(), ev, PAYLOAD)
+    assert not os.path.isdir(os.path.join(table.root, "_quarantine", "gate"))
+    assert table.staged() == {}
+
+
+def test_audited_batch_race_paths(spark, tmp_path):
+    """apply_audited_batch degrades to skipped under cross-writer races
+    (like apply_batch), resumes from a concurrent stager's batch, and
+    re-raises only on an out-of-band discard."""
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        key_cols=KEYS, n_buckets=4,
+    )
+    ev = change_events(spark, 1000, n_convs=50).localCheckpoint()
+    passing = compile_audit(AuditSpec(table="t", checks=(
+        {"kind": "min_rows", "value": 1},)))
+    # (a) another writer staged the same epoch first: we resume from its
+    # batch (no second data write) and carry it to publish
+    apply_batch(spark, table, ev, epoch=0, stage="audit-epoch-0")
+    desc = table.staged()["audit-epoch-0"]
+    res = apply_audited_batch(spark, table, ev, epoch=0, audit_fn=passing)
+    assert not res.skipped and res.audit["passed"]
+    assert res.snapshot_id is not None and res.rows_in == ev.count()
+    assert table.staged() == {}
+    mpath = table.log.manifest_path(desc["manifest"])
+    assert not os.path.exists(mpath)  # consumed, not duplicated
+    # (b) racer fully applied the epoch already: skipped at entry
+    res = apply_audited_batch(spark, table, ev, epoch=0, audit_fn=passing)
+    assert res.skipped
+    # (c) out-of-band discard racing MID-AUDIT: loud, not silently
+    # skipped — the epoch key never folded, so reporting it applied
+    # would hide the discard
+    apply_batch(spark, table, ev, epoch=1, stage="audit-epoch-1")
+
+    def discarding_audit(t, n):
+        t.discard_staged(n)  # operator discards while we audit
+        t.read_staged(n)     # raises: no such staged commit
+
+    with pytest.raises(ValueError, match="no such staged commit"):
+        apply_audited_batch(
+            spark, table, ev, epoch=1, audit_fn=discarding_audit,
+        )
+    assert not table.has_commit_key("epoch:1")
 
 
 def test_reject_staged_is_crash_idempotent(spark, tmp_path):
