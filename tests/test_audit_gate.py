@@ -247,6 +247,67 @@ def test_pipeline_audit_fail_halts_resumes_at_audit_and_unblocks(spark, tmp_path
     assert ta.read().count() == staged_rows
 
 
+def test_streaming_pipeline_audit_rejects_poisoned_microbatch(spark, tmp_path):
+    """The audit gate under run_stream: one WAL file carries poisoned
+    ta-rows (role=NULL). Its micro-batch is audit-rejected for ta (and
+    applied for tb); the stream keeps draining, a RESTART re-delivers
+    nothing (rejection folded the epoch key), and the final states equal
+    the oracle over the feed minus the rejected slice."""
+    ev = change_events(spark, 3000, n_convs=150).localCheckpoint()
+    lo, hi = ev.select(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo + 1) // 3 + 1
+    feed_dir = tmp_path / "feed"
+    feed_dir.mkdir()
+    slice_cond = {
+        i: (F.col("lsn") >= lo + i * step) & (F.col("lsn") < lo + (i + 1) * step)
+        for i in range(3)
+    }
+
+    def emit(i, poison=False):
+        part = _tagged(ev.filter(slice_cond[i]))
+        if poison:
+            part = part.withColumn(
+                "role",
+                F.when(F.col("_table") == "ta", F.lit(None).cast("string"))
+                .otherwise(F.col("role")),
+            )
+        part.coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        import glob
+        import shutil
+        src = glob.glob(str(tmp_path / f"stage{i}" / "*.parquet"))[0]
+        shutil.move(src, feed_dir / f"slice-{i}.parquet")
+
+    emit(0)
+    emit(1, poison=True)
+    spec = _spec(tmp_path, [
+        {"kind": "not_null", "columns": ["role"], "label": "role-set"},
+    ], "reject")
+    ckpt = str(tmp_path / "ckpt")
+    pipe = Pipeline(spark, spec)
+    stream_schema = spark.read.parquet(str(feed_dir)).schema
+    q = pipe.run_stream(str(feed_dir), stream_schema, ckpt)
+    assert q.awaitTermination(300)
+    # exactly one audit-reject commit, for the poisoned slice
+    rejects = [s for s in pipe.tables["ta"].snapshots()
+               if s.summary.get("operation") == "audit-reject"]
+    assert len(rejects) == 1
+    # restart with a clean third slice: re-delivered batches are no-ops
+    emit(2)
+    pipe2 = Pipeline(spark, spec)
+    q = pipe2.run_stream(str(feed_dir), stream_schema, ckpt)
+    assert q.awaitTermination(300)
+    full = _tagged(ev)
+    expected_ta = full.filter(
+        (F.col("_table") == "ta") & ~slice_cond[1]
+    ).drop("_table")
+    expected_tb = full.filter(F.col("_table") == "tb").drop("_table")
+    assert_matches_oracle(pipe2.tables["ta"].read(), expected_ta, PAYLOAD)
+    assert_matches_oracle(pipe2.tables["tb"].read(), expected_tb, PAYLOAD)
+    rejects = [s for s in pipe2.tables["ta"].snapshots()
+               if s.summary.get("operation") == "audit-reject"]
+    assert len(rejects) == 1  # the restart did not re-reject or re-apply
+
+
 def test_max_violations_and_merged_scope(spark, tmp_path):
     table = LakeTable.create(
         spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
