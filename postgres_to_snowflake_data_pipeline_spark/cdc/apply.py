@@ -457,7 +457,9 @@ def apply_audited_batch(
     res.audit = report
     try:
         if report.get("passed"):
-            snap = table.publish_staged(name)
+            # the report rides the publish commit: a PASSED gate is as
+            # inspectable in snapshot history as a rejection
+            snap = table.publish_staged(name, extra_summary={"audit": report})
         elif on_fail == "reject":
             failed = [
                 c.get("label") or c.get("kind", "?")
@@ -465,7 +467,8 @@ def apply_audited_batch(
                 if not c.get("passed", True)
             ]
             snap = table.reject_staged(
-                name, reason="; ".join(failed) or "audit failed"
+                name, reason="; ".join(failed) or "audit failed",
+                extra_summary={"audit": report},
             )
             res.rejected = True
         else:

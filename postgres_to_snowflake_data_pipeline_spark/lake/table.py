@@ -1420,7 +1420,9 @@ class LakeTable:
             df = df.select(*[f.name for f in want])
         return df
 
-    def publish_staged(self, name: str) -> Snapshot | None:
+    def publish_staged(
+        self, name: str, extra_summary: dict[str, Any] | None = None
+    ) -> Snapshot | None:
         """Atomically fold a staged commit into the table — the publish
         half of write-audit-publish. Metadata-only (the data files were
         written at stage time); goes through the same optimistic-CAS rebase
@@ -1430,7 +1432,10 @@ class LakeTable:
         ``_rebase_replace``). Idempotent under the descriptor's publish
         key: re-publishing after a crash (or after the same epoch key was
         applied elsewhere) returns None and just cleans up. The staged
-        descriptor and manifest are removed on success or no-op."""
+        descriptor and manifest are removed on success or no-op.
+        ``extra_summary`` folds into the commit summary — e.g. the audit
+        report that green-lit the publish, so PASSED gates are as
+        inspectable in snapshot history as rejections."""
         st = self.log.load_staged(name)
         if st is None:
             raise ValueError(f"no such staged commit: {name}")
@@ -1446,6 +1451,7 @@ class LakeTable:
             T.StructType.fromJson(st["schema"]),
             dict(
                 st["summary"],
+                **(extra_summary or {}),
                 operation="merge",
                 operation_detail="publish-staged",
                 staged_name=name,
@@ -1486,6 +1492,7 @@ class LakeTable:
         name: str,
         reason: str | None = None,
         quarantine: bool = True,
+        extra_summary: dict[str, Any] | None = None,
     ) -> Snapshot | None:
         """Reject a staged commit AS A RECORDED DECISION — the audit-failed
         sibling of :meth:`publish_staged`. Unlike ``discard_staged`` (which
@@ -1534,6 +1541,7 @@ class LakeTable:
             self.current().schema,
             dict(
                 lineage,
+                **(extra_summary or {}),
                 operation="audit-reject",
                 staged_name=name,
                 reject_reason=reason,

@@ -127,9 +127,12 @@ def test_pipeline_audit_passes_and_publishes(spark, tmp_path):
         expected = full.filter(F.col("_table") == name).drop("_table")
         assert_matches_oracle(pipe.tables[name].read(), expected, PAYLOAD)
     assert latest_frontier(os.path.join(spec.lake_root, "_frontier")).epoch == 1
-    # the publish is visible in history and nothing is left staged
-    ops = [s.summary.get("operation_detail") for s in pipe.tables["ta"].snapshots()]
-    assert ops.count("publish-staged") == 2
+    # the publish is visible in history — WITH the green-lighting report —
+    # and nothing is left staged
+    pubs = [s for s in pipe.tables["ta"].snapshots()
+            if s.summary.get("operation_detail") == "publish-staged"]
+    assert len(pubs) == 2
+    assert all(s.summary["audit"]["passed"] for s in pubs)
     assert pipe.tables["ta"].staged() == {}
 
 
@@ -170,6 +173,9 @@ def test_pipeline_audit_reject_quarantines_and_continues(spark, tmp_path):
     assert len(rej) == 1
     assert "role-set" in rej[0].summary["reject_reason"]
     assert rej[0].summary["epoch"] == 0
+    # the structured report rides the reject commit too
+    bad = [c for c in rej[0].summary["audit"]["checks"] if not c["passed"]]
+    assert bad and bad[0]["label"] == "role-set" and bad[0]["violations"] > 0
     qroot = os.path.join(ta.root, "_quarantine")
     qfiles = [os.path.join(d, f) for d, _s, fs in os.walk(qroot) for f in fs]
     assert len(qfiles) > 0
