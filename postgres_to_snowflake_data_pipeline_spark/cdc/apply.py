@@ -22,6 +22,8 @@ expressed as merge-on-read (SURVEY.md §7.4 hard-part #2/#3).
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass
 from typing import Any
 
@@ -477,6 +479,207 @@ def apply_audited_batch(
         return _raced()  # descriptor gone: racer finished first
     res.staged = None
     res.snapshot_id = snap.snapshot_id if snap is not None else None
+    return res
+
+
+def reprocess_quarantined(
+    spark: SparkSession,
+    table: LakeTable,
+    name: str,
+    fix=None,
+    audit_fn=None,
+    salt_buckets: int = 0,
+    keep_quarantine: bool = False,
+) -> ApplyResult:
+    """Dead-letter reprocessing: re-admit a quarantined (audit-rejected)
+    batch after an operator fixed it — the missing half of the
+    write-audit-publish lifecycle. ``reject_staged`` parked the batch's
+    files under ``_quarantine/{name}/`` and folded its epoch as
+    applied-as-rejected; this reads those files back as change events
+    (op/lsn/payload), applies ``fix`` (DataFrame -> DataFrame over the
+    event view — rewrite payload columns, drop rows; it must preserve
+    the ``lsn`` and ``op`` columns, since re-admission is LWW-sound
+    ONLY because rows re-enter under their ORIGINAL LSNs: data that
+    arrived after the rejection still wins where its LSN is higher),
+    optionally re-runs the audit gate, and merges under its own commit
+    key ``reprocess:{name}``.
+
+    Exactly-once like everything else: the reprocess key is checked
+    up front (and CAS'd at commit), so a crashed-and-retried reprocess
+    is a no-op that just finishes deleting the quarantine directory.
+    The quarantine directory is removed only AFTER the commit (crash
+    between the two leaves a re-runnable cleanup, never a lost batch);
+    ``keep_quarantine=True`` retains it for forensics.
+
+    ``audit_fn`` (same shape as :func:`apply_audited_batch`'s — e.g. a
+    :func:`orchestrate.compile_audit` result) makes re-admission pass
+    the SAME gate that rejected it: the fixed batch is staged, audited,
+    and published on pass; on fail the staged attempt is discarded,
+    :class:`AuditFailed` raises, and the quarantined files stay put for
+    the next fix attempt. Without ``audit_fn`` the merge is direct
+    (operator-waived).
+
+    One non-epoch commit key per reprocess lands in the snapshot
+    residual key set permanently — bounded by the number of rejected
+    batches an operator actually repairs, not by feed volume. The
+    commit summary carries ``origin_epoch``/``origin_staged_name`` but
+    deliberately NOT ``epoch``: the reject commit already accounted the
+    batch's ``rows_in`` in lineage, so ``lineage_df`` reconciliation
+    (sum(rows_in) == feed count) stays true through the whole
+    reject-then-reprocess cycle."""
+    commit_key = f"reprocess:{name}"
+    qroot = os.path.join(table.root, "_quarantine", name)
+
+    def _cleanup() -> None:
+        if not keep_quarantine:
+            shutil.rmtree(qroot, ignore_errors=True)
+
+    if table.has_commit_key(commit_key):
+        _cleanup()  # finish a crashed prior attempt's pending cleanup
+        return ApplyResult(-1, True, 0, 0, None)
+    if not os.path.isdir(qroot):
+        raise ValueError(
+            f"no quarantined batch {name!r} under {table.root}"
+        )
+    # origin lineage from the reject commit (if still retained)
+    origin_epoch = None
+    for s in table.snapshots():
+        if (
+            s.summary.get("operation") == "audit-reject"
+            and s.summary.get("staged_name") == name
+        ):
+            origin_epoch = s.summary.get("epoch")
+            break
+
+    sname = f"reprocess-{name}"
+    desc = table.log.load_staged(sname)
+    if desc is not None and audit_fn is None:
+        # a prior AUDITED attempt crashed mid-verdict and the operator now
+        # waives the gate: unwind the staged attempt (its data files would
+        # otherwise orphan) — the direct merge below re-reads the
+        # quarantined originals
+        table.discard_staged(sname)
+        desc = None
+    if desc is not None:
+        # crash between a prior attempt's stage and its verdict:
+        # resume at the audit — no second data write
+        res = _staged_result(
+            origin_epoch if origin_epoch is not None else -1,
+            sname, desc["summary"],
+        )
+    else:
+        # quarantined files are storage rows (payload + _lsn/_deleted,
+        # _bucket recovered from the partition dirs). Surface them as
+        # change events so `fix` sees the same shape the feed has.
+        rows = spark.read.parquet(qroot)
+        payload = [c for c in rows.columns if c not in ("_lsn", "_deleted", "_bucket")]
+        events = rows.select(
+            F.col("_lsn").alias(ORDER_COL),
+            F.when(F.col("_deleted"), "delete").otherwise("upsert").alias("op"),
+            *payload,
+        )
+        if fix is not None:
+            events = fix(events)
+            missing = {ORDER_COL, "op"} - set(events.columns)
+            if missing:
+                raise ValueError(
+                    f"fix dropped required event columns: {sorted(missing)}"
+                )
+        # normalize to the CURRENT table schema (it may have evolved since
+        # the rejection: renamed/added columns NULL-fill by name, columns
+        # the table dropped are ignored), then the same fused
+        # dedup+bucket-cluster single shuffle as apply_batch
+        target_evt_schema = _event_schema_of(table, events)
+        events = normalize_to_schema(events, target_evt_schema)
+        obs = Observation(f"reprocess-{name}")
+        events = events.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.min(ORDER_COL).alias("lsn_min"),
+            F.max(ORDER_COL).alias("lsn_max"),
+        )
+        snap0 = table.current()
+        key_cols = tuple(snap0.key_cols)
+        if salt_buckets and salt_buckets > 1:
+            winners = lww_dedup(events, key_cols, salt_buckets=salt_buckets)
+            winners = winners.withColumn(
+                "_bucket", bucket_expr(key_cols[0], snap0.n_buckets)
+            )
+            winners = winners.repartition(snap0.n_buckets, F.col("_bucket"))
+        else:
+            bucketed = events.withColumn(
+                "_bucket", bucket_expr(key_cols[0], snap0.n_buckets)
+            )
+            bucketed = bucketed.repartition(snap0.n_buckets, F.col("_bucket"))
+            winners = lww_dedup(bucketed, ("_bucket",) + key_cols)
+        table_schema = table.schema()
+        storage = winners.select(
+            *[f.name for f in table_schema.fields],
+            F.col(ORDER_COL).alias("_lsn"),
+            (F.col("op") == "delete").alias("_deleted"),
+            F.col("_bucket"),
+        )
+
+        def _obs_metrics(rows_merged: int) -> dict:
+            try:
+                m = obs.get
+            except Exception as exc:
+                if rows_merged > 0:
+                    raise RuntimeError(
+                        f"reprocess {name!r}: merge wrote {rows_merged} rows "
+                        "but the input Observation produced no metrics"
+                    ) from exc
+                return {"rows_in": 0, "lsn_min": None, "lsn_max": None}
+            return {
+                k: (int(v) if v is not None else None) for k, v in m.items()
+            }
+
+        summary = {
+            "operation_detail": "reprocess-quarantined",
+            "origin_staged_name": name,
+            "origin_epoch": origin_epoch,
+            "fixed": fix is not None,
+        }
+        if audit_fn is None:
+            snap = table.merge(
+                storage, commit_key=commit_key,
+                summary=summary, summary_fn=_obs_metrics,
+            )
+            if snap is None:  # racer folded the key between checks
+                _cleanup()
+                return ApplyResult(-1, True, 0, 0, None)
+            _cleanup()
+            rows_in = snap.summary.get("rows_in") or 0
+            deduped = sum(
+                r["rows_merged"] for r in snap.summary.get("bucket_lineage", [])
+            )
+            return ApplyResult(
+                origin_epoch if origin_epoch is not None else -1,
+                False, rows_in, deduped, snap.snapshot_id,
+            )
+        desc = table.stage_merge(
+            storage, sname, commit_key=commit_key,
+            summary=summary, summary_fn=_obs_metrics,
+        )
+        if desc is None:  # racer folded the key between checks
+            _cleanup()
+            return ApplyResult(-1, True, 0, 0, None)
+        res = _staged_result(
+            origin_epoch if origin_epoch is not None else -1,
+            sname, desc["summary"],
+        )
+    report = audit_fn(table, sname)
+    res.audit = report
+    if not report.get("passed"):
+        # the fix didn't fix it: unwind the staged attempt, keep the
+        # quarantined originals for the next one
+        table.discard_staged(sname)
+        raise AuditFailed(table.root, sname, report)
+    snap = table.publish_staged(sname, extra_summary={"audit": report})
+    _cleanup()
+    res.staged = None
+    res.snapshot_id = snap.snapshot_id if snap is not None else None
+    res.skipped = snap is None
     return res
 
 

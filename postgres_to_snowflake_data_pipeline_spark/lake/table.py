@@ -1589,6 +1589,46 @@ class LakeTable:
         self.log.delete_manifest(st["manifest"])
         return snap
 
+    def quarantined(self) -> dict[str, dict[str, Any]]:
+        """The table's dead-letter queue: name -> info for every
+        quarantined (audit-rejected) batch still on disk under
+        ``_quarantine/``. Enriched from snapshot history when the reject
+        commit is still retained: the rejecting snapshot id, reason,
+        origin epoch, and whether a reprocess has already re-admitted the
+        batch (``reprocessed=True`` means only the cleanup is pending —
+        see :func:`cdc.apply.reprocess_quarantined`)."""
+        qroot = os.path.join(self.root, "_quarantine")
+        out: dict[str, dict[str, Any]] = {}
+        if not os.path.isdir(qroot):
+            return out
+        rejects = {
+            s.summary.get("staged_name"): s
+            for s in self.snapshots()
+            if s.summary.get("operation") == "audit-reject"
+        }
+        for name in sorted(os.listdir(qroot)):
+            d = os.path.join(qroot, name)
+            if not os.path.isdir(d):
+                continue
+            files = [
+                os.path.join(dp, f)
+                for dp, _s, fs in os.walk(d)
+                for f in fs
+            ]
+            info: dict[str, Any] = {
+                "path": d,
+                "n_files": len(files),
+                "bytes": sum(os.path.getsize(f) for f in files),
+                "reprocessed": self.has_commit_key(f"reprocess:{name}"),
+            }
+            snap = rejects.get(name)
+            if snap is not None:
+                info["rejected_snapshot_id"] = snap.snapshot_id
+                info["reject_reason"] = snap.summary.get("reject_reason")
+                info["epoch"] = snap.summary.get("epoch")
+            out[name] = info
+        return out
+
     @classmethod
     def rebucket(
         cls,

@@ -846,6 +846,41 @@ class Pipeline:
             },
         }
 
+    def reprocess(
+        self,
+        table: str,
+        staged_name: str,
+        fix=None,
+        keep_quarantine: bool = False,
+    ) -> dict[str, Any]:
+        """Operator-driven dead-letter reprocessing: re-admit a quarantined
+        batch (see ``LakeTable.quarantined()``) through the SAME declarative
+        audit gate that rejected it. ``fix`` rewrites the event view
+        (op/lsn/payload) before the re-audit; if the table's gate still
+        fails, :class:`cdc.apply.AuditFailed` raises and the quarantined
+        originals stay put for the next attempt. On success the commit is
+        exactly-once under ``reprocess:{staged_name}`` and the spec's views
+        refresh so the re-admitted rows flow downstream immediately."""
+        from postgres_to_snowflake_data_pipeline_spark.cdc.apply import (
+            reprocess_quarantined,
+        )
+
+        if table not in self.tables:
+            raise ValueError(f"unknown table {table!r}")
+        gate = self._audits.get(table)
+        res = reprocess_quarantined(
+            self.spark,
+            self.tables[table],
+            staged_name,
+            fix=fix,
+            audit_fn=gate.audit_fn if gate is not None else None,
+            keep_quarantine=keep_quarantine,
+        )
+        views = {
+            v.name: self._view_handle(v).refresh() for v in self.spec.views
+        }
+        return {"table": table, "result": res, "views": views}
+
     # -- streaming ----------------------------------------------------------
     def run_stream(
         self,

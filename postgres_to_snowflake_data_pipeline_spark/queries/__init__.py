@@ -50,6 +50,14 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # still advances; oracle = LWW recompute over the feed minus the
     # rejected slice
     "c07_audited_pipeline": (cdcq.c07_audited_pipeline, cdcq.C07_SQL),
+    # dead-letter reprocessing (round 4c): c07's quarantined batch is
+    # operator-fixed and re-admitted through the SAME gate under its
+    # ORIGINAL LSNs — exactly-once under reprocess:{name}; oracle = LWW
+    # over the feed with the rejected slice's role rewritten
+    "c08_reprocessed_pipeline": (
+        cdcq.c08_reprocessed_pipeline,
+        cdcq.C08_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -141,7 +149,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "v09_ann_ivf_lake": (simops.v09_ann_ivf_lake, simops.V09_SQL),
     # multimodal binary plumbing (Arrow-batched decode stubs)
     "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
-    "m02_frame_sample": (multimodal.m02_frame_sample, multimodal.M02_SQL),
     # audio feature extraction over REAL decoded PCM (round 4): exact
     # integer features (energy/peak/zero-crossings), oracle re-derives
     # every sample arithmetically from the generator's cycled-text PCM
@@ -164,7 +171,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # audio-features, v08 index-append, and c06 key-clustered-lookup
     # entries inside the 50-slot window, t07 to admit v09 lake-index,
     # m03 (~m02: both deterministic-fake multimodal plumbing, m03 green
-    # in r3) to admit c07 audited-pipeline).
+    # in r3) to admit c07 audited-pipeline, m02 (driver-green r2+r3;
+    # the REAL-codec multimodal entries m01/m04 stay in-gate) to admit
+    # c08 reprocessed-pipeline).
     # ALL entries, including these, are re-verified every round by the
     # parametrized parity suite and a committed full-catalog
     # `tools/check_parity.py` run (recorded in README.md §testing).
@@ -180,6 +189,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "t09_simhash": (textops.t09_simhash, textops.T09_SQL),
     "t07_minhash_bands": (textops.t07_minhash_bands, textops.T07_SQL),
     "m03_resize": (multimodal.m03_resize, multimodal.M03_SQL),
+    "m02_frame_sample": (multimodal.m02_frame_sample, multimodal.M02_SQL),
 }
 
 #: strict sub-stage twins collapsed out of the driver gate (round 4, per

@@ -253,34 +253,30 @@ def c04_routed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def c07_audited_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """c04's routed pipeline with the WRITE-AUDIT-PUBLISH gate live: the
-    'even' table carries a declarative audit (``not_null role``,
-    on_fail='reject'), the 'odd' table a passing audit. Epoch 0's
-    even-shard rows are poisoned (role=NULL), so the gate stages them,
-    fails the check, QUARANTINES the batch, and folds an applied-as-
-    rejected empty commit — the cross-table frontier still reaches epoch 1,
-    where the clean even batch audits green and publishes.
+def _run_audited_pipeline(spark: SparkSession, sf_dir: str, prefix: str):
+    """Shared c07/c08 harness: the routed two-table pipeline with the
+    write-audit-publish gate live. Epoch 0 carries the UPPER lsn half,
+    poisoned on the even shard (role=NULL) so the gate stages it, fails
+    the ``not_null role`` check, QUARANTINES the batch, and folds an
+    applied-as-rejected empty commit — the cross-table frontier still
+    reaches epoch 1, where the clean lower half audits green and
+    publishes. Out-of-order arrival (upper first) is exactly what makes
+    the gate observable in the data: the even table's winners are the
+    lower-half ones, a state c04's all-epochs replay can never produce.
+    (read_staged drops tombstones, so delete-winners' NULL roles never
+    count — only the poisoned upserts trip the check.)
 
-    The oracle recomputes the observable contract declaratively: the LWW
-    state over the feed MINUS the rejected slice (even-shard rows at
-    lsn > mid, mid = floor((min+max)/2) — identical integer arithmetic in
-    both engines). Rejecting the UPPER half makes the gate observable in
-    the data itself — the even table's winners are the lower-half ones, a
-    state c04's all-epochs replay can never produce — so the value-hash
-    match proves stage → audit → reject/publish → frontier end-to-end
-    (the reference's ON_ERROR='CONTINUE' COPY posture,
-    /root/reference/dags/s3_to_snowflake_dag.py, made exact + auditable)."""
+    Returns ``(pipe, lake_root)`` with the frontier at epoch 1 and the
+    even shard's upper half sitting in quarantine."""
     from postgres_to_snowflake_data_pipeline_spark.cdc.multi import (
         latest_frontier,
-        read_at_frontier,
     )
     from postgres_to_snowflake_data_pipeline_spark.orchestrate import (
         Pipeline,
         PipelineSpec,
     )
 
-    work = _work_dir("cdcg", sf_dir)
+    work = _work_dir(prefix, sf_dir)
     shutil.rmtree(work, ignore_errors=True)
     shard = F.when(
         F.expr("CAST(substr(conv_id, 2) AS INT) % 2 = 0"), "even"
@@ -315,14 +311,6 @@ def c07_audited_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
     )
     pipe = Pipeline(spark, spec)
-    # epoch 0 carries the UPPER lsn half, poisoned on the even shard
-    # (role=NULL); epoch 1 the clean lower half — out-of-order arrival the
-    # LWW merge handles like any late data. Rejecting the upper slice is
-    # therefore OBSERVABLE: the even table's final winners are the
-    # lower-half ones, not (as in c04) the global max-lsn ones — so the
-    # oracle hash can only match if the gate really kept the poisoned rows
-    # out. (read_staged drops tombstones, so delete-winners' NULL roles
-    # never count — only the poisoned upserts trip the check.)
     e0 = feed.filter(F.col("lsn") > mid).withColumn(
         "role",
         F.when(F.col("_table") == "even", F.lit(None).cast("string"))
@@ -333,7 +321,10 @@ def c07_audited_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe.run_epoch(1, feeds={"wal": feed.filter(F.col("lsn") <= mid)})
     fr = latest_frontier(os.path.join(spec.lake_root, "_frontier"))
     assert fr is not None and fr.epoch == 1, "frontier stalled on rejection"
-    states = read_at_frontier(pipe.tables, fr)
+    return pipe, spec.lake_root
+
+
+def _shard_union(states: dict) -> DataFrame:
     out = None
     for name in ("even", "odd"):
         part = states[name].select(
@@ -341,6 +332,57 @@ def c07_audited_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def c07_audited_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c04's routed pipeline with the WRITE-AUDIT-PUBLISH gate live (see
+    :func:`_run_audited_pipeline` for the scenario).
+
+    The oracle recomputes the observable contract declaratively: the LWW
+    state over the feed MINUS the rejected slice (even-shard rows at
+    lsn > mid, mid = floor((min+max)/2) — identical integer arithmetic in
+    both engines), so the value-hash match proves stage → audit →
+    reject/publish → frontier end-to-end (the reference's
+    ON_ERROR='CONTINUE' COPY posture,
+    /root/reference/dags/s3_to_snowflake_dag.py, made exact + auditable)."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.multi import (
+        latest_frontier,
+        read_at_frontier,
+    )
+
+    pipe, lake_root = _run_audited_pipeline(spark, sf_dir, "cdcg")
+    fr = latest_frontier(os.path.join(lake_root, "_frontier"))
+    return _shard_union(read_at_frontier(pipe.tables, fr))
+
+
+def c08_reprocessed_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c07 PLUS dead-letter reprocessing: after the gate quarantines the
+    even shard's poisoned upper half, an operator fix (``role`` backfilled
+    with 'repaired') re-admits the batch through the SAME spec gate —
+    ``Pipeline.reprocess`` → ``cdc.apply.reprocess_quarantined`` → stage,
+    re-audit, publish, exactly-once under ``reprocess:{name}``.
+
+    Re-admission happens LAST but under the batch's ORIGINAL LSNs, so the
+    oracle is simply the LWW state over the full feed with the rejected
+    slice's role rewritten — upper-half even winners show 'repaired',
+    while keys whose max lsn sits in the lower half keep their published
+    values. The value hash can only match if reject → quarantine → fix →
+    re-audit → publish all preserved LWW semantics end-to-end."""
+    pipe, _lake_root = _run_audited_pipeline(spark, sf_dir, "cdcr")
+    q = pipe.tables["even"].quarantined()
+    assert "audit-epoch-0" in q, f"expected a quarantined batch, got {q}"
+
+    def fix(events: DataFrame) -> DataFrame:
+        return events.withColumn(
+            "role", F.coalesce(F.col("role"), F.lit("repaired"))
+        )
+
+    out = pipe.reprocess("even", "audit-epoch-0", fix=fix)
+    assert out["result"].audit["passed"], "re-audit failed after the fix"
+    assert pipe.tables["even"].quarantined() == {}, "quarantine not drained"
+    return _shard_union(
+        {name: t.read() for name, t in pipe.tables.items()}
+    )
 
 
 def c05_time_window_read(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,6 +508,43 @@ w AS (
          arg_max(role, lsn) AS role,
          arg_max(text, lsn) AS text
   FROM kept GROUP BY 1, 2, 3
+)
+SELECT shard, conv_id, turn_idx, role, text FROM w WHERE op <> 'delete'
+"""
+
+
+C08_SQL = f"""
+WITH b AS (
+  SELECT (min(event_id) + max(event_id)) // 2 AS mid FROM events
+),
+feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         CASE WHEN user_id % 2 = 0 THEN 'even' ELSE 'odd' END AS shard,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL ELSE event_type END AS role,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL ELSE props END AS text
+  FROM events
+),
+-- the even shard's upper-lsn half was poisoned (role := NULL), rejected,
+-- then re-admitted with the operator fix (role := 'repaired'); original
+-- LSNs are preserved through quarantine, so plain LWW over the fixed
+-- feed IS the final state — lower-half winners keep their published
+-- values wherever their lsn is the key's max
+fixed AS (
+  SELECT lsn, op, conv_id, turn_idx, shard,
+         CASE WHEN shard = 'even' AND lsn > b.mid
+              THEN 'repaired' ELSE role END AS role,
+         text
+  FROM feed, b
+),
+w AS (
+  SELECT shard, conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text
+  FROM fixed GROUP BY 1, 2, 3
 )
 SELECT shard, conv_id, turn_idx, role, text FROM w WHERE op <> 'delete'
 """
