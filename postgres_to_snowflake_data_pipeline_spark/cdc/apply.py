@@ -179,6 +179,102 @@ def _event_schema_of(table: LakeTable, events: DataFrame) -> T.StructType:
     return T.StructType(fields)
 
 
+def _normalize_batch(table: LakeTable, events: DataFrame, obs_name: str):
+    """The schema + metrics half of every batch path (apply_batch and
+    reprocess_quarantined share it verbatim so they cannot drift):
+    additive schema evolution, Arrow normalization to the (possibly
+    widened) event schema, and the Observation that rides the merge pass.
+    Returns ``(table_schema, events, obs_metrics_fn)``."""
+    target_evt_schema = _event_schema_of(table, events)
+    table_schema = table.schema()
+    diff_added = [
+        f.name
+        for f in events.schema.fields
+        if f.name.lower() not in {x.name.lower() for x in target_evt_schema.fields}
+    ]
+    if diff_added:
+        table_schema = evolve_schema(
+            table_schema,
+            T.StructType([f for f in events.schema.fields if f.name in diff_added]),
+        )
+        target_evt_schema = T.StructType(
+            [
+                T.StructField(ORDER_COL, T.LongType(), False),
+                T.StructField("op", T.StringType(), False),
+            ]
+            + list(table_schema.fields)
+        )
+    events = normalize_to_schema(events, target_evt_schema)
+    obs = Observation(obs_name)
+    events = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.min(ORDER_COL).alias("lsn_min"),
+        F.max(ORDER_COL).alias("lsn_max"),
+    )
+
+    def _obs_metrics(rows_merged: int) -> dict:
+        # An all-empty batch can leave the CollectMetrics row unset
+        # (LocalRelation-optimized plan) — report zeros for THAT case only.
+        # If the merge actually wrote rows, missing metrics means the
+        # Observation node was severed from the executed plan (renamed
+        # column, plan rewrite): surface it instead of committing zeroed
+        # lineage that downstream reconciliation would flag far from here.
+        try:
+            m = obs.get
+        except Exception as exc:  # no-metrics error from the JVM Observation
+            if rows_merged > 0:
+                raise RuntimeError(
+                    f"{obs_name}: merge wrote {rows_merged} rows but the "
+                    "input Observation produced no metrics — lineage would "
+                    "be silently zeroed"
+                ) from exc
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "%s: empty batch, lineage metrics defaulted to zero", obs_name
+            )
+            return {"rows_in": 0, "lsn_min": None, "lsn_max": None}
+        return {k: (int(v) if v is not None else None) for k, v in m.items()}
+
+    return table_schema, events, _obs_metrics
+
+
+def _dedup_storage(
+    events: DataFrame,
+    table_schema: T.StructType,
+    snap0,
+    salt_buckets: int,
+) -> DataFrame:
+    """The single-shuffle half shared by every batch path: LWW dedup
+    fused with the bucket clustering (see apply_batch's step-3 comment
+    for why grouping by (_bucket, key...) after repartition(_bucket)
+    needs no second exchange), or the two-stage salted reduction when
+    ``salt_buckets`` > 1. Returns the storage-shaped winners
+    (payload + _lsn/_deleted/_bucket, bucket-clustered)."""
+    key_cols = tuple(snap0.key_cols)  # the table's, not the schema default:
+    kcol0 = key_cols[0]               # key columns can be RENAMED mid-stream
+    if salt_buckets and salt_buckets > 1:
+        winners = lww_dedup(events, key_cols, salt_buckets=salt_buckets)
+        winners = winners.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))
+        # re-cluster on _bucket before the write: the salted reduction left
+        # the winners partitioned by key-hash, so without this exchange the
+        # partitionBy write would scatter every bucket across all shuffle
+        # partitions — up to shuffle_partitions x n_buckets delta files per
+        # epoch instead of the one-file-per-bucket invariant.
+        winners = winners.repartition(snap0.n_buckets, F.col("_bucket"))
+    else:
+        bucketed = events.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))
+        bucketed = bucketed.repartition(snap0.n_buckets, F.col("_bucket"))
+        winners = lww_dedup(bucketed, ("_bucket",) + key_cols)
+    return winners.select(
+        *[f.name for f in table_schema.fields],
+        F.col(ORDER_COL).alias("_lsn"),
+        (F.col("op") == "delete").alias("_deleted"),
+        F.col("_bucket"),
+    )
+
+
 def apply_batch(
     spark: SparkSession,
     table: LakeTable,
@@ -212,40 +308,15 @@ def apply_batch(
     if table.has_commit_key(commit_key):
         return ApplyResult(epoch, True, 0, 0, None)
 
-    # ---- 1. schema handling: additive evolution + Arrow normalization
-    target_evt_schema = _event_schema_of(table, events)
-    table_schema = table.schema()
-    diff_added = [
-        f.name
-        for f in events.schema.fields
-        if f.name.lower() not in {x.name.lower() for x in target_evt_schema.fields}
-    ]
-    if diff_added:
-        table_schema = evolve_schema(
-            table_schema,
-            T.StructType([f for f in events.schema.fields if f.name in diff_added]),
-        )
-        target_evt_schema = T.StructType(
-            [
-                T.StructField(ORDER_COL, T.LongType(), False),
-                T.StructField("op", T.StringType(), False),
-            ]
-            + list(table_schema.fields)
-        )
-    events = normalize_to_schema(events, target_evt_schema)
-
-    # ---- 2. input metrics via Observation — collected DURING the merge
-    # pass itself (zero extra job, zero extra scan): rows_in and source
-    # offset (LSN) range per epoch, the analog of the reference's per-table
+    # ---- 1+2. schema handling (additive evolution + Arrow normalization)
+    # and input metrics via Observation — collected DURING the merge pass
+    # itself (zero extra job, zero extra scan): rows_in and source offset
+    # (LSN) range per epoch, the analog of the reference's per-table
     # verification counts (/root/reference/dags/s3_to_snowflake_dag.py:159-203).
     # The per-partition breakdown comes from the written files' parquet
     # footers inside LakeTable.merge (one lineage row per bucket).
-    obs = Observation(f"epoch-{epoch}")
-    events = events.observe(
-        obs,
-        F.count(F.lit(1)).alias("rows_in"),
-        F.min(ORDER_COL).alias("lsn_min"),
-        F.max(ORDER_COL).alias("lsn_max"),
+    table_schema, events, _obs_metrics = _normalize_batch(
+        table, events, f"epoch-{epoch}"
     )
 
     # ---- 3. LWW dedup within the batch, bucket-aligned so dedup and the
@@ -259,8 +330,6 @@ def apply_batch(
     # at 1000 executors). With salting enabled we fall back to the two-stage
     # salted reduction (hot-key pathology beats the extra shuffle).
     snap0 = table.current()
-    key_cols = tuple(snap0.key_cols)  # the table's, not the schema default:
-    kcol0 = key_cols[0]               # key columns can be RENAMED mid-stream
     hot_share = None
     if salt_buckets is None:
         # AUTO: batch-local skew probe, amortized — one narrow agg over
@@ -277,28 +346,11 @@ def apply_batch(
         if verdict is not None:
             salt_buckets = verdict
         else:
-            hot_share = probe_hot_bucket_share(events, kcol0, snap0.n_buckets)
+            hot_share = probe_hot_bucket_share(
+                events, snap0.key_cols[0], snap0.n_buckets
+            )
             salt_buckets = resolve_salt(hot_share, snap0.n_buckets)
-    if salt_buckets and salt_buckets > 1:
-        winners = lww_dedup(events, key_cols, salt_buckets=salt_buckets)
-        winners = winners.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))
-        # re-cluster on _bucket before the write: the salted reduction left
-        # the winners partitioned by key-hash, so without this exchange the
-        # partitionBy write would scatter every bucket across all shuffle
-        # partitions — up to shuffle_partitions x n_buckets delta files per
-        # epoch instead of the one-file-per-bucket invariant.
-        winners = winners.repartition(snap0.n_buckets, F.col("_bucket"))
-    else:
-        bucketed = events.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))
-        bucketed = bucketed.repartition(snap0.n_buckets, F.col("_bucket"))
-        winners = lww_dedup(bucketed, ("_bucket",) + key_cols)
-    payload = [f.name for f in table_schema.fields]
-    storage = winners.select(
-        *payload,
-        F.col(ORDER_COL).alias("_lsn"),
-        (F.col("op") == "delete").alias("_deleted"),
-        F.col("_bucket"),
-    )
+    storage = _dedup_storage(events, table_schema, snap0, salt_buckets)
 
     # ---- 4. merge (delta append + atomic snapshot commit). The lineage
     # metrics ride INSIDE the snapshot summary so they commit atomically
@@ -306,30 +358,6 @@ def apply_batch(
     # (commit key absent), a crash after the commit skips it — in both cases
     # lineage and table state stay consistent (no separate-write race).
     # summary_fn runs post-write/pre-commit, when the Observation is filled.
-    def _obs_metrics(rows_merged: int) -> dict:
-        # An all-empty batch can leave the CollectMetrics row unset
-        # (LocalRelation-optimized plan) — report zeros for THAT case only.
-        # If the merge actually wrote rows, missing metrics means the
-        # Observation node was severed from the executed plan (renamed
-        # column, plan rewrite): surface it instead of committing zeroed
-        # lineage that downstream reconciliation would flag far from here.
-        try:
-            m = obs.get
-        except Exception as exc:  # no-metrics error from the JVM Observation
-            if rows_merged > 0:
-                raise RuntimeError(
-                    f"epoch {epoch}: merge wrote {rows_merged} rows but the "
-                    "input Observation produced no metrics — lineage would "
-                    "be silently zeroed"
-                ) from exc
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "epoch %s: empty batch, lineage metrics defaulted to zero", epoch
-            )
-            return {"rows_in": 0, "lsn_min": None, "lsn_max": None}
-        return {k: (int(v) if v is not None else None) for k, v in m.items()}
-
     batch_summary = {"epoch": epoch, "salt_buckets": salt_buckets or 0,
                      "hot_bucket_share": hot_share}
     if stage is not None:
@@ -502,7 +530,7 @@ def reprocess_quarantined(
     ONLY because rows re-enter under their ORIGINAL LSNs: data that
     arrived after the rejection still wins where its LSN is higher),
     optionally re-runs the audit gate, and merges under its own commit
-    key ``reprocess:{name}``.
+    key (``reprocess:{name}@s{reject_snapshot_id}`` — see below).
 
     Exactly-once like everything else: the reprocess key is checked
     up front (and CAS'd at commit), so a crashed-and-retried reprocess
@@ -521,35 +549,70 @@ def reprocess_quarantined(
 
     One non-epoch commit key per reprocess lands in the snapshot
     residual key set permanently — bounded by the number of rejected
-    batches an operator actually repairs, not by feed volume. The
-    commit summary carries ``origin_epoch``/``origin_staged_name`` but
-    deliberately NOT ``epoch``: the reject commit already accounted the
-    batch's ``rows_in`` in lineage, so ``lineage_df`` reconciliation
+    batches an operator actually repairs, not by feed volume. The key
+    carries the REJECTING snapshot's id (``reprocess:{name}@s{id}``) so
+    a staged name reused across epochs never aliases: a later rejection
+    under the same name is a NEW identity, and the early-skip path can
+    only clean up the quarantine its own commit actually consumed. (If
+    the reject commit has expired from retention the identity degrades
+    to the bare name — don't retain quarantines past reject history.)
+    The commit summary carries ``origin_epoch``/``origin_staged_name``
+    but deliberately NOT ``epoch``: the reject commit already accounted
+    the batch's ``rows_in`` in lineage, so ``lineage_df`` reconciliation
     (sum(rows_in) == feed count) stays true through the whole
-    reject-then-reprocess cycle."""
-    commit_key = f"reprocess:{name}"
-    qroot = os.path.join(table.root, "_quarantine", name)
+    reject-then-reprocess cycle.
 
-    def _cleanup() -> None:
-        if not keep_quarantine:
-            shutil.rmtree(qroot, ignore_errors=True)
+    A pending staged attempt (crash between stage and verdict) resumes
+    AT THE AUDIT — i.e. on the PRIOR attempt's fix output; the current
+    call's ``fix`` is not re-applied. That is the right contract for
+    crash-retry automation (deterministic fix, no second data write),
+    but an operator switching to a DIFFERENT fix must first
+    ``table.discard_staged(f"reprocess-{name}")`` to force a re-stage.
 
-    if table.has_commit_key(commit_key):
-        _cleanup()  # finish a crashed prior attempt's pending cleanup
-        return ApplyResult(-1, True, 0, 0, None)
-    if not os.path.isdir(qroot):
-        raise ValueError(
-            f"no quarantined batch {name!r} under {table.root}"
-        )
-    # origin lineage from the reject commit (if still retained)
+    Cross-writer races degrade to ``skipped`` exactly like
+    ``apply_batch``: whichever racer folds the reprocess key wins; the
+    loser cleans up and reports the batch applied."""
+    # origin identity from the LATEST reject commit for this name (the
+    # snapshot walk is oldest-first)
     origin_epoch = None
-    for s in table.snapshots():
+    origin_sid = None
+    for s in reversed(table.snapshots()):
         if (
             s.summary.get("operation") == "audit-reject"
             and s.summary.get("staged_name") == name
         ):
             origin_epoch = s.summary.get("epoch")
+            origin_sid = s.snapshot_id
             break
+    commit_key = (
+        f"reprocess:{name}@s{origin_sid}"
+        if origin_sid is not None
+        else f"reprocess:{name}"
+    )
+    qroot = os.path.join(table.root, "_quarantine", name)
+    res_epoch = origin_epoch if origin_epoch is not None else -1
+
+    def _cleanup() -> None:
+        if not keep_quarantine:
+            shutil.rmtree(qroot, ignore_errors=True)
+
+    def _skipped() -> ApplyResult:
+        _cleanup()  # finish a crashed/racing attempt's pending cleanup
+        return ApplyResult(res_epoch, True, 0, 0, None)
+
+    def _raced() -> ApplyResult:
+        if table.has_commit_key(commit_key):
+            return _skipped()
+        raise  # genuine lifecycle error (e.g. external discard) — surface it
+
+    if table.has_commit_key(commit_key):
+        return _skipped()
+    if not os.path.isdir(qroot):
+        if table.has_commit_key(commit_key):  # racer finished + cleaned up
+            return ApplyResult(res_epoch, True, 0, 0, None)
+        raise ValueError(
+            f"no quarantined batch {name!r} under {table.root}"
+        )
 
     sname = f"reprocess-{name}"
     desc = table.log.load_staged(sname)
@@ -563,16 +626,18 @@ def reprocess_quarantined(
     if desc is not None:
         # crash between a prior attempt's stage and its verdict:
         # resume at the audit — no second data write
-        res = _staged_result(
-            origin_epoch if origin_epoch is not None else -1,
-            sname, desc["summary"],
-        )
+        res = _staged_result(res_epoch, sname, desc["summary"])
     else:
-        # quarantined files are storage rows (payload + _lsn/_deleted,
-        # _bucket recovered from the partition dirs). Surface them as
-        # change events so `fix` sees the same shape the feed has.
+        # Quarantined files are storage rows: payload + _lsn/_deleted and
+        # a stored _bucket column, under _bdir= partition dirs (the write
+        # layout, lake/table.py::_write_data). Strip all three internals
+        # and surface CHANGE EVENTS, so `fix` sees exactly the shape the
+        # feed has (op/lsn/payload) and nothing layout-specific leaks.
         rows = spark.read.parquet(qroot)
-        payload = [c for c in rows.columns if c not in ("_lsn", "_deleted", "_bucket")]
+        payload = [
+            c for c in rows.columns
+            if c not in ("_lsn", "_deleted", "_bucket", "_bdir")
+        ]
         events = rows.select(
             F.col("_lsn").alias(ORDER_COL),
             F.when(F.col("_deleted"), "delete").otherwise("upsert").alias("op"),
@@ -585,55 +650,15 @@ def reprocess_quarantined(
                 raise ValueError(
                     f"fix dropped required event columns: {sorted(missing)}"
                 )
-        # normalize to the CURRENT table schema (it may have evolved since
-        # the rejection: renamed/added columns NULL-fill by name, columns
-        # the table dropped are ignored), then the same fused
-        # dedup+bucket-cluster single shuffle as apply_batch
-        target_evt_schema = _event_schema_of(table, events)
-        events = normalize_to_schema(events, target_evt_schema)
-        obs = Observation(f"reprocess-{name}")
-        events = events.observe(
-            obs,
-            F.count(F.lit(1)).alias("rows_in"),
-            F.min(ORDER_COL).alias("lsn_min"),
-            F.max(ORDER_COL).alias("lsn_max"),
+        # the SAME schema-evolution + normalize + Observation + fused
+        # dedup/bucket-cluster path as apply_batch (shared helpers): a
+        # quarantined batch that carried evolved columns (the reject kept
+        # the table unevolved) re-admits them additively instead of
+        # silently dropping them
+        table_schema, events, _obs_metrics = _normalize_batch(
+            table, events, f"reprocess-{name}"
         )
-        snap0 = table.current()
-        key_cols = tuple(snap0.key_cols)
-        if salt_buckets and salt_buckets > 1:
-            winners = lww_dedup(events, key_cols, salt_buckets=salt_buckets)
-            winners = winners.withColumn(
-                "_bucket", bucket_expr(key_cols[0], snap0.n_buckets)
-            )
-            winners = winners.repartition(snap0.n_buckets, F.col("_bucket"))
-        else:
-            bucketed = events.withColumn(
-                "_bucket", bucket_expr(key_cols[0], snap0.n_buckets)
-            )
-            bucketed = bucketed.repartition(snap0.n_buckets, F.col("_bucket"))
-            winners = lww_dedup(bucketed, ("_bucket",) + key_cols)
-        table_schema = table.schema()
-        storage = winners.select(
-            *[f.name for f in table_schema.fields],
-            F.col(ORDER_COL).alias("_lsn"),
-            (F.col("op") == "delete").alias("_deleted"),
-            F.col("_bucket"),
-        )
-
-        def _obs_metrics(rows_merged: int) -> dict:
-            try:
-                m = obs.get
-            except Exception as exc:
-                if rows_merged > 0:
-                    raise RuntimeError(
-                        f"reprocess {name!r}: merge wrote {rows_merged} rows "
-                        "but the input Observation produced no metrics"
-                    ) from exc
-                return {"rows_in": 0, "lsn_min": None, "lsn_max": None}
-            return {
-                k: (int(v) if v is not None else None) for k, v in m.items()
-            }
-
+        storage = _dedup_storage(events, table_schema, table.current(), salt_buckets)
         summary = {
             "operation_detail": "reprocess-quarantined",
             "origin_staged_name": name,
@@ -642,40 +667,48 @@ def reprocess_quarantined(
         }
         if audit_fn is None:
             snap = table.merge(
-                storage, commit_key=commit_key,
+                storage, commit_key=commit_key, schema=table_schema,
                 summary=summary, summary_fn=_obs_metrics,
             )
             if snap is None:  # racer folded the key between checks
-                _cleanup()
-                return ApplyResult(-1, True, 0, 0, None)
+                return _skipped()
             _cleanup()
             rows_in = snap.summary.get("rows_in") or 0
             deduped = sum(
                 r["rows_merged"] for r in snap.summary.get("bucket_lineage", [])
             )
             return ApplyResult(
-                origin_epoch if origin_epoch is not None else -1,
-                False, rows_in, deduped, snap.snapshot_id,
+                res_epoch, False, rows_in, deduped, snap.snapshot_id,
             )
-        desc = table.stage_merge(
-            storage, sname, commit_key=commit_key,
-            summary=summary, summary_fn=_obs_metrics,
-        )
+        try:
+            desc = table.stage_merge(
+                storage, sname, commit_key=commit_key, schema=table_schema,
+                summary=summary, summary_fn=_obs_metrics,
+            )
+        except ValueError:
+            # lost the stage CAS to a concurrent reprocess of this batch:
+            # resume from its (identical, deterministic) staged attempt —
+            # or skip if it already carried the batch to a verdict
+            desc = table.log.load_staged(sname)
+            if desc is None:
+                return _raced()
         if desc is None:  # racer folded the key between checks
-            _cleanup()
-            return ApplyResult(-1, True, 0, 0, None)
-        res = _staged_result(
-            origin_epoch if origin_epoch is not None else -1,
-            sname, desc["summary"],
-        )
-    report = audit_fn(table, sname)
+            return _skipped()
+        res = _staged_result(res_epoch, sname, desc["summary"])
+    try:
+        report = audit_fn(table, sname)
+    except ValueError:
+        return _raced()  # racer published/rejected mid-audit
     res.audit = report
     if not report.get("passed"):
         # the fix didn't fix it: unwind the staged attempt, keep the
         # quarantined originals for the next one
         table.discard_staged(sname)
         raise AuditFailed(table.root, sname, report)
-    snap = table.publish_staged(sname, extra_summary={"audit": report})
+    try:
+        snap = table.publish_staged(sname, extra_summary={"audit": report})
+    except ValueError:
+        return _raced()  # descriptor gone: racer finished first
     _cleanup()
     res.staged = None
     res.snapshot_id = snap.snapshot_id if snap is not None else None

@@ -1610,18 +1610,30 @@ class LakeTable:
             d = os.path.join(qroot, name)
             if not os.path.isdir(d):
                 continue
-            files = [
-                os.path.join(dp, f)
-                for dp, _s, fs in os.walk(d)
-                for f in fs
-            ]
+            nbytes = 0
+            nfiles = 0
+            for dp, _s, fs in os.walk(d):
+                for f in fs:
+                    try:  # a concurrent reprocess cleanup may race the walk
+                        nbytes += os.path.getsize(os.path.join(dp, f))
+                        nfiles += 1
+                    except FileNotFoundError:
+                        pass
+            snap = rejects.get(name)
+            # the reprocess identity is bound to the LATEST reject for the
+            # name (cdc/apply.py::reprocess_quarantined): a reused staged
+            # name never aliases an older batch's reprocess commit
+            key = (
+                f"reprocess:{name}@s{snap.snapshot_id}"
+                if snap is not None
+                else f"reprocess:{name}"
+            )
             info: dict[str, Any] = {
                 "path": d,
-                "n_files": len(files),
-                "bytes": sum(os.path.getsize(f) for f in files),
-                "reprocessed": self.has_commit_key(f"reprocess:{name}"),
+                "n_files": nfiles,
+                "bytes": nbytes,
+                "reprocessed": self.has_commit_key(key),
             }
-            snap = rejects.get(name)
             if snap is not None:
                 info["rejected_snapshot_id"] = snap.snapshot_id
                 info["reject_reason"] = snap.summary.get("reject_reason")

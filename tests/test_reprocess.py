@@ -184,8 +184,11 @@ def test_reprocess_unaudited_and_crash_cleanup(spark, tmp_path):
         spark, table, "audit-epoch-0", keep_quarantine=True
     )
     assert res.snapshot_id is not None and res.audit is None
-    assert table.has_commit_key("reprocess:audit-epoch-0")
     q = table.quarantined()["audit-epoch-0"]
+    # the key is bound to the rejecting snapshot, not the bare name
+    assert table.has_commit_key(
+        f"reprocess:audit-epoch-0@s{q['rejected_snapshot_id']}"
+    )
     assert q["reprocessed"]  # commit landed, cleanup pending
     # the retry (crash recovery) is a no-op that finishes the cleanup
     res2 = reprocess_quarantined(spark, table, "audit-epoch-0")
@@ -240,6 +243,74 @@ def test_reprocess_resumes_at_audit_without_second_write(spark, tmp_path):
     )
     assert live == staged_files
     assert table.quarantined() == {} and table.staged() == {}
+
+
+def test_reprocess_name_reuse_never_aliases(spark, tmp_path):
+    """The reprocess identity is bound to the REJECTING snapshot, not the
+    staged name: after a name's first reject+reprocess cycle, a LATER
+    rejection under the same name is a new batch — the early-skip path
+    must not mistake it for the already-reprocessed one (and silently
+    destroy it)."""
+    table = _table(spark, tmp_path)
+    ev = change_events(spark, 2000, n_convs=100).localCheckpoint()
+    lo, hi = ev.select(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    poison = lambda df: df.withColumn(
+        "role", F.when(F.col("op") != "delete", F.lit(None).cast("string"))
+    )
+    # cycle 1: epoch 0 rejected under the REUSED name, fixed, re-admitted
+    apply_audited_batch(
+        spark, table, poison(ev.filter(F.col("lsn") <= mid)), epoch=0,
+        audit_fn=GATE, on_fail="reject", staged_name="gate",
+    )
+    r1 = reprocess_quarantined(spark, table, "gate", fix=_fix, audit_fn=GATE)
+    assert not r1.skipped and r1.epoch == 0
+    n1 = table.read().count()
+    # cycle 2: epoch 1 rejected under the SAME name
+    apply_audited_batch(
+        spark, table, poison(ev.filter(F.col("lsn") > mid)), epoch=1,
+        audit_fn=GATE, on_fail="reject", staged_name="gate",
+    )
+    q = table.quarantined()["gate"]
+    assert q["epoch"] == 1 and not q["reprocessed"], (
+        "a fresh rejection under a reused name must not read as already "
+        "reprocessed"
+    )
+    r2 = reprocess_quarantined(spark, table, "gate", fix=_fix, audit_fn=GATE)
+    assert not r2.skipped and r2.epoch == 1, "second batch must merge, not skip"
+    assert table.read().count() >= n1
+    # the full fixed feed is the final state — nothing was destroyed
+    assert_matches_oracle(table.read(), _fix(poison(ev)), PAYLOAD)
+    assert table.quarantined() == {}
+
+
+def test_reprocess_preserves_evolved_columns(spark, tmp_path):
+    """A quarantined batch that carried schema-evolved columns (the reject
+    deliberately keeps the table unevolved) re-admits them additively —
+    parity with what a direct apply of the same events would have done."""
+    table = _table(spark, tmp_path)
+    ev = change_events(spark, 1200, n_convs=60, evolved_from=0).localCheckpoint()
+    evolved_cols = set(ev.columns) - {
+        "lsn", "op", "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    }
+    assert evolved_cols, "fixture must carry evolved columns"
+    poisoned = ev.withColumn(
+        "role", F.when(F.col("op") != "delete", F.lit(None).cast("string"))
+    )
+    apply_audited_batch(
+        spark, table, poisoned, epoch=0, audit_fn=GATE, on_fail="reject"
+    )
+    assert evolved_cols - {f.name for f in table.schema().fields} == evolved_cols
+    res = reprocess_quarantined(
+        spark, table, "audit-epoch-0", fix=_fix, audit_fn=GATE
+    )
+    assert res.audit["passed"]
+    got = table.read()
+    assert evolved_cols <= set(got.columns), "evolved columns were dropped"
+    for c in evolved_cols:
+        assert got.filter(F.col(c).isNotNull()).count() > 0, (
+            f"evolved column {c} lost its values through quarantine"
+        )
 
 
 def test_pipeline_reprocess_through_spec_gate(spark, tmp_path):
