@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from datetime import datetime, timezone
@@ -1639,6 +1640,49 @@ class LakeTable:
                 info["reject_reason"] = snap.summary.get("reject_reason")
                 info["epoch"] = snap.summary.get("epoch")
             out[name] = info
+        return out
+
+    def expire_quarantine(
+        self, older_than_seconds: float = 7 * 24 * 3600.0
+    ) -> dict[str, int]:
+        """Dead-letter retention: delete quarantined batches that nobody is
+        coming back for. A batch is eligible when (a) its reprocess commit
+        already landed and only the cleanup is pending (crashed
+        ``reprocess_quarantined`` / ``keep_quarantine=True`` leftovers —
+        age-independent, the data is live), or (b) it is older than
+        ``older_than_seconds``, aged from its reject commit's timestamp
+        when that snapshot is still retained, else from the newest file
+        mtime. Deliberately NOT folded into ``expire_snapshots``: a
+        quarantine is operator evidence awaiting a decision, so its
+        retention is an explicit separate policy. Returns counts."""
+        now = time.time()
+        out = {"expired_batches": 0, "deleted_files": 0, "freed_bytes": 0}
+        for name, info in self.quarantined().items():
+            if info.get("reprocessed"):
+                eligible = True
+            else:
+                ts = None
+                sid = info.get("rejected_snapshot_id")
+                if sid is not None:
+                    try:
+                        ts = self.log.load(sid).summary.get("committed_at_unix")
+                    except FileNotFoundError:
+                        ts = None
+                if ts is None:
+                    mtimes = [
+                        os.path.getmtime(os.path.join(dp, f))
+                        for dp, _s, fs in os.walk(info["path"])
+                        for f in fs
+                    ]
+                    # an empty dir is a stale artifact: treat as ancient
+                    ts = max(mtimes) if mtimes else 0.0
+                eligible = (now - ts) >= older_than_seconds
+            if not eligible:
+                continue
+            out["expired_batches"] += 1
+            out["deleted_files"] += info["n_files"]
+            out["freed_bytes"] += info["bytes"]
+            shutil.rmtree(info["path"], ignore_errors=True)
         return out
 
     @classmethod

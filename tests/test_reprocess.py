@@ -313,6 +313,39 @@ def test_reprocess_preserves_evolved_columns(spark, tmp_path):
         )
 
 
+def test_expire_quarantine(spark, tmp_path):
+    """Dead-letter retention: young un-reprocessed batches survive; aged
+    ones (and reprocessed-pending-cleanup leftovers, age-independent)
+    are deleted."""
+    table = _table(spark, tmp_path)
+    poisoned, _upper, _oracle = _poisoned_split(spark, n=1000, convs=50)
+    apply_audited_batch(
+        spark, table, poisoned, epoch=0, audit_fn=GATE, on_fail="reject"
+    )
+    # young + never reprocessed: kept under any sane policy
+    assert table.expire_quarantine(older_than_seconds=3600) == {
+        "expired_batches": 0, "deleted_files": 0, "freed_bytes": 0,
+    }
+    assert "audit-epoch-0" in table.quarantined()
+    # aged out (threshold 0): deleted, with real counts
+    res = table.expire_quarantine(older_than_seconds=0)
+    assert res["expired_batches"] == 1
+    assert res["deleted_files"] > 0 and res["freed_bytes"] > 0
+    assert table.quarantined() == {}
+    # reprocessed-pending-cleanup: eligible regardless of age
+    apply_audited_batch(
+        spark, table, poisoned, epoch=1, audit_fn=GATE, on_fail="reject",
+        staged_name="late",
+    )
+    reprocess_quarantined(spark, table, "late", fix=_fix, keep_quarantine=True)
+    assert table.quarantined()["late"]["reprocessed"]
+    rows = table.read().count()
+    res = table.expire_quarantine(older_than_seconds=10**9)
+    assert res["expired_batches"] == 1
+    assert table.quarantined() == {}
+    assert table.read().count() == rows  # live data untouched
+
+
 def test_pipeline_reprocess_through_spec_gate(spark, tmp_path):
     ev = change_events(spark, 2000, n_convs=100).localCheckpoint()
     tag = F.when(F.abs(F.xxhash64("lsn")) % 2 == 0, "ta").otherwise("tb")
