@@ -312,6 +312,28 @@ def test_streaming_pipeline_audit_rejects_poisoned_microbatch(spark, tmp_path):
     rejects = [s for s in pipe2.tables["ta"].snapshots()
                if s.summary.get("operation") == "audit-reject"]
     assert len(rejects) == 1  # the restart did not re-reject or re-apply
+    # dead-letter completion: the operator fixes and re-admits the
+    # quarantined micro-batch through the same gate — the stream's state
+    # converges to the FULL feed with the poisoned slice repaired
+    ta = pipe2.tables["ta"]
+    (qname,) = ta.quarantined()
+    out = pipe2.reprocess(
+        "ta", qname,
+        fix=lambda e: e.withColumn(
+            "role", F.coalesce(F.col("role"), F.lit("repaired"))
+        ),
+    )
+    assert out["result"].audit["passed"]
+    expected_ta_full = (
+        full.filter(F.col("_table") == "ta")
+        .withColumn(
+            "role",
+            F.when(slice_cond[1], F.lit("repaired")).otherwise(F.col("role")),
+        )
+        .drop("_table")
+    )
+    assert_matches_oracle(ta.read(), expected_ta_full, PAYLOAD)
+    assert ta.quarantined() == {}
 
 
 def test_max_violations_and_merged_scope(spark, tmp_path):
