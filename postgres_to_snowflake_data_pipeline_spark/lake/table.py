@@ -1414,7 +1414,16 @@ class LakeTable:
         if df is None:
             fields = want + (INTERNAL_FIELDS if include_internal else [])
             return self.spark.createDataFrame([], T.StructType(fields))
-        df = self._resolve_lww(df, snap.key_cols)
+        if with_base:
+            df = self._resolve_lww(df, snap.key_cols)
+        # batch-only view: a staged commit holds per-key WINNERS by
+        # stage_merge's contract (the same one merge() states — the
+        # writer deduped before staging), so re-resolving LWW here would
+        # spend a full-batch shuffle per audit to rediscover one row per
+        # key. Skipping it keeps a batch-scope audit a narrow one-pass
+        # scan — the difference between the gate costing O(delta-scan)
+        # and O(delta-shuffle) on EVERY epoch (tools/bench_audit_gate.py
+        # measured the shuffle as most of a 41% replay overhead).
         if not include_tombstones:
             df = df.filter(~F.col("_deleted"))
         if not include_internal:
