@@ -214,3 +214,30 @@ def test_t18_survivors_never_shuffle_text(spark, sf_dir):
     plan = explain_str(df, "formatted")
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_batch_audit_scan_is_narrow_and_shuffle_free(spark, tmp_path):
+    """The audit gate's batch view must stay cheap: read_staged returns the
+    staged winners WITHOUT re-resolving LWW (stage_merge's contract already
+    guarantees one row per key), so a batch-scope audit aggregate plans as
+    partial agg -> single final-agg exchange with the parquet scan pruned
+    to the checked columns. Before round 4c this path planned a full-batch
+    key shuffle plus an unprunable max(struct(all columns)) — measured as
+    most of a 41% replay overhead (BENCH.md 6e)."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+    from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+    ev = change_events(spark, 2_000, n_convs=60)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+        n_buckets=4,
+    )
+    apply_batch(spark, table, ev, epoch=0, stage="gate")
+    audit_agg = table.read_staged("gate").agg(
+        F.count(F.lit(1)).alias("_rows"),
+        F.sum(F.when(F.col("role").isNull(), 1).otherwise(0)).alias("_v"),
+    )
+    assert n_exchanges(audit_agg) == 1, explain_str(audit_agg)
+    for scan in read_schema_columns(audit_agg):
+        assert "text" not in scan and "tool" not in scan, scan
