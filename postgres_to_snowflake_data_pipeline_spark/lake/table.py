@@ -1382,13 +1382,20 @@ class LakeTable:
         with_base: bool = False,
         include_internal: bool = False,
         include_tombstones: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame:
         """Audit view of a staged commit. ``with_base=False`` (default)
         returns just the staged batch's LWW-resolved rows — what a quality
         gate validates (counts, null rates, predicates). ``with_base=True``
         returns the table AS IT WOULD READ after publish (current files +
         staged delta, one LWW resolution), for invariants that need the
-        merged state — without committing anything."""
+        merged state — without committing anything.
+
+        ``columns`` pushes projection through the merged-preview LWW
+        resolve exactly like ``read(columns=...)`` (keys are always kept):
+        a merged-scope audit that checks two columns must not scan and
+        shuffle the whole table width through the ``max(struct(...))``
+        aggregate every epoch."""
         st = self.log.load_staged(name)
         if st is None:
             raise ValueError(f"no such staged commit: {name}")
@@ -1410,6 +1417,12 @@ class LakeTable:
             entries = [
                 e for es in snap.files.values() for e in es
             ] + entries
+        if columns is not None:
+            missing = set(columns) - {f.name for f in want}
+            if missing:
+                raise ValueError(f"unknown columns: {sorted(missing)}")
+            keep = set(columns) | set(snap.key_cols)
+            want = [f for f in want if f.name in keep]
         df = self._read_files(snap, entries, fields=want)
         if df is None:
             fields = want + (INTERNAL_FIELDS if include_internal else [])

@@ -420,6 +420,30 @@ def compile_audit(spec: AuditSpec):
         detail = c.get("expr") or ",".join(c.get("columns", ())) or c.get("value")
         return f"{kind}:{detail}"
 
+    def _scope_columns(scoped, table_columns) -> list[str] | None:
+        """The column set a scope's checks actually touch — so the merged
+        preview prunes its scan+LWW shuffle to that set (read_staged
+        ``columns``). not_null checks declare theirs; expr checks are
+        matched conservatively by word boundary (over-matching only keeps
+        an extra column — safe; a '*' or an expr naming no known column
+        falls back to the full width). Count checks touch nothing."""
+        needed: set[str] = set()
+        for _i, c in scoped:
+            if c["kind"] == "not_null":
+                needed.update(c["columns"])
+            elif c["kind"] == "expr":
+                expr = c["expr"]
+                if "*" in expr:
+                    return None
+                refs = {
+                    col for col in table_columns
+                    if re.search(rf"\b{re.escape(col)}\b", expr)
+                }
+                if not refs:
+                    return None
+                needed.update(refs)
+        return sorted(needed)
+
     def audit_fn(table: Any, name: str) -> dict[str, Any]:
         results: list[tuple[int, dict[str, Any]]] = []
         for scope in ("batch", "merged"):
@@ -430,7 +454,16 @@ def compile_audit(spec: AuditSpec):
             ]
             if not scoped:
                 continue
-            df = table.read_staged(name, with_base=(scope == "merged"))
+            cols = (
+                _scope_columns(
+                    scoped, [f.name for f in table.schema().fields]
+                )
+                if scope == "merged"
+                else None  # the batch view is prunable by Catalyst alone
+            )
+            df = table.read_staged(
+                name, with_base=(scope == "merged"), columns=cols
+            )
             aggs = [F.count(F.lit(1)).alias("_rows")]
             slots: list[tuple[int, dict, list[tuple[str, str]]]] = []
             for i, c in scoped:

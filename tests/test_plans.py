@@ -241,3 +241,32 @@ def test_batch_audit_scan_is_narrow_and_shuffle_free(spark, tmp_path):
     assert n_exchanges(audit_agg) == 1, explain_str(audit_agg)
     for scan in read_schema_columns(audit_agg):
         assert "text" not in scan and "tool" not in scan, scan
+
+
+def test_merged_audit_preview_prunes_to_checked_columns(spark, tmp_path):
+    """Merged-scope audits must not scan and shuffle the whole table width
+    through the LWW max(struct): read_staged(with_base=True, columns=...)
+    pushes the checked-column projection through the resolve, mirroring
+    read(columns=...) (compile_audit derives the set per scope)."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+    from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+        n_buckets=4,
+    )
+    apply_batch(spark, table, change_events(spark, 2_000, n_convs=60), epoch=0)
+    apply_batch(
+        spark, table, change_events(spark, 1_000, n_convs=60, seed=7),
+        epoch=1, stage="gate",
+    )
+    merged = table.read_staged("gate", with_base=True, columns=["role"])
+    for scan in read_schema_columns(merged):
+        assert "text" not in scan and "tool" not in scan, scan
+    # identical verdict data to the unpruned preview
+    full = table.read_staged("gate", with_base=True).select(
+        "conv_id", "turn_idx", "role"
+    )
+    assert merged.select("conv_id", "turn_idx", "role").exceptAll(full).count() == 0
+    assert full.exceptAll(merged.select("conv_id", "turn_idx", "role")).count() == 0
