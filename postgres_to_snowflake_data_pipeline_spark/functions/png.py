@@ -41,10 +41,10 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(width: int, height: int, rgb: bytes) -> bytes:
-    """8-bit RGB (color type 2) PNG. ``rgb`` must be width*height*3 bytes.
-    Scanline y uses filter type y % 5 — every decoder filter path gets
-    traffic."""
+def filter_raster(width: int, height: int, rgb: bytes) -> bytes:
+    """Apply PNG scanline filtering to a raw RGB raster: the filtered byte
+    stream that goes into an IDAT (or APNG fdAT) zlib stream. Scanline y
+    uses filter type y % 5 — every decoder filter path gets traffic."""
     stride = width * 3
     if len(rgb) != stride * height:
         raise ValueError(f"need {stride * height} RGB bytes, got {len(rgb)}")
@@ -82,11 +82,16 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
                 for i in range(stride)
             )
         prev = line
+    return bytes(raw)
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """8-bit RGB (color type 2) PNG. ``rgb`` must be width*height*3 bytes."""
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     return (
         _SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IDAT", zlib.compress(filter_raster(width, height, rgb), 6))
         + _chunk(b"IEND", b"")
     )
 
@@ -135,6 +140,12 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
         # e.g. IDAT split across chunks and the stream cut at a chunk
         # boundary: loud ValueError, same contract as every other path
         raise ValueError(f"truncated PNG (bad IDAT stream: {e})") from e
+    return width, height, unfilter_raster(width, height, raw)
+
+
+def unfilter_raster(width: int, height: int, raw: bytes) -> bytes:
+    """Reverse PNG scanline filtering: inflated IDAT/fdAT bytes back to the
+    raw RGB raster. Raises ValueError on size mismatch or unknown filter."""
     stride = width * 3
     if len(raw) != (stride + 1) * height:
         raise ValueError("inflated size does not match dimensions")
@@ -162,4 +173,4 @@ def decode_png(data: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"unknown filter type {ft}")
         out += line
         prev = bytes(line)
-    return width, height, bytes(out)
+    return bytes(out)
