@@ -165,6 +165,14 @@ def build_payloads(
         raw = raw.filter(F.col("media_type") == only_media)
     elif only_media is not None:
         raw = raw.filter(F.col("media_type").isin(*sorted(only_media)))
+    # codec work is CPU-bound Python per blob: its parallelism IS the
+    # partition count. At 100 TB the scan has thousands of splits; a
+    # small local table arrives as ONE file → one Arrow worker, so fan
+    # out to the session's parallelism before the encode (round-robin,
+    # no key needed — blobs are row-independent).
+    cores = spark.sparkContext.defaultParallelism
+    if raw.rdd.getNumPartitions() < cores:
+        raw = raw.repartition(cores)
     return raw.mapInPandas(
         encode,
         T.StructType(
