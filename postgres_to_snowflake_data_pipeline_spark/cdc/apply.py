@@ -283,6 +283,8 @@ def apply_batch(
     lineage_path: str | None = None,
     salt_buckets: int | None = None,
     stage: str | None = None,
+    props_update: dict | None = None,
+    summary_extra: dict | None = None,
 ) -> ApplyResult:
     """Apply one batch of change events to the table, exactly once.
 
@@ -303,7 +305,22 @@ def apply_batch(
     ``table.publish_staged(name)``. Audit via ``table.read_staged(name)``;
     reject via ``table.discard_staged(name)``. Exactly-once is preserved
     end-to-end: the epoch key is checked at stage time AND at publish time
-    (the staged descriptor carries it as its publish key)."""
+    (the staged descriptor carries it as its publish key).
+
+    ``props_update``: table-property updates riding this epoch's commit
+    atomically (see LakeTable.merge). Direct commits only — a staged
+    batch's publish is a later, separate commit, so atomicity with the
+    stage is unsatisfiable and the combination is rejected loudly.
+
+    ``summary_extra``: caller annotations folded into the commit summary
+    (lineage markers like the ANN index's quantizer flag); keys collide
+    with the built-ins (epoch/salt_buckets/hot_bucket_share) at the
+    caller's peril."""
+    if stage is not None and props_update is not None:
+        raise ValueError(
+            "props_update cannot ride a STAGED batch (publish is a later "
+            "commit); call update_props after publish, or commit direct"
+        )
     commit_key = f"epoch:{epoch}"
     if table.has_commit_key(commit_key):
         return ApplyResult(epoch, True, 0, 0, None)
@@ -359,7 +376,7 @@ def apply_batch(
     # lineage and table state stay consistent (no separate-write race).
     # summary_fn runs post-write/pre-commit, when the Observation is filled.
     batch_summary = {"epoch": epoch, "salt_buckets": salt_buckets or 0,
-                     "hot_bucket_share": hot_share}
+                     "hot_bucket_share": hot_share, **(summary_extra or {})}
     if stage is not None:
         desc = table.stage_merge(
             storage,
@@ -378,6 +395,7 @@ def apply_batch(
         schema=table_schema,
         summary=batch_summary,
         summary_fn=_obs_metrics,
+        props_update=props_update,
     )
     if snap is None:
         # a concurrent writer applied this epoch between our pre-check and

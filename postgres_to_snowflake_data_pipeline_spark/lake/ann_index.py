@@ -329,7 +329,19 @@ class LakeAnnIndex:
       (``apply_batch(epoch=...)``): re-delivery is a metadata no-op —
       EXACTLY-ONCE index maintenance on a streaming cadence;
     - CAS commits, snapshot time travel, retention GC, and per-file
-      key(=cell) range stats all apply unchanged.
+      key(=cell) range stats all apply unchanged;
+    - the QUANTIZER lives in the table's fold-forward snapshot PROPS
+      (round 4c), not a sidecar: centroids commit ATOMICALLY with the
+      rows they assign, every snapshot carries the quantizer that matches
+      its layout (time-travel search uses the historical centroids), and
+      no crash ordering can tear quantizer from layout;
+    - ``retrain`` closes the lifecycle: when ``appended_share`` crosses
+      the drift tolerance, retrain re-trains the coarse quantizer on the
+      CURRENT rows' hash-sample and commits {new centroids + cell
+      reassignments + tombstones for moved rows} as ONE LWW epoch under a
+      base-snapshot-derived commit key — crash-safe, exactly-once, and
+      concurrent readers keep a consistent (old quantizer, old layout)
+      view until the commit lands. ``maintain`` = append + auto-retrain.
 
     Insert-only contract (classic IVF insert): re-inserting a key whose
     embedding MOVED to a different cell is a new (cell, key) row — emit a
@@ -371,26 +383,28 @@ class LakeAnnIndex:
         n_buckets: int | None = None,
     ) -> "LakeAnnIndex":
         """Train on the hash-sample (identical math to ``AnnIndex.build``),
-        then commit the cell-assigned full set as the lake table's epoch 0.
-        ``n_buckets`` defaults to ``k`` — about one cell per hash bucket
-        (collisions are fine: the search filters on the cell column after
-        the bucket-pruned scan).
+        then commit the cell-assigned full set as the lake table's epoch 0
+        WITH the quantizer riding the same commit as table props — one CAS
+        makes centroids and layout visible together. ``n_buckets`` defaults
+        to ``k`` — about one cell per hash bucket (collisions are fine: the
+        search filters on the cell column after the bucket-pruned scan).
 
-        A (re)build is DESTRUCTIVE and re-runnable: the stale sidecar is
-        removed FIRST and written back LAST, so a crash at any point
-        leaves either the old intact index or a sidecar-less root where
-        ``load`` fails loudly and ``build`` can simply run again —
-        never an old quantizer paired with a new layout."""
+        A (re)build is DESTRUCTIVE and re-runnable: a crash leaves either
+        the old intact index or a propless fresh table where ``load``
+        fails loudly and ``build`` can simply run again — never a
+        quantizer paired with another build's layout."""
         import shutil
 
         from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
         from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
 
-        sidecar = os.path.join(root, _SIDECAR)
+        sidecar = os.path.join(root, _SIDECAR)  # pre-props builds only
         if os.path.exists(sidecar):
             os.unlink(sidecar)
         shutil.rmtree(os.path.join(root, cls._TABLE), ignore_errors=True)
         vectors = vectors.select(key_col, vec_col)
+        base_rows = vectors.count()  # rare build-time scan: props must
+        # carry base_rows INSIDE the epoch-0 commit to stay atomic
         sample = vectors.filter(km.sample_hash(key_col) % sample_mod == 0)
         train = sample.select(
             F.col(key_col).alias("vec_id"), F.col(vec_col).alias("v")
@@ -407,18 +421,6 @@ class LakeAnnIndex:
             key_cols=("cell", key_col),
             n_buckets=n_buckets or k,
         )
-        # salt_buckets=0: the AUTO skew probe measures hot-BUCKET share,
-        # and a cell-keyed table (~k cells over ~k buckets) trips it by
-        # construction — but batch keys are unique under the insert-only
-        # contract, so the salted two-stage dedup would be a pure extra
-        # shuffle on every maintenance batch
-        res = apply_batch(
-            spark,
-            table,
-            cls._as_events(vectors, cents, 0, vec_col),
-            epoch=0,
-            salt_buckets=0,
-        )
         meta = {
             "key_col": key_col,
             "vec_col": vec_col,
@@ -426,11 +428,28 @@ class LakeAnnIndex:
             "iters": iters,
             "sample_mod": sample_mod,
             "dim": len(next(iter(cents.values()))) if cents else 0,
-            "base_rows": res.rows_deduped,
-            "build_snapshot_id": res.snapshot_id,
+            "base_rows": base_rows,
+            # quantizer generation marker: appended_share scopes its sum
+            # to snapshots carrying the CURRENT token, so a retrain resets
+            # the drift signal by construction
+            "token": uuid.uuid4().hex[:12],
             "cells": {str(c): v for c, v in sorted(cents.items())},
         }
-        atomic_write_json(os.path.join(root, _SIDECAR), meta)
+        # salt_buckets=0: the AUTO skew probe measures hot-BUCKET share,
+        # and a cell-keyed table (~k cells over ~k buckets) trips it by
+        # construction — but batch keys are unique under the insert-only
+        # contract, so the salted two-stage dedup would be a pure extra
+        # shuffle on every maintenance batch
+        apply_batch(
+            spark,
+            table,
+            cls._as_events(vectors, cents, 0, vec_col),
+            epoch=0,
+            salt_buckets=0,
+            props_update={"ann": meta},
+            # the generation's training commit: appended_share skips it
+            summary_extra={"ann_quantizer": True},
+        )
         return cls(spark, root, cents, meta, table)
 
     @staticmethod
@@ -450,15 +469,34 @@ class LakeAnnIndex:
             "*",
         )
 
+    def _refresh(self) -> "Snapshot":
+        """Re-read quantizer + meta from the CURRENT snapshot's props (a
+        retrain — ours or another maintenance writer's — may have replaced
+        them since load). Returns the snapshot it read, so callers can pin
+        quantizer and data to the same version."""
+        snap = self.table.current()
+        meta = snap.props.get("ann")
+        if meta is None:
+            raise ValueError(
+                "lake ANN index has no quantizer props — the build never "
+                "committed (crashed mid-build?); run build() again"
+            )
+        self.meta = meta
+        self.cents = {int(c): v for c, v in meta["cells"].items()}
+        return snap
+
     def append(self, vectors: DataFrame, epoch: int):
         """Frozen-centroid insert as commit-keyed epoch ``epoch`` (> 0;
         epoch 0 is the build). Exactly-once: a re-delivered epoch is a
         metadata no-op (``ApplyResult.skipped``), so this is safe to call
-        from a streaming ``foreachBatch`` with ``batch_id + 1``."""
+        from a streaming ``foreachBatch`` with ``batch_id + 1``. Cells are
+        assigned with the LATEST committed quantizer (re-read per call):
+        after a retrain, maintenance keeps feeding the new generation."""
         from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
 
         if epoch <= 0:
             raise ValueError("append epochs start at 1 (0 is the build)")
+        self._refresh()
         key_col, vec_col = self.meta["key_col"], self.meta["vec_col"]
         events = self._as_events(
             vectors.select(key_col, vec_col), self.cents, epoch, vec_col
@@ -470,20 +508,157 @@ class LakeAnnIndex:
         )
 
     def appended_share(self) -> float:
-        """Drift signal: fraction of live rows inserted after the build,
-        from the retained snapshots' commit summaries (metadata only — no
-        scan). If retention GC expired part of the post-build chain the
-        share is a LOWER bound; rebuild cadence should outpace expiry."""
+        """Drift signal: fraction of live rows inserted under the CURRENT
+        quantizer generation but after its training — from the retained
+        snapshots' commit summaries (metadata only — no scan). The sum is
+        scoped to snapshots carrying the current generation ``token``
+        (props fold forward, so every post-(re)build snapshot carries it)
+        minus the generation's own training commit. If retention GC
+        expired part of the chain the share is a LOWER bound; rebuild
+        cadence should outpace expiry."""
+        self._refresh()
         base = int(self.meta.get("base_rows", 0))
-        build_sid = int(self.meta.get("build_snapshot_id", 0))
+        tok = self.meta.get("token")
+        gen = sorted(
+            (
+                s
+                for s in self.table.snapshots()
+                if s.props.get("ann", {}).get("token") == tok
+            ),
+            key=lambda s: s.snapshot_id,
+        )
         appended = 0
-        for s in self.table.snapshots():
-            if s.snapshot_id > build_sid and s.summary.get("rows_in"):
-                appended += sum(
-                    r["rows_merged"]
-                    for r in s.summary.get("bucket_lineage", [])
-                )
+        for s in gen:
+            if s.summary.get("ann_quantizer"):
+                continue  # the generation's own training commit
+            appended += sum(
+                r["rows_merged"]
+                for r in s.summary.get("bucket_lineage", [])
+            )
         return appended / (base + appended) if (base + appended) else 0.0
+
+    def retrain(self, force: bool = False) -> "Snapshot | None":
+        """Re-train the coarse quantizer on the CURRENT rows' hash-sample
+        and commit {new centroids (props) + reassignment rows + tombstones
+        for moved rows} as ONE LWW merge — the drift response that closes
+        the IVF lifecycle (build → append/drift → retrain).
+
+        No-op (returns None) when the current generation has nothing to
+        learn — zero rows appended since its training (``force=True``
+        overrides, e.g. after changing training params out of band).
+        Exactly-once on retries: the commit key is derived from the
+        snapshot the retrain READ (``ann-retrain:s{base_sid}``) — a
+        crashed-and-retried retrain of the same state folds into the same
+        key, and a retrain retried AFTER a successful commit sees a
+        drift-free generation and no-ops. One residual (non-epoch) key per
+        retrain — retrains are rare by design (drift-triggered), so the
+        residual list stays O(retrains), not O(commits).
+
+        LWW mechanics: reassignments are re-inserts at
+        ``lsn = epoch_watermark + 1`` (above every applied maintenance
+        epoch). A row whose cell MOVED gets a tombstone at its old
+        ``(cell, key)`` and an insert at the new one; an unmoved row is
+        re-inserted identically (same payload — the tie is content-equal).
+        Readers never see a torn state: until the CAS lands they read the
+        old quantizer with the old layout; after it, the new pair.
+
+        Concurrency: retrain is maintenance (single scheduled writer, like
+        compaction). An append racing the retrain commit lands with the
+        OLD quantizer's cells — correct but unreflected in the new
+        centroids; the next drift cycle picks it up."""
+        from postgres_to_snowflake_data_pipeline_spark.cdc.apply import (
+            _dedup_storage,
+            _normalize_batch,
+        )
+
+        if not force and self.appended_share() == 0.0:
+            return None
+        snap = self._refresh()
+        meta = dict(self.meta)
+        key_col, vec_col = meta["key_col"], meta["vec_col"]
+        commit_key = f"ann-retrain:s{snap.snapshot_id}"
+        if self.table.has_commit_key(commit_key):
+            return None
+        cur = self.table.read(
+            snapshot_id=snap.snapshot_id,
+            columns=["cell", key_col, vec_col],
+        )
+        base_rows = cur.count()
+        sample = cur.filter(km.sample_hash(key_col) % meta["sample_mod"] == 0)
+        train = sample.select(
+            F.col(key_col).alias("vec_id"), F.col(vec_col).alias("v")
+        )
+        cents = km.train_kmeans_cells(
+            train, "v", k=meta["k"], iters=meta["iters"]
+        )
+        lsn = snap.epoch_watermark + 1
+        assigned = cur.select(
+            F.col("cell").alias("_old_cell"),
+            F.col(key_col),
+            F.col(vec_col),
+            km.argmin_cell(vec_col, cents).alias("cell"),
+        )
+        inserts = assigned.select(
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit("insert").alias("op"),
+            "cell",
+            key_col,
+            vec_col,
+        )
+        tombstones = assigned.filter(
+            F.col("cell") != F.col("_old_cell")
+        ).select(
+            F.lit(lsn).cast("long").alias("lsn"),
+            F.lit("delete").alias("op"),
+            F.col("_old_cell").alias("cell"),
+            F.col(key_col),
+            F.col(vec_col),
+        )
+        events = inserts.unionByName(tombstones)
+        table_schema, events, obs_metrics = _normalize_batch(
+            self.table, events, commit_key
+        )
+        storage = _dedup_storage(
+            events, table_schema, self.table.current(), 0
+        )
+        new_meta = dict(
+            meta,
+            base_rows=base_rows,
+            token=uuid.uuid4().hex[:12],
+            cells={str(c): v for c, v in sorted(cents.items())},
+        )
+        committed = self.table.merge(
+            storage,
+            commit_key=commit_key,
+            schema=table_schema,
+            summary={
+                "operation_detail": "ann-retrain",
+                "ann_quantizer": True,
+                "retrain_base_snapshot": snap.snapshot_id,
+            },
+            summary_fn=obs_metrics,
+            props_update={"ann": new_meta},
+        )
+        if committed is not None:
+            self.meta = new_meta
+            self.cents = cents
+        return committed
+
+    def maintain(
+        self,
+        vectors: DataFrame,
+        epoch: int,
+        rebuild_threshold: float = 0.5,
+    ):
+        """One maintenance tick: frozen-centroid append, then retrain iff
+        the drift signal crossed ``rebuild_threshold`` (classic IVF
+        practice: retrain when the post-training share of the data makes
+        the frozen quantizer unrepresentative). Returns the append's
+        ApplyResult; the retrain (if any) is its own commit."""
+        res = self.append(vectors, epoch)
+        if self.appended_share() >= rebuild_threshold:
+            self.retrain()
+        return res
 
     def compact(self, key_slices: int | None = None):
         """Fold the maintenance deltas (each append epoch adds delta
@@ -497,13 +672,15 @@ class LakeAnnIndex:
 
     @classmethod
     def load(cls, spark: SparkSession, root: str) -> "LakeAnnIndex":
+        """Open the index: the quantizer comes from the lake table's OWN
+        snapshot props (it versions with the layout), never a sidecar — a
+        table without ann props is a crashed build, surfaced loudly."""
         from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
 
-        with open(os.path.join(root, _SIDECAR)) as f:
-            meta = json.load(f)
-        cents = {int(c): v for c, v in meta["cells"].items()}
         table = LakeTable.load(spark, os.path.join(root, cls._TABLE))
-        return cls(spark, root, cents, meta, table)
+        idx = cls(spark, root, {}, {}, table)
+        idx._refresh()
+        return idx
 
     # ------------------------------------------------------------------
     def probed_buckets(self, cells: list[int]) -> list[int]:
@@ -531,25 +708,41 @@ class LakeAnnIndex:
         k: int = 3,
         nprobe: int = 2,
         query_id_col: str = "query_id",
+        snapshot_id: int | None = None,
     ) -> DataFrame:
         """Top-k cosine neighbors per query over ONLY the probed cells'
         buckets, read through the manifest (merge-on-read: a search sees
         every committed append immediately, snapshot-consistently).
-        Output matches the catalog's ANN queries:
-        (query_id, neighbor_id, cosine, rnk)."""
+        Quantizer and data are pinned to the SAME snapshot — the props
+        carry the centroids that assigned that snapshot's cells, so a
+        concurrent retrain can never make a search probe new cells over an
+        old layout (or vice versa), and ``snapshot_id`` time-travels the
+        whole index, quantizer included. Output matches the catalog's ANN
+        queries: (query_id, neighbor_id, cosine, rnk)."""
         from postgres_to_snowflake_data_pipeline_spark.lake.table import bucket_expr
 
-        key_col, vec_col = self.meta["key_col"], self.meta["vec_col"]
+        snap = (
+            self.table.current()
+            if snapshot_id is None
+            else self.table.log.load(snapshot_id)
+        )
+        meta = snap.props.get("ann")
+        if meta is None:
+            raise ValueError(
+                f"snapshot {snap.snapshot_id} carries no ann quantizer props"
+            )
+        cents = {int(c): v for c, v in meta["cells"].items()}
+        key_col, vec_col = meta["key_col"], meta["vec_col"]
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            F.explode(km.probe_cells(vec_col, self.cents, nprobe)).alias("cell"),
+            F.explode(km.probe_cells(vec_col, cents, nprobe)).alias("cell"),
         )
         # ONE driver round-trip resolves both prune levels: the distinct
         # probed cells AND their hash buckets (bucket_expr on the same
         # IntegerType cell column the write side hashes — probe and
         # layout can never drift apart). Bounded by min(queries×nprobe, k).
-        nb = self.table.current().n_buckets
+        nb = snap.n_buckets
         cb = (
             q.select("cell")
             .distinct()
@@ -564,6 +757,7 @@ class LakeAnnIndex:
         # the probed cells' SLICES even when several cells share a hash
         # bucket. The residual isin filter stays for row-level exactness.
         cands = self.table.read(
+            snapshot_id=snap.snapshot_id,
             buckets=probed_buckets,
             columns=["cell", key_col, vec_col],
             key_prune=cells,

@@ -170,6 +170,15 @@ class Snapshot:
     #: new column.
     retired_names: list[str] = field(default_factory=list)
     next_column_id: int = 0
+    #: table properties (Iceberg-style): small JSON-able values that FOLD
+    #: FORWARD — every child snapshot inherits its parent's map, so a
+    #: property survives retention expiry of the commit that set it (unlike
+    #: per-commit summaries). Updatable atomically WITH a data commit
+    #: (LakeTable.merge(props_update=...)) — the mechanism that lets
+    #: derived state (e.g. an ANN index's quantizer) version in lockstep
+    #: with the layout it describes. Keep values SMALL: props ride every
+    #: snapshot JSON, so a big value taxes every future commit.
+    props: dict[str, Any] = field(default_factory=dict)
     #: resolved bucket -> file-entry list; lazily folded from manifests
     _files: dict[str, list[dict[str, Any]]] | None = field(
         default=None, repr=False, compare=False
@@ -217,6 +226,7 @@ class Snapshot:
             "prior_names": self.prior_names,
             "retired_names": self.retired_names,
             "next_column_id": self.next_column_id,
+            "props": self.props,
         }
 
     @staticmethod
@@ -247,6 +257,7 @@ class Snapshot:
             retired_names=d.get("retired_names", []),
             next_column_id=d.get("next_column_id")
             or len(d["schema"]["fields"]) + 1,
+            props=d.get("props", {}),
         )
         if "files" in d:  # format v1: inline cumulative file map
             snap._files = d["files"]

@@ -592,6 +592,7 @@ class LakeTable:
                 prior_names=priors,
                 retired_names=retired,
                 next_column_id=parent.next_column_id,
+                props=dict(parent.props),
             )
             snap._files = {b: list(fs) for b, fs in parent.files.items()}
             try:
@@ -1110,6 +1111,7 @@ class LakeTable:
         commit_key: str | None,
         replace_buckets: bool,
         base_snapshot_id: int | None = None,
+        props_update: dict[str, Any] | None = None,
     ) -> Snapshot | None:
         """Build and CAS-commit the next snapshot, retrying on commit
         conflicts (optimistic concurrency). Retries are metadata-only. On
@@ -1191,6 +1193,14 @@ class LakeTable:
                 parent.epoch_base, parent.epoch_watermark, parent.commit_keys,
                 commit_key,
             )
+            # table properties fold forward; an update rides THIS commit
+            # atomically (None value = delete the key)
+            props = dict(parent.props)
+            for pk, pv in (props_update or {}).items():
+                if pv is None:
+                    props.pop(pk, None)
+                else:
+                    props[pk] = pv
             snap = Snapshot(
                 snapshot_id=sid,
                 parent_id=parent.snapshot_id,
@@ -1207,6 +1217,7 @@ class LakeTable:
                 prior_names={k: list(v) for k, v in parent.prior_names.items()},
                 retired_names=list(parent.retired_names),
                 next_column_id=next_id,
+                props=props,
             )
             snap._files = files
             try:
@@ -1232,6 +1243,7 @@ class LakeTable:
         schema: T.StructType | None = None,
         summary: dict[str, Any] | None = None,
         summary_fn: Any = None,
+        props_update: dict[str, Any] | None = None,
     ) -> Snapshot | None:
         """Apply one batch of per-key winning events (merge-on-read append).
 
@@ -1249,6 +1261,11 @@ class LakeTable:
         input metrics, so lineage commits atomically with the data it
         describes. The commit also records per-bucket lineage (rows merged,
         LSN range) collected task-side during the write.
+
+        ``props_update`` updates table properties ATOMICALLY with this data
+        commit (fold-forward map, see :class:`Snapshot`) — for derived
+        state that must version in lockstep with the rows (e.g. an ANN
+        index's quantizer committing with its reassignment epoch).
         """
         if commit_key is not None and self.has_commit_key(commit_key):
             return None
@@ -1261,6 +1278,32 @@ class LakeTable:
             dict(summary, operation="merge"),
             commit_key,
             replace_buckets=False,
+            props_update=props_update,
+        )
+
+    @property
+    def props(self) -> dict[str, Any]:
+        """Current table properties (read-only copy)."""
+        return dict(self.current().props)
+
+    def update_props(
+        self,
+        updates: dict[str, Any],
+        commit_key: str | None = None,
+    ) -> Snapshot | None:
+        """Metadata-only commit updating table properties (value None
+        deletes a key). CAS-retried like every commit; pass ``commit_key``
+        for exactly-once semantics (non-epoch keys live in the residual
+        list — use sparingly, see the commit-key guidance)."""
+        if commit_key is not None and self.has_commit_key(commit_key):
+            return None
+        return self._next_commit(
+            {},
+            self.current().schema,
+            {"operation": "update-props", "keys": sorted(updates)},
+            commit_key,
+            replace_buckets=False,
+            props_update=updates,
         )
 
     def _write_merge_delta(
@@ -1774,6 +1817,7 @@ class LakeTable:
                 prior_names={k: list(v) for k, v in parent.prior_names.items()},
                 retired_names=list(parent.retired_names),
                 next_column_id=parent.next_column_id,
+                props=dict(parent.props),
             )
             snap._files = {b: list(fs) for b, fs in parent.files.items()}
             try:

@@ -1,0 +1,169 @@
+"""Drift-triggered quantizer retrain + the table-props facility it rides
+(lake/ann_index.py::LakeAnnIndex.retrain / lake/metadata.py Snapshot.props).
+
+The lifecycle under test: build (quantizer commits ATOMICALLY with epoch 0
+as table props) → frozen-centroid appends accumulate drift → maintain()
+crosses the threshold → retrain commits {new centroids + reassignments +
+tombstones for moved rows} as ONE LWW merge. Pinned properties:
+
+- props fold FORWARD through every commit kind (merge, compact, evolve)
+  and update atomically with data commits;
+- retrain is exactly-once (base-snapshot-derived commit key);
+- retrain preserves the row set (one live row per vec_id, no dups across
+  cells) while moving rows to their new cells;
+- time travel is TOTAL: a pre-retrain snapshot searches with the OLD
+  quantizer over the OLD layout (quantizer can never tear from layout);
+- post-retrain search over a planted far cluster is exact while still
+  pruning its reads;
+- maintain() fires the retrain exactly when appended_share crosses the
+  threshold, and the drift signal resets to 0 afterwards.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgres_to_snowflake_data_pipeline_spark.lake.ann_index import LakeAnnIndex
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+DIM = 8
+
+
+def _cluster(spark, center: float, n: int, start_id: int):
+    """A tight deterministic cluster of n vectors around center·e₁ with a
+    small id-dependent wobble in the remaining coordinates."""
+    rows = []
+    for i in range(n):
+        v = [center] + [((start_id + i) % 7 - 3) * 0.01] * (DIM - 1)
+        rows.append((start_id + i, v))
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
+@pytest.fixture(scope="module")
+def drifted(spark, tmp_path_factory):
+    """Index built on cluster A (around +1·e₁), then a same-size cluster B
+    (around -1·e₁) appended with FROZEN centroids — 50% drift."""
+    root = str(tmp_path_factory.mktemp("retrain") / "idx")
+    a = _cluster(spark, 1.0, 40, 1000)
+    b = _cluster(spark, -1.0, 40, 2000)
+    idx = LakeAnnIndex.build(
+        spark, a, root, key_col="vec_id", vec_col="v",
+        k=4, iters=2, sample_mod=1, n_buckets=4,
+    )
+    idx.append(b, epoch=1)
+    return idx, a, b
+
+
+def test_props_fold_forward_and_update_atomically(spark, tmp_path):
+    import pyspark.sql.types as T
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        T.StructType([
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("x", T.LongType(), True),
+        ]),
+        key_cols=("conv_id",), n_buckets=2,
+    )
+    assert t.props == {}
+    t.update_props({"owner": "cdc", "tier": 1})
+    assert t.props == {"owner": "cdc", "tier": 1}
+    # a later data commit inherits them
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+
+    ev = spark.createDataFrame(
+        [(1, "insert", "c1", 5)], "lsn long, op string, conv_id string, x long"
+    )
+    apply_batch(spark, t, ev, epoch=0, salt_buckets=0,
+                props_update={"tier": 2, "owner": None})
+    assert t.props == {"tier": 2}  # updated + deleted atomically with data
+    # exactly-once: a keyed props commit re-applied is a no-op
+    assert t.update_props({"tier": 3}, commit_key="cfg:1") is not None
+    assert t.update_props({"tier": 9}, commit_key="cfg:1") is None
+    assert t.props == {"tier": 3}
+    # compaction (replace commit) carries props forward
+    t.compact()
+    assert t.props == {"tier": 3}
+
+
+def test_retrain_moves_rows_and_preserves_the_row_set(spark, drifted):
+    idx, a, b = drifted
+    pre_snap = idx.table.current().snapshot_id
+    pre_cells_of_b = {
+        r["vec_id"]: r["cell"]
+        for r in idx.table.read().filter(F.col("vec_id") >= 2000).collect()
+    }
+    share = idx.appended_share()
+    assert share == pytest.approx(0.5)
+
+    committed = idx.retrain()
+    assert committed is not None
+    # exactly-once: same base state => metadata no-op
+    assert idx.retrain() is None
+
+    rows = idx.table.read().collect()
+    assert len(rows) == 80  # one live row per vec_id, tombstones worked
+    assert len({r["vec_id"] for r in rows}) == 80
+    # the planted far cluster must occupy its own cell(s) now, disjoint
+    # from cluster A's — the drift response the retrain exists for
+    cells_a = {r["cell"] for r in rows if r["vec_id"] < 2000}
+    cells_b = {r["cell"] for r in rows if r["vec_id"] >= 2000}
+    assert cells_a.isdisjoint(cells_b)
+    # before the retrain, frozen centroids had squeezed B into A-cells
+    assert set(pre_cells_of_b.values()) <= cells_a | set(
+        pre_cells_of_b.values()
+    )
+    # drift signal reset: new generation has no post-training appends
+    assert idx.appended_share() == 0.0
+
+    # time travel is total: the pre-retrain snapshot still carries the OLD
+    # quantizer and searches the OLD layout consistently
+    old_props = idx.table.log.load(pre_snap).props["ann"]
+    assert old_props["token"] != idx.meta["token"]
+    q = spark.createDataFrame(
+        [(0, [-1.0] + [0.0] * (DIM - 1))], "query_id long, v array<double>"
+    )
+    old_res = idx.search(q, k=3, snapshot_id=pre_snap)
+    assert old_res.count() == 3  # searchable, with the historical quantizer
+
+
+def test_post_retrain_search_is_exact_and_pruned(spark, drifted):
+    idx, _a, b = drifted
+    idx.retrain()  # no-op if the previous test already retrained
+    q = spark.createDataFrame(
+        [(0, [-1.0] + [0.0] * (DIM - 1))], "query_id long, v array<double>"
+    )
+    res = idx.search(q, k=5, nprobe=1).collect()
+    got = {r["neighbor_id"] for r in res}
+    assert got <= {r["vec_id"] for r in b.collect()}  # all from cluster B
+    assert len(got) == 5
+    # and the read was pruned: fewer files than the whole table's
+    opened = {
+        f
+        for f in idx.search(q, k=5, nprobe=1).inputFiles()
+        if idx.table.root in f
+    }
+    assert opened < set(idx.table.read().inputFiles())
+
+
+def test_maintain_triggers_retrain_on_threshold(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    a = _cluster(spark, 1.0, 40, 1000)
+    idx = LakeAnnIndex.build(
+        spark, a, root, key_col="vec_id", vec_col="v",
+        k=4, iters=2, sample_mod=1, n_buckets=4,
+    )
+    tok0 = idx.meta["token"]
+    # 25% drift: below the 0.5 threshold — no retrain
+    idx.maintain(_cluster(spark, -1.0, 13, 2000), epoch=1)
+    assert idx.meta["token"] == tok0
+    assert 0.0 < idx.appended_share() < 0.5
+    # pushes cumulative share over 0.5 — retrain fires and resets it
+    idx.maintain(_cluster(spark, -1.0, 40, 3000), epoch=2)
+    assert idx.meta["token"] != tok0
+    assert idx.appended_share() == 0.0
+    # the reloaded index sees the retrained quantizer (props, no sidecar)
+    again = LakeAnnIndex.load(spark, root)
+    assert again.meta["token"] == idx.meta["token"]
+    assert again.cents == idx.cents
