@@ -1975,6 +1975,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         ts_slices: int | None = None,
         key_slices: int | None = None,
+        grid_slices: tuple[int, int] | None = None,
     ) -> Snapshot:
         """Fold delta files into per-bucket base files (copy-on-write).
 
@@ -2011,43 +2012,71 @@ class LakeTable:
         bucket. Pick the axis per table from its read mix; the two are
         mutually exclusive in one pass (both > 1 raises).
 
-        ``ts_slices=None and key_slices=None`` (default) PRESERVES the
-        table's existing clustering PER BUCKET — each bucket's effective
-        k per axis is the max ``ts_k`` / ``key_k`` its current base
-        entries carry — so a default-args maintenance ``compact()`` (e.g.
-        ``replay_feed``'s cadence) never silently un-slices a clustered
-        table, and a table whose buckets sit on DIFFERENT layouts (a
-        partial explicit rewrite) folds each layout group separately
-        instead of wedging the cadence. An EXPLICIT
-        slicing arg is a COMPLETE layout request: it sets BOTH axes (the
-        unnamed one to 1), and buckets folded at a different layout are
-        rewritten. Explicit ``ts_slices > 1`` on a schema with no
+        ``grid_slices=(key_bands, ts_bands)`` is the BALANCED layout for
+        MIXED read workloads — the slice grid a Z-order curve degenerates
+        to at file granularity: each bucket's resolved rows are first
+        banded at key quantiles (dense rank, one key never straddles
+        bands), then each key band is cut at the pass's event-time
+        quantiles, producing up to ``key_bands × ts_bands`` files whose
+        manifest entries carry TIGHT ranges on BOTH axes. A point lookup
+        opens one key band (= ``1/key_bands`` of the bucket's bytes,
+        fanned across its ts slices); a time window opens one ts band
+        per key band (= ``~1/ts_bands`` of the bytes). Neither axis gets
+        the single-axis layout's optimum, but neither gets its
+        pathology — the trade-off table is measured in BENCH.md §6f.
+
+        ``ts_slices=None and key_slices=None and grid_slices=None``
+        (default) PRESERVES the table's existing clustering PER BUCKET —
+        each bucket's effective k per axis is the max ``ts_k`` / ``key_k``
+        its current base entries carry (a grid bucket carries both) — so
+        a default-args maintenance ``compact()`` (e.g. ``replay_feed``'s
+        cadence) never silently un-slices a clustered table, and a table
+        whose buckets sit on DIFFERENT layouts (a partial explicit
+        rewrite) folds each layout group separately instead of wedging
+        the cadence. An EXPLICIT slicing arg is a COMPLETE layout
+        request: it sets BOTH axes (the unnamed one to 1), and buckets
+        folded at a different layout are rewritten. Explicit time
+        clustering (``ts_slices > 1`` or a grid) on a schema with no
         timestamp column raises (mirroring ``read(ts_prune=...)``)."""
         snap = self.current()
         zcol = self._zone_ts_col(snap.schema)
-        if (ts_slices or 1) > 1 and (key_slices or 1) > 1:
+        explicit_axes = sum(
+            1
+            for v in (ts_slices, key_slices)
+            if v is not None and v > 1
+        ) + (1 if grid_slices is not None else 0)
+        if explicit_axes > 1:
             raise ValueError(
-                "compact: ts_slices and key_slices are alternative layout "
-                "axes — pass only one > 1"
+                "compact: ts_slices / key_slices / grid_slices are "
+                "alternative layout requests — pass only one"
             )
-        if ts_slices is not None or key_slices is not None:
+        if (
+            ts_slices is not None
+            or key_slices is not None
+            or grid_slices is not None
+        ):
             # explicit layout request: both axes pinned
-            if (ts_slices or 1) > 1 and zcol is None:
-                raise ValueError(
-                    "compact(ts_slices>1): schema has no timestamp column "
-                    "to cluster by"
+            if grid_slices is not None:
+                want_kk, want_k = (
+                    max(int(grid_slices[0]), 1),
+                    max(int(grid_slices[1]), 1),
                 )
-            want_k = max(int(ts_slices), 1) if ts_slices is not None else 1
-            want_kk = max(int(key_slices), 1) if key_slices is not None else 1
+            else:
+                want_k = max(int(ts_slices), 1) if ts_slices is not None else 1
+                want_kk = (
+                    max(int(key_slices), 1) if key_slices is not None else 1
+                )
+            if want_k > 1 and zcol is None:
+                raise ValueError(
+                    "compact: time clustering requested but the schema has "
+                    "no timestamp column to cluster by"
+                )
         else:
             # preserve the existing clustering PER BUCKET (partial explicit
-            # rewrites may have left buckets on different axes — a mixed
+            # rewrites may have left buckets on different layouts — a mixed
             # table must not wedge the unattended maintenance cadence, so
-            # each group folds at its own layout via recursion; only a
-            # single bucket claiming BOTH axes is genuinely ambiguous and
-            # raises inside _bucket_layout — loud for IN-SCOPE buckets,
-            # ignored for out-of-scope ones so a poisoned bucket cannot
-            # wedge a scoped compact of unrelated buckets)
+            # each group folds at its own layout via recursion; a bucket
+            # carrying both axes is the grid layout, folded as such)
             layouts: dict[str, tuple[int, int] | None] = {}
             pool: list[tuple[int, int]] = []
             for b, fs in snap.files.items():
@@ -2056,10 +2085,7 @@ class LakeTable:
                 if buckets is None or int(b) in buckets:
                     layouts[b] = self._bucket_layout(fs, zcol)
                 else:
-                    try:
-                        lay = self._bucket_layout(fs, zcol)
-                    except ValueError:
-                        lay = None
+                    lay = self._bucket_layout(fs, zcol)
                     if lay is not None:
                         pool.append(lay)
             pool += [lay for lay in layouts.values() if lay is not None]
@@ -2084,11 +2110,14 @@ class LakeTable:
                     bs = [
                         int(b) for b, lay in layouts.items() if lay == (k, kk)
                     ]
-                    out_snap = (
-                        self.compact(buckets=bs, key_slices=kk)
-                        if kk > 1
-                        else self.compact(buckets=bs, ts_slices=k)
-                    )
+                    if k > 1 and kk > 1:
+                        out_snap = self.compact(
+                            buckets=bs, grid_slices=(kk, k)
+                        )
+                    elif kk > 1:
+                        out_snap = self.compact(buckets=bs, key_slices=kk)
+                    else:
+                        out_snap = self.compact(buckets=bs, ts_slices=k)
                 return out_snap
             want_k, want_kk = next(iter(scoped), (1, 1))
         todo = []
@@ -2122,7 +2151,33 @@ class LakeTable:
             ts_col=zcol,
             ts_col_id=snap.column_ids.get(zcol) if zcol else None,
         )
-        if want_k > 1 and zcol is not None:
+        if want_k > 1 and want_kk > 1 and zcol is not None:
+            # GRID: key bands (dense rank — one key never straddles bands)
+            # × event-time bands within each, ONE write partitioned by
+            # (slice, bucket). Slice index = key_band * ts_bands + ts_band;
+            # per-subdir entry collection gives each file tight stats on
+            # BOTH axes with the machinery unchanged. Null ts rides band 0.
+            df, ksl, helper = self._key_slice_frame(
+                df, snap.key_cols[0], want_kk
+            )
+            us = F.unix_micros(F.col(zcol).cast("timestamp")).cast("double")
+            df = df.withColumn("_us", us).persist()
+            try:
+                probs = [i / want_k for i in range(1, want_k)]
+                bounds = sorted(set(df.stat.approxQuantile("_us", probs, 0.001)))
+                tsl = F.lit(0)
+                for i, bnd in enumerate(bounds):
+                    tsl = F.when(
+                        F.col("_us") >= F.lit(bnd), F.lit(i + 1)
+                    ).otherwise(tsl)
+                sl = (ksl.cast("long") * (len(bounds) + 1) + tsl).cast("int")
+                raw = self._write_sliced(
+                    df, sl, helper + ["_us"], commit_dir,
+                    want_kk * (len(bounds) + 1), stat_kwargs,
+                )
+            finally:
+                df.unpersist()
+        elif want_k > 1 and zcol is not None:
             # ONE write, partitioned by (slice, bucket): the slice index
             # comes from event-time quantiles of the resolved rows, and
             # entries are collected per slice subdir so each carries THAT
@@ -2214,15 +2269,14 @@ class LakeTable:
     ) -> tuple[int, int] | None:
         """One bucket's preserved ``(ts_k, key_k)`` layout from its base
         entries' manifest fields; entries from before the ``ts_k`` field
-        fall back to counting same-pass siblings. ``None`` means the
+        fall back to counting same-pass siblings. Both axes > 1 is the
+        GRID layout (one pass stamps both fields). ``None`` means the
         bucket has NO base files (never folded — deltas only), i.e. no
         layout of its own: the caller inherits the table's dominant
         layout rather than stamping (1, 1). A dropped zone column
         collapses the ts axis to 1 — the layout cannot be maintained and
         tagging unsliced files with the old k would make the manifest
-        lie. A single bucket claiming BOTH axes has no foldable layout
-        (unreachable from this writer, which stamps exactly one axis per
-        pass) — loud, not silent."""
+        lie."""
         k, kk = 1, 1
         any_base = False
         for e in fs:
@@ -2242,11 +2296,6 @@ class LakeTable:
             return None
         if zcol is None:
             k = 1
-        if k > 1 and kk > 1:
-            raise ValueError(
-                "compact: bucket carries BOTH ts- and key-clustered base "
-                "files; pass an explicit ts_slices or key_slices"
-            )
         return k, kk
 
     def _write_sliced(
