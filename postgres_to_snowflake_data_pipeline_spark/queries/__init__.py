@@ -58,6 +58,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c08_reprocessed_pipeline,
         cdcq.C08_SQL,
     ),
+    # grid (2-axis) clustered layout end-to-end (round 4c): replay ->
+    # compact(grid_slices) -> BOTH read shapes (ts window + point lookups)
+    # over one table, pruning asserted on inputFiles inside the query;
+    # oracle = the LWW state windowed/filtered declaratively
+    "c09_grid_mixed_reads": (cdcq.c09_grid_mixed_reads, cdcq.C09_SQL),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -79,7 +84,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         reference.q12_csv_source_roundtrip,
         reference.Q12_SQL,
     ),
-    "q10_topk_per_user": (reference.q10_topk_per_user, reference.Q10_SQL),
     "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
     "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
     "q16_hourly_rollup": (reference.q16_hourly_rollup, reference.Q16_SQL),
@@ -177,9 +181,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # entries inside the 50-slot window, t07 to admit v09 lake-index,
     # q17 (~q16, both windowed time rollups; green r2+r3) to admit the
     # round-4c REAL m02, v05 (superset-probe of v04, IVF family v06/v07/
-    # v09 stays in-gate; green r2+r3) to admit the round-4c REAL m03 —
-    # changed entries must earn a fresh driver-green row, shadowed ones
-    # rotate back next round).
+    # v09 stays in-gate; green r2+r3) to admit the round-4c REAL m03, and
+    # q10 (~q15 window-top-k twin; green r2+r3) to admit the round-4c
+    # grid-layout entry c09 — changed/new entries must earn a fresh
+    # driver-green row, shadowed ones rotate back next round).
     # ALL entries, including these, are re-verified every round by the
     # parametrized parity suite and a committed full-catalog
     # `tools/check_parity.py` run (recorded in README.md §testing).
@@ -196,6 +201,7 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "t07_minhash_bands": (textops.t07_minhash_bands, textops.T07_SQL),
     "q17_session_windows": (reference.q17_session_windows, reference.Q17_SQL),
     "v05_ann_lsh_multiprobe": (simops.v05_ann_lsh_multiprobe, simops.V05_SQL),
+    "q10_topk_per_user": (reference.q10_topk_per_user, reference.Q10_SQL),
 }
 
 #: strict sub-stage twins collapsed out of the driver gate (round 4, per

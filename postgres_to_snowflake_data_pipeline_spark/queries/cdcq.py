@@ -663,3 +663,78 @@ _C06_IN = ", ".join(f"'{k}'" for k in C06_KEYS)
 C06_SQL = f"""
 SELECT * FROM ({C01_SQL}) WHERE conv_id IN ({_C06_IN})
 """
+
+
+def c09_grid_mixed_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GRID layout proven end-to-end: replay, ``compact(grid_slices=
+    (4, 4))`` (key bands × event-time bands — every file manifest-tight on
+    BOTH axes), then the two read shapes the grid exists to balance, over
+    the SAME table: a late time window via ``ts_prune`` and point lookups
+    at c06's keys via ``read_key``. Both reads must be FILE-PRUNED
+    (asserted on ``inputFiles`` — a driver-green row certifies the
+    pruning, not just the values) and both value-hash against declarative
+    LWW oracles.
+
+    Window bound: the top 7% of the feed's time range (integer-µs
+    arithmetic both engines replay identically). LWW winners bunch LATE
+    (each key's current version has the max lsn, and lsn order tracks
+    event time in this feed), so the grid's ts-band boundaries — quantiles
+    of the RESOLVED rows — sit at ~0.90/0.95/0.98 of the feed range
+    (measured at sf0.001 and sf0.01); a 0.93 cut lands between the first
+    and second boundaries, guaranteeing the window skips at least the
+    earliest ts band while remaining non-trivially populated."""
+    from datetime import datetime, timedelta, timezone
+    from functools import reduce
+
+    work = _work_dir("cdcg9", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    replay_feed(spark, table, feed_path, epochs=2)
+    table.compact(grid_slices=(4, 4))
+    every = set(table.read().inputFiles())
+
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mn, mx = (
+        spark.read.parquet(feed_path).select(F.min(us), F.max(us)).first()
+    )
+    lo_us = mn + (mx - mn) * 93 // 100
+
+    def _dt(usec: int) -> datetime:
+        return datetime.fromtimestamp(
+            usec // 1_000_000, tz=timezone.utc
+        ).replace(tzinfo=None) + timedelta(microseconds=usec % 1_000_000)
+
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+    window = table.read(ts_prune=(_dt(lo_us), _dt(mx))).select(*cols)
+    assert set(window.inputFiles()) < every, "window read not pruned"
+    lookups = [table.read_key(k).select(*cols) for k in C06_KEYS]
+    for k, df in zip(C06_KEYS, lookups):
+        assert set(df.inputFiles()) < every, f"lookup {k} not pruned"
+    return window.select(F.lit("window").alias("probe"), *cols).unionAll(
+        reduce(DataFrame.unionAll, lookups).select(
+            F.lit("key").alias("probe"), *cols
+        )
+    )
+
+
+C09_SQL = f"""
+WITH state AS ({C01_SQL}),
+feed AS (SELECT ts FROM events),
+b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM feed
+)
+SELECT 'window' AS probe, conv_id, turn_idx, role, text, ts
+FROM state, b
+WHERE epoch_us(ts) BETWEEN mn + (mx - mn) * 93 // 100 AND mx
+UNION ALL
+SELECT 'key' AS probe, conv_id, turn_idx, role, text, ts
+FROM state WHERE conv_id IN ({_C06_IN})
+"""
