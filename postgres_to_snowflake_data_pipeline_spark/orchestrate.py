@@ -228,20 +228,50 @@ class SourceSpec:
         return df
 
 
+#: the layout axes compact() accepts from a TableSpec, validated at load
+_LAYOUT_KEYS = ("ts_slices", "key_slices", "grid_slices")
+
+
 @dataclass(frozen=True)
 class TableSpec:
     """One destination lake table. ``schema_ddl`` is optional: when absent
     the schema is derived from the first epoch's feed (event columns minus
-    op/lsn/_table), the reference's create-from-seed behavior."""
+    op/lsn/_table), the reference's create-from-seed behavior.
+
+    Maintenance policy (round 4c — without one, a long-running declarative
+    pipeline accumulates delta files unboundedly): ``compact_every`` folds
+    the table every N epochs; ``compact_max_files`` additionally folds
+    just the buckets whose file count exceeded the bound (the
+    read-amplification guard when batch sizes vary). ``layout`` pins the
+    fold's clustering — one of ``{"ts_slices": k}``, ``{"key_slices": k}``
+    or ``{"grid_slices": [kk, tk]}`` (see ``LakeTable.compact``); omitted,
+    each fold PRESERVES whatever layout the table already has. Compaction
+    is idempotent under streaming re-delivery: a replayed epoch's fold
+    finds the buckets already folded at the layout and no-ops."""
 
     name: str
     key_cols: tuple[str, ...]
     n_buckets: int = 16
     schema_ddl: str | None = None
+    compact_every: int = 0
+    compact_max_files: int = 0
+    layout: dict[str, Any] | None = None
 
     def __post_init__(self) -> None:
         if not self.key_cols:
             raise ValueError(f"table {self.name!r}: key_cols must be non-empty")
+        if self.layout is not None:
+            bad = set(self.layout) - set(_LAYOUT_KEYS)
+            if bad or len(self.layout) != 1:
+                raise ValueError(
+                    f"table {self.name!r}: layout must be exactly one of "
+                    f"{_LAYOUT_KEYS}, got {sorted(self.layout)}"
+                )
+            if not (self.compact_every or self.compact_max_files):
+                raise ValueError(
+                    f"table {self.name!r}: layout without compact_every/"
+                    "compact_max_files would never be applied"
+                )
 
 
 @dataclass(frozen=True)
@@ -581,6 +611,9 @@ class PipelineSpec:
                     name=t["name"], key_cols=tuple(t["key_cols"]),
                     n_buckets=t.get("n_buckets", 16),
                     schema_ddl=t.get("schema_ddl"),
+                    compact_every=t.get("compact_every", 0),
+                    compact_max_files=t.get("compact_max_files", 0),
+                    layout=t.get("layout"),
                 )
                 for t in raw.get("tables", [])
             ),
@@ -637,7 +670,10 @@ class PipelineSpec:
             ],
             "tables": [
                 {"name": t.name, "key_cols": list(t.key_cols),
-                 "n_buckets": t.n_buckets, "schema_ddl": t.schema_ddl}
+                 "n_buckets": t.n_buckets, "schema_ddl": t.schema_ddl,
+                 "compact_every": t.compact_every,
+                 "compact_max_files": t.compact_max_files,
+                 "layout": t.layout}
                 for t in self.tables
             ],
             "views": [
@@ -856,6 +892,26 @@ class Pipeline:
             table_columns=table_columns,
             audits=self._audits or None,
         )
+        # declared maintenance, BEFORE views (the same apply -> fold ->
+        # refresh order as streaming/pipeline.run_stream): cadence fold at
+        # the spec's layout, or scoped fold of over-amplified buckets.
+        # Idempotent on re-delivered epochs — already-folded buckets no-op.
+        maintenance: dict[str, str] = {}
+        for t in self.spec.tables:
+            if not (t.compact_every or t.compact_max_files):
+                continue
+            tbl = self.tables[t.name]
+            layout = dict(t.layout or {})
+            if "grid_slices" in layout:
+                layout["grid_slices"] = tuple(layout["grid_slices"])
+            if t.compact_every and (epoch + 1) % t.compact_every == 0:
+                tbl.compact(**layout)
+                maintenance[t.name] = "cadence"
+            elif t.compact_max_files:
+                over = tbl.buckets_needing_compaction(t.compact_max_files)
+                if over:
+                    tbl.compact(buckets=over, **layout)
+                    maintenance[t.name] = f"files:{len(over)}"
         views = {
             v.name: self._view_handle(v).refresh() for v in self.spec.views
         }
@@ -870,6 +926,7 @@ class Pipeline:
             "epoch": epoch,
             "tables": applied,
             "unknown_rows": applied.unknown_rows,
+            "maintenance": maintenance,
             "views": views,
             "exports": exports,
             "audits": {

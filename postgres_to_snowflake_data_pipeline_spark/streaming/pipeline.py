@@ -49,6 +49,7 @@ def run_stream(
     compact_every: int = 16,
     compact_max_files: int | None = None,
     compact_ts_slices: int | None = None,
+    compact_layout: dict | None = None,
     salt_buckets: int | None = None,
     available_now: bool = True,
     watermark_delay: str | None = None,
@@ -78,9 +79,12 @@ def run_stream(
     many small batches arrive). ``compact_ts_slices > 1`` time-clusters
     the compacted bases (lake/table.py::compact) so manifest zone maps
     keep skipping files for ``read(ts_prune=...)`` on the long-running
-    table; the default ``None`` PRESERVES whatever clustering the table
-    already has (a restarted stream that omits the flag must not
-    un-slice the layout its previous run built).
+    table; ``compact_layout`` is the general form — one of
+    ``{"ts_slices": k}`` / ``{"key_slices": k}`` / ``{"grid_slices":
+    (kk, tk)}`` — covering the other clustering axes (mutually exclusive
+    with ``compact_ts_slices``). The default (neither) PRESERVES whatever
+    clustering the table already has (a restarted stream that omits the
+    flag must not un-slice the layout its previous run built).
 
     ``views``: IncrementalAggViews (lake/view.py) refreshed after every
     merge — idempotency is watermark-based, not commit-keyed: a replayed
@@ -88,12 +92,25 @@ def run_stream(
     watermark and no-ops (per-refresh commit keys are deliberately not
     used; they would grow view metadata O(refreshes)), so the downstream
     marts stay exactly-once along with the table."""
-    if compact_ts_slices is not None and compact_ts_slices > 1:
-        # validate the slicing request NOW (schema must have a timestamp
-        # column), not inside foreachBatch at the first cadence firing N
-        # committed batches in: compact with an empty bucket list runs
-        # exactly the explicit-ts_slices validation and nothing else
-        table.compact(buckets=[], ts_slices=compact_ts_slices)
+    if compact_ts_slices is not None and compact_layout is not None:
+        raise ValueError(
+            "pass compact_ts_slices OR compact_layout, not both"
+        )
+    layout: dict = (
+        dict(compact_layout)
+        if compact_layout is not None
+        else {"ts_slices": compact_ts_slices}
+        if compact_ts_slices is not None
+        else {}
+    )
+    if "grid_slices" in layout:
+        layout["grid_slices"] = tuple(layout["grid_slices"])
+    if layout:
+        # validate the slicing request NOW (schema/axis checks), not
+        # inside foreachBatch at the first cadence firing N committed
+        # batches in: compact with an empty bucket list runs exactly the
+        # explicit-layout validation and nothing else
+        table.compact(buckets=[], **layout)
     if salt_buckets is None:
         # resolve the auto-salt verdict ONCE, from the feed's current
         # contents: probing inside foreachBatch would re-execute each
@@ -131,11 +148,11 @@ def run_stream(
             salt_buckets=salt_buckets,
         )
         if compact_every and (batch_id + 1) % compact_every == 0:
-            table.compact(ts_slices=compact_ts_slices)
+            table.compact(**layout)
         elif compact_max_files:
             over = table.buckets_needing_compaction(compact_max_files)
             if over:
-                table.compact(buckets=over, ts_slices=compact_ts_slices)
+                table.compact(buckets=over, **layout)
         for v in views or ():
             v.refresh()
 

@@ -397,3 +397,72 @@ def test_seed_then_stream_epochs_do_not_collide(spark, tmp_path):
     q.awaitTermination()
     got = {r["conv_id"]: r["text"] for r in pipe.tables["ta"].read().collect()}
     assert got == {"c0": "updated", "c1": "streamed"}
+
+
+def test_declared_maintenance_folds_at_spec_layout(spark, tmp_path):
+    """TableSpec maintenance policy (round 4c): compact_every folds the
+    table at the declared layout (grid here) on its epoch cadence; a
+    re-delivered epoch's fold is a no-op on already-folded buckets; a
+    spec layout without a trigger is rejected at load."""
+    ev = change_events(spark, 3000, n_convs=150).localCheckpoint()
+    lo, hi = ev.select(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    epochs = {0: _tagged(ev.filter(F.col("lsn") <= mid)),
+              1: _tagged(ev.filter(F.col("lsn") > mid))}
+
+    spec = PipelineSpec.from_dict({
+        "lake_root": str(tmp_path / "lake"),
+        "sources": [{"name": "wal", "kind": "dataframe"}],
+        "tables": [
+            {"name": "ta", "key_cols": ["conv_id", "turn_idx"],
+             "n_buckets": 4, "compact_every": 2,
+             "layout": {"grid_slices": [3, 2]}},
+            {"name": "tb", "key_cols": ["conv_id", "turn_idx"],
+             "n_buckets": 4},  # no policy: never folded by the runner
+        ],
+    })
+    pipe = Pipeline(spark, spec)
+    r0 = pipe.run_epoch(0, feeds={"wal": epochs[0]})
+    assert r0["maintenance"] == {}  # cadence not reached yet
+    r1 = pipe.run_epoch(1, feeds={"wal": epochs[1]})
+    assert r1["maintenance"] == {"ta": "cadence"}
+
+    snap = pipe.tables["ta"].current()
+    for _b, fs in snap.files.items():
+        if not fs:
+            continue
+        assert all(e["kind"] == "base" for e in fs)
+        assert {e["key_k"] for e in fs} == {3}
+        assert {e["ts_k"] for e in fs} == {2}
+    assert any(
+        e["kind"] == "delta"
+        for fs in pipe.tables["tb"].current().files.values()
+        for e in fs
+    )
+
+    # state survives the re-layout; oracle parity holds
+    full = epochs[0].unionByName(epochs[1])
+    expected = full.filter(F.col("_table") == "ta").drop("_table")
+    assert_matches_oracle(pipe.tables["ta"].read(), expected, PAYLOAD)
+
+    # re-delivered epoch: apply skips AND the cadence fold no-ops
+    before = pipe.tables["ta"].current().snapshot_id
+    r1b = pipe.run_epoch(1, feeds={"wal": epochs[1]})
+    assert r1b["tables"]["ta"].skipped
+    assert pipe.tables["ta"].current().snapshot_id == before
+
+    with pytest.raises(ValueError, match="never be applied"):
+        PipelineSpec.from_dict({
+            "lake_root": str(tmp_path / "lake2"),
+            "sources": [{"name": "wal", "kind": "dataframe"}],
+            "tables": [{"name": "tx", "key_cols": ["conv_id"],
+                        "layout": {"key_slices": 4}}],
+        })
+    with pytest.raises(ValueError, match="exactly one of"):
+        PipelineSpec.from_dict({
+            "lake_root": str(tmp_path / "lake3"),
+            "sources": [{"name": "wal", "kind": "dataframe"}],
+            "tables": [{"name": "tx", "key_cols": ["conv_id"],
+                        "compact_every": 2,
+                        "layout": {"key_slices": 4, "ts_slices": 2}}],
+        })

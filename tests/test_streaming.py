@@ -170,3 +170,28 @@ def test_stream_restart_without_flag_preserves_slicing(spark, tmp_path):
     ks = {e.get("ts_k") for fs in snap.files.values() for e in fs
           if e.get("kind") == "base"}
     assert ks == {3}, ks
+
+
+def test_stream_compact_layout_grid(spark, setup):
+    """The general compact_layout form rides the same cadence: a grid
+    layout folds the stream's buckets with tight ranges on both axes,
+    state stays oracle-equal, and passing both layout params is loud."""
+    events, feed, table, ckpt, _ = setup
+    with pytest.raises(ValueError, match="not both"):
+        run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
+                   compact_ts_slices=2, compact_layout={"key_slices": 2})
+    q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
+                   max_files_per_trigger=2, compact_every=2,
+                   compact_layout={"grid_slices": [3, 2]})
+    q.awaitTermination(300)
+    assert_matches_oracle(table.read(), events, PAYLOAD)
+    snap = table.current()
+    gridded = [
+        fs for fs in snap.files.values()
+        if fs and {e.get("key_k") for e in fs} == {3}
+        and {e.get("ts_k") for e in fs} == {2}
+        and all(e["kind"] == "base" for e in fs)
+    ]
+    assert gridded, "no bucket ended folded at the grid layout"
+    # follow-up default compact preserves (already folded => same snap)
+    assert table.compact().snapshot_id == snap.snapshot_id
