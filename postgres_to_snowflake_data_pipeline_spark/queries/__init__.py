@@ -130,10 +130,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # similarity search (embeddings)
     "v01_ann_cosine_topk": (simops.v01_ann_cosine_topk, simops.V01_SQL),
     "v02_ann_ivf_cell": (simops.v02_ann_ivf_cell, simops.V02_SQL),
-    # IVF with a TRAINED coarse quantizer: distributed k-means (seeded
-    # init, fixed Lloyd iterations) + nprobe=2 probing — closes v02's
-    # assumed-away half; oracle unrolls the same iterations in DuckDB
-    "v06_ann_ivf_kmeans": (simops.v06_ann_ivf_kmeans, simops.V06_SQL),
+    # drift-triggered RETRAIN (round 4c): maintain() crosses the drift
+    # tolerance, retrain commits {new quantizer (props) + reassignments +
+    # tombstones} as one LWW epoch; oracle = v07's full-set training SQL
+    # (retrain on base ∪ appended ≡ fresh full-set training)
+    "v10_ann_ivf_retrain": (simops.v10_ann_ivf_retrain, simops.V10_SQL),
     # PERSISTED IVF index (round 4): sampled k-means train-once, centroids
     # sidecar + cell-clustered parquet layout, search opens only the nprobe
     # probed cells' files (lake/ann_index.py); oracle replays the same
@@ -202,6 +203,9 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q17_session_windows": (reference.q17_session_windows, reference.Q17_SQL),
     "v05_ann_lsh_multiprobe": (simops.v05_ann_lsh_multiprobe, simops.V05_SQL),
     "q10_topk_per_user": (reference.q10_topk_per_user, reference.Q10_SQL),
+    # v06 (trained IVF, green r3; superseded in-gate by the persisted/
+    # lake/retrain family v07-v10 + given-cell v02) demoted to admit v10
+    "v06_ann_ivf_kmeans": (simops.v06_ann_ivf_kmeans, simops.V06_SQL),
 }
 
 #: strict sub-stage twins collapsed out of the driver gate (round 4, per

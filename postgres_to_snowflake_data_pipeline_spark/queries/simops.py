@@ -641,6 +641,62 @@ def v09_ann_ivf_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 V09_SQL = V08_SQL
 
 
+def v10_ann_ivf_retrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift-retrain lifecycle proven by value hash: build the lake
+    index on the pre-append base (vec_id % 5 != 0), then ``maintain`` the
+    remaining fifth with a drift tolerance the append EXCEEDS
+    (appended_share 0.2 > threshold 0.1) — the maintenance tick itself
+    fires ``retrain``, which re-trains the quantizer on the CURRENT rows'
+    hash-sample and commits new centroids + cell reassignments +
+    tombstones as one LWW epoch (lake/ann_index.py). Because retraining
+    on base ∪ appended is definitionally a fresh full-set training, the
+    oracle is V07's SQL verbatim (train on the full candidate sample) —
+    the hash can only match if the retrain actually replaced the frozen
+    quantizer AND the reassignment preserved the row set. The drift reset
+    and generation turnover are asserted in-query; search runs through a
+    persistence round-trip on the retrained index."""
+    import os
+    import shutil
+    import tempfile
+
+    from postgres_to_snowflake_data_pipeline_spark.lake.ann_index import LakeAnnIndex
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"annidx10-{sf_dir.strip('/').replace('/', '-')}-pid{os.getpid()}",
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    emb = load(spark, sf_dir, "embeddings")
+    ev = emb.select("vec_id", _as_double("embedding").alias("v"))
+    cands = ev.filter(F.col("vec_id") >= N_QUERIES)
+    idx = LakeAnnIndex.build(
+        spark,
+        cands.filter(F.col("vec_id") % 5 != 0),
+        work,
+        key_col="vec_id",
+        vec_col="v",
+        k=K_CELLS,
+        iters=KMEANS_ITERS,
+        sample_mod=SAMPLE_MOD,
+    )
+    tok0 = idx.meta["token"]
+    idx.maintain(
+        cands.filter(F.col("vec_id") % 5 == 0), epoch=1,
+        rebuild_threshold=0.1,
+    )
+    assert idx.meta["token"] != tok0, "drift threshold did not fire retrain"
+    assert idx.appended_share() == 0.0, "retrain did not reset the signal"
+    idx = LakeAnnIndex.load(spark, work)  # persistence round-trip
+    queries = ev.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return idx.search(queries, k=3, nprobe=NPROBE)
+
+
+#: retrain on base ∪ appended ≡ fresh training on the full candidate set
+V10_SQL = _ivf_persisted_sql()
+
+
 def _probe_list_sql() -> str:
     probes = ", ".join(f"xor(bucket, {1 << p})" for p in range(N_PLANES))
     return f"[bucket, {probes}]"
