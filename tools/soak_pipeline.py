@@ -78,8 +78,16 @@ def main() -> None:
         "lake_root": lake,
         "sources": [{"name": "wal", "kind": "dataframe"}],
         "tables": [
-            {"name": "ta", "key_cols": ["conv_id", "turn_idx"], "n_buckets": 16},
-            {"name": "tb", "key_cols": ["conv_id", "turn_idx"], "n_buckets": 16},
+            # spec-DECLARED maintenance (round 4c): ta folds to a grid
+            # layout on a 3-epoch cadence, tb holds read amplification
+            # via the file-count guard at a key-sliced layout — the soak
+            # proves both policies survive kill/restart + re-delivery
+            {"name": "ta", "key_cols": ["conv_id", "turn_idx"],
+             "n_buckets": 16, "compact_every": 3,
+             "layout": {"grid_slices": [2, 2]}},
+            {"name": "tb", "key_cols": ["conv_id", "turn_idx"],
+             "n_buckets": 16, "compact_max_files": 4,
+             "layout": {"key_slices": 4}},
         ],
         "views": [
             # changefeed-patched: refresh cost ~ delta, source never rescanned
@@ -191,6 +199,35 @@ def main() -> None:
         got_cs.select(*cs_cols), want_cs.select(*cs_cols)
     )
 
+    # declared-maintenance gates: ta's buckets must have folded to the
+    # grid layout (lww_group slices count as one file-equivalent), tb's
+    # read amplification must be bounded by the file-count guard
+    def worst_files(tbl) -> int:
+        worst = 0
+        for fs in tbl.current().files.values():
+            n, seen = 0, set()
+            for e in fs:
+                g = e.get("lww_group")
+                if e.get("kind") == "base" and g is not None:
+                    if g not in seen:
+                        seen.add(g)
+                        n += 1
+                else:
+                    n += 1
+            worst = max(worst, n)
+        return worst
+
+    ta_grid = all(
+        {e.get("key_k") for e in fs} == {2}
+        and {e.get("ts_k") for e in fs} == {2}
+        for fs in pipe.tables["ta"].current().files.values()
+        if fs and all(e.get("kind") == "base" for e in fs)
+    ) and any(
+        fs and all(e.get("kind") == "base" for e in fs)
+        for fs in pipe.tables["ta"].current().files.values()
+    )
+    worst = {n: worst_files(pipe.tables[n]) for n in ("ta", "tb")}
+
     ok = (
         killed
         and drain_ok
@@ -200,6 +237,8 @@ def main() -> None:
         and frontier_probes > 0
         and not frontier_violations
         and last_frontier_epoch >= 0
+        and ta_grid
+        and worst["tb"] <= 4 + 1  # guard bound + the triggering delta
     )
     print(json.dumps({
         "soak_events": n_events, "slices": n_slices,
@@ -212,6 +251,8 @@ def main() -> None:
         "frontier_probes": frontier_probes,
         "frontier_last_epoch": last_frontier_epoch,
         "frontier_violations": frontier_violations,
+        "ta_grid_layout_held": ta_grid,
+        "worst_bucket_files": worst,
         "ok": ok,
     }))
     full.unpersist()
