@@ -33,6 +33,8 @@ HEADLINE = [
     "q01_pricing_summary",
     "q02_silver_report",
     "q08_lww_current_state",
+    "q21_grouping_sets",
+    "q23_moving_avg",
     "t05_dedup_exact",
     "t07_minhash_bands",
     "t10_minhash_bands_fast",

@@ -71,10 +71,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         reference.Q03_SQL,
     ),
     "q04_data_summary": (reference.q04_data_summary, reference.Q04_SQL),
-    "q05_cleanse_projection": (
-        reference.q05_cleanse_projection,
-        reference.Q05_SQL,
-    ),
     "q06_left_join_counts": (reference.q06_left_join_counts, reference.Q06_SQL),
     "q08_lww_current_state": (reference.q08_lww_current_state, reference.Q08_SQL),
     # rotated back in-gate for round 4 (driver-green in r2, absent from r3's
@@ -86,7 +82,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
     "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
-    "q16_hourly_rollup": (reference.q16_hourly_rollup, reference.Q16_SQL),
     "q18_json_extract": (reference.q18_json_extract, reference.Q18_SQL),
     "q19_percentile_stats": (
         reference.q19_percentile_stats,
@@ -118,6 +113,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         textops.T16_SQL,
     ),
     "q20_cube_totals": (reference.q20_cube_totals, reference.Q20_SQL),
+    # NEW round 4d — the rest of the grouping-set lattice surface plus the
+    # long->wide and trend operators (reference.py docstrings cite the
+    # reference semantics); new entries enter the gate window to earn a
+    # first driver-green row
+    "q21_grouping_sets": (reference.q21_grouping_sets, reference.Q21_SQL),
+    "q22_pivot_status": (reference.q22_pivot_status, reference.Q22_SQL),
+    "q23_moving_avg": (reference.q23_moving_avg, reference.Q23_SQL),
     # corpus assembly: iterative dup-graph closure, survivor pick, packing
     "t17_dup_clusters": (corpusops.t17_dup_clusters, corpusops.T17_SQL),
     "t18_dedup_survivors": (
@@ -128,7 +130,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # scale-path twins (multiply-mod hash family — 1 md5/shingle, full oracle)
     "t10_minhash_bands_fast": (textops.t10_minhash_bands_fast, textops.T10_SQL),
     # similarity search (embeddings)
-    "v01_ann_cosine_topk": (simops.v01_ann_cosine_topk, simops.V01_SQL),
     "v02_ann_ivf_cell": (simops.v02_ann_ivf_cell, simops.V02_SQL),
     # drift-triggered RETRAIN (round 4c): maintain() crosses the drift
     # tolerance, retrain commits {new quantizer (props) + reassignments +
@@ -189,6 +190,15 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # ALL entries, including these, are re-verified every round by the
     # parametrized parity suite and a committed full-catalog
     # `tools/check_parity.py` run (recorded in README.md §testing).
+    # round 4d: q05 (~q12's cleanse stage, 3x driver-green), q16 (~q17/q23
+    # time-rollup family, 3x green) and v01 (exact-ANN baseline of the
+    # in-gate IVF family, 3x green) demoted to admit the NEW q21/q22/q23
+    "q05_cleanse_projection": (
+        reference.q05_cleanse_projection,
+        reference.Q05_SQL,
+    ),
+    "q16_hourly_rollup": (reference.q16_hourly_rollup, reference.Q16_SQL),
+    "v01_ann_cosine_topk": (simops.v01_ann_cosine_topk, simops.V01_SQL),
     "q07_timestamp_normalize": (
         reference.q07_timestamp_normalize,
         reference.Q07_SQL,

@@ -765,3 +765,146 @@ SELECT o_orderpriority,
 FROM orders
 GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """
+
+
+# ---------------------------------------------------------------------------
+# q21 — explicit GROUPING SETS: the asymmetric lattice neither q13's ROLLUP
+# nor q20's CUBE can express — (priority, year), (priority), (year) but NOT
+# the grand total. The reference materializes each marginal as its own
+# CTAS pass (/root/reference/dags/s3_to_snowflake_dag.py:209-255, one
+# data_summary per slice); here Spark's Expand emits all three set shapes
+# before ONE exchange, so at 100 TB the fact table is scanned once, not
+# once per marginal.
+# ---------------------------------------------------------------------------
+def q21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "yr"], ["o_orderpriority"], ["yr"]],
+            "o_orderpriority",
+            "yr",
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "yr",
+            "total_price",
+            "n_orders",
+            "gid",
+        )
+    )
+
+
+Q21_SQL = """
+WITH o AS (
+  SELECT *, CAST(year(o_orderdate) AS INTEGER) AS yr FROM orders
+)
+SELECT o_orderpriority AS priority,
+       yr,
+       round(sum(o_totalprice), 2) AS total_price,
+       count(*) AS n_orders,
+       CAST(grouping(o_orderpriority) * 2 + grouping(yr) AS BIGINT) AS gid
+FROM o
+GROUP BY GROUPING SETS ((o_orderpriority, yr), (o_orderpriority), (yr))
+"""
+
+
+# ---------------------------------------------------------------------------
+# q22 — PIVOT (long -> wide): per-year totals with one column per order
+# status. The value list is PINNED ('F','O','P') — at 100 TB an unpinned
+# pivot needs a distinct-scan of the pivot column before planning, so the
+# engine surfaces the pinned form: one partial-aggregated exchange on yr,
+# statuses folded map-side by Expand, no second pass. Cells with no rows
+# stay NULL (both engines' SUM over the empty set).
+# ---------------------------------------------------------------------------
+def q22_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    return (
+        o.groupBy("yr")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "yr",
+            F.col("F").alias("total_f"),
+            F.col("O").alias("total_o"),
+            F.col("P").alias("total_p"),
+        )
+        .orderBy("yr")
+    )
+
+
+Q22_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2)
+         AS total_f,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2)
+         AS total_o,
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2)
+         AS total_p
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q23 — windowed moving average over a pre-aggregated daily series: the
+# trend operator for the metrics layer (the reference reports only static
+# totals, silver_layer_dag.py:53-66). Two stages, both shuffling the SAME
+# (user_id) key: groupBy(user_id, day) collapses events to ~days rows per
+# user BEFORE the sort, then the 7-row frame runs inside one window pass —
+# at 100 TB the window input is the daily rollup (O(users x days)), never
+# the raw event stream. Day is emitted as a string so the oracle compare
+# is type-stable across engines.
+# ---------------------------------------------------------------------------
+def q23_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    # Exact-cents arithmetic: value is 2-dp money, so summing it as
+    # DECIMAL(12,2) (then BIGINT cents) is order-independent — a plain
+    # double sum differs in the last ulp across partition orders and
+    # flips round(x, 2) at .005 boundaries (bit this query at sf0.01).
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("dsum")
+    )
+    w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-6, 0)
+    cents = (F.col("dsum") * 100).cast("bigint")
+    return daily.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("dsum").cast("double").alias("daily_total"),
+        # round to whole cents FIRST (x.5 cents is exactly representable,
+        # so both engines' half-away rounding agrees), then scale — a
+        # direct round(double, 2) at a .005 boundary diverges: Spark goes
+        # through BigDecimal.valueOf's shortest-string ("34.785" -> up)
+        # while DuckDB rounds the exact binary value (34.78499... -> down)
+        (
+            F.round(F.sum(cents).over(w) / F.count(F.lit(1)).over(w)).cast(
+                "bigint"
+            )
+            / F.lit(100.0)
+        ).alias("avg_7d"),
+    )
+
+
+Q23_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS daily_total,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       strftime(d, '%Y-%m-%d') AS day,
+       daily_total,
+       CAST(round(sum(cents) OVER w / count(*) OVER w) AS BIGINT) / 100.0
+         AS avg_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY d
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
