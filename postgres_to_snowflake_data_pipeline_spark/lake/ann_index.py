@@ -403,8 +403,11 @@ class LakeAnnIndex:
             os.unlink(sidecar)
         shutil.rmtree(os.path.join(root, cls._TABLE), ignore_errors=True)
         vectors = vectors.select(key_col, vec_col)
-        base_rows = vectors.count()  # rare build-time scan: props must
-        # carry base_rows INSIDE the epoch-0 commit to stay atomic
+        # rare build-time scan: props must carry base_rows INSIDE the
+        # epoch-0 commit to stay atomic. DISTINCT keys, not raw rows — the
+        # build input may re-emit a key, and the drift denominator must be
+        # the live base set or appended_share systematically under-reads
+        base_rows = vectors.select(key_col).distinct().count()
         sample = vectors.filter(km.sample_hash(key_col) % sample_mod == 0)
         train = sample.select(
             F.col(key_col).alias("vec_id"), F.col(vec_col).alias("v")
@@ -452,18 +455,28 @@ class LakeAnnIndex:
         )
         return cls(spark, root, cents, meta, table)
 
-    @staticmethod
+    #: maintenance epochs write at EVEN lsns (2*epoch); retrain commits
+    #: write at the ODD lsn just above the highest applied epoch. The
+    #: stride guarantees a retrain's re-inserts beat every row they were
+    #: derived from yet LOSE to any later append epoch — without it a
+    #: retrain at watermark+1 TIES the next append's lsn and LWW falls
+    #: back to payload comparison (nondeterministic winner).
+    _LSN_STRIDE = 2
+
+    @classmethod
     def _as_events(
+        cls,
         vectors: DataFrame,
         cents: dict[int, list[float]],
         epoch: int,
         vec_col: str,
     ) -> DataFrame:
         """Change events for one maintenance batch: assign cells with the
-        (frozen) centroids; ``lsn = epoch`` — insert-only keys are unique
-        per batch, and a later epoch re-inserting a key wins by LWW."""
+        (frozen) centroids; ``lsn = 2*epoch`` (see ``_LSN_STRIDE``) —
+        insert-only keys are unique per batch, and a later epoch
+        re-inserting a key wins by LWW."""
         return vectors.select(
-            F.lit(int(epoch)).cast("long").alias("lsn"),
+            F.lit(int(epoch) * cls._LSN_STRIDE).cast("long").alias("lsn"),
             F.lit("insert").alias("op"),
             km.argmin_cell(vec_col, cents).alias("cell"),
             "*",
@@ -491,7 +504,20 @@ class LakeAnnIndex:
         metadata no-op (``ApplyResult.skipped``), so this is safe to call
         from a streaming ``foreachBatch`` with ``batch_id + 1``. Cells are
         assigned with the LATEST committed quantizer (re-read per call):
-        after a retrain, maintenance keeps feeding the new generation."""
+        after a retrain, maintenance keeps feeding the new generation.
+
+        CONTRACT — inserts, plus same-cell updates only: the storage key
+        is ``(cell, key)``, so a later epoch re-delivering a key
+        supersedes it by LWW only while the new embedding quantizes to
+        the SAME cell. An update whose embedding hops cells would leave
+        the key live in both (nothing tombstones the old cell's row —
+        only ``retrain`` emits move tombstones, because only it sees the
+        previous assignment without an O(state) probe per batch). Model
+        embedding mutations as delete (old) + insert (new) events in the
+        maintenance feed, or rely on the drift-triggered retrain to fold
+        duplicates out is NOT sufficient — the retrain re-reads both live
+        rows. Callers with update-heavy feeds should key their upstream
+        lake table on the bare key and treat this index as derived."""
         from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
 
         if epoch <= 0:
@@ -546,21 +572,25 @@ class LakeAnnIndex:
         No-op (returns None) when the current generation has nothing to
         learn — zero rows appended since its training (``force=True``
         overrides, e.g. after changing training params out of band).
-        Exactly-once on retries: the commit key is derived from the
-        snapshot the retrain READ (``ann-retrain:s{base_sid}``) — a
-        crashed-and-retried retrain of the same state folds into the same
-        key, and a retrain retried AFTER a successful commit sees a
-        drift-free generation and no-ops. One residual (non-epoch) key per
-        retrain — retrains are rare by design (drift-triggered), so the
-        residual list stays O(retrains), not O(commits).
+        Exactly-once on retries WITHOUT a residual commit key: a retrain
+        that crashed before its CAS left nothing behind and simply re-runs;
+        one that crashed after sees the NEW generation token, reads
+        ``appended_share() == 0`` and no-ops. (An earlier design minted
+        ``ann-retrain:s{sid}`` commit keys — each one rode the residual
+        list of every later snapshot forever; the generation token in
+        props already carries the same monotone position atomically.)
 
-        LWW mechanics: reassignments are re-inserts at
-        ``lsn = epoch_watermark + 1`` (above every applied maintenance
-        epoch). A row whose cell MOVED gets a tombstone at its old
-        ``(cell, key)`` and an insert at the new one; an unmoved row is
-        re-inserted identically (same payload — the tie is content-equal).
-        Readers never see a torn state: until the CAS lands they read the
-        old quantizer with the old layout; after it, the new pair.
+        LWW mechanics: reassignments are re-inserts at the ODD lsn just
+        above the highest APPLIED maintenance epoch (``2*max_epoch + 1``
+        — including residual epochs committed above the contiguous
+        watermark), so they beat every row they were derived from but
+        lose to any later append epoch at ``2*(max_epoch+1)``; see
+        ``_LSN_STRIDE``. A row whose cell MOVED gets a tombstone at its
+        old ``(cell, key)`` and an insert at the new one; an unmoved row
+        is re-inserted identically (same payload — the tie is
+        content-equal). Readers never see a torn state: until the CAS
+        lands they read the old quantizer with the old layout; after it,
+        the new pair.
 
         Concurrency: retrain is maintenance (single scheduled writer, like
         compaction). An append racing the retrain commit lands with the
@@ -571,14 +601,13 @@ class LakeAnnIndex:
             _normalize_batch,
         )
 
+        from postgres_to_snowflake_data_pipeline_spark.lake.metadata import epoch_of
+
         if not force and self.appended_share() == 0.0:
             return None
         snap = self._refresh()
         meta = dict(self.meta)
         key_col, vec_col = meta["key_col"], meta["vec_col"]
-        commit_key = f"ann-retrain:s{snap.snapshot_id}"
-        if self.table.has_commit_key(commit_key):
-            return None
         cur = self.table.read(
             snapshot_id=snap.snapshot_id,
             columns=["cell", key_col, vec_col],
@@ -591,7 +620,11 @@ class LakeAnnIndex:
         cents = km.train_kmeans_cells(
             train, "v", k=meta["k"], iters=meta["iters"]
         )
-        lsn = snap.epoch_watermark + 1
+        residual_epochs = [
+            e for e in (epoch_of(k) for k in snap.commit_keys) if e is not None
+        ]
+        max_epoch = max([snap.epoch_watermark, *residual_epochs])
+        lsn = max_epoch * self._LSN_STRIDE + 1
         assigned = cur.select(
             F.col("cell").alias("_old_cell"),
             F.col(key_col),
@@ -616,11 +649,12 @@ class LakeAnnIndex:
         )
         events = inserts.unionByName(tombstones)
         table_schema, events, obs_metrics = _normalize_batch(
-            self.table, events, commit_key
+            self.table, events, f"ann-retrain:s{snap.snapshot_id}"
         )
-        storage = _dedup_storage(
-            events, table_schema, self.table.current(), 0
-        )
+        # pin dedup/bucketing to the snapshot the reassignments were
+        # derived from — a fresh current() here could see a racing append
+        # and bucket against a state this retrain never read
+        storage = _dedup_storage(events, table_schema, snap, 0)
         new_meta = dict(
             meta,
             base_rows=base_rows,
@@ -629,7 +663,6 @@ class LakeAnnIndex:
         )
         committed = self.table.merge(
             storage,
-            commit_key=commit_key,
             schema=table_schema,
             summary={
                 "operation_detail": "ann-retrain",
@@ -657,7 +690,10 @@ class LakeAnnIndex:
         ApplyResult; the retrain (if any) is its own commit."""
         res = self.append(vectors, epoch)
         if self.appended_share() >= rebuild_threshold:
-            self.retrain()
+            # force: the threshold check above IS the drift test — retrain
+            # re-running appended_share() would scan the snapshot chain a
+            # second time in the same tick for the same answer
+            self.retrain(force=True)
         return res
 
     def compact(self, key_slices: int | None = None):
@@ -679,7 +715,21 @@ class LakeAnnIndex:
 
         table = LakeTable.load(spark, os.path.join(root, cls._TABLE))
         idx = cls(spark, root, {}, {}, table)
-        idx._refresh()
+        try:
+            idx._refresh()
+        except ValueError:
+            if os.path.exists(os.path.join(root, _SIDECAR)):
+                # a healthy index written by the pre-props format is NOT a
+                # crashed build — don't steer the operator to a destructive
+                # rebuild over a misdiagnosis
+                raise ValueError(
+                    "lake ANN index has a legacy sidecar quantizer but no "
+                    "snapshot props — this index predates props-carried "
+                    "quantizers; rebuild once with build() to migrate "
+                    "(the sidecar alone is no longer read because it does "
+                    "not version atomically with the table layout)"
+                ) from None
+            raise
         return idx
 
     # ------------------------------------------------------------------

@@ -1944,18 +1944,19 @@ class LakeTable:
             "freed_bytes": freed,
         }
 
-    def buckets_needing_compaction(self, max_files: int) -> list[int]:
-        """Buckets whose file count exceeds ``max_files`` — the read-
-        amplification trigger. O(metadata): consults the in-memory file map
-        only, no storage listing.
+    def bucket_file_counts(self) -> dict[int, int]:
+        """Per-bucket FILE-EQUIVALENT counts — the read-amplification
+        measure. O(metadata): consults the in-memory file map only, no
+        storage listing.
 
         A compaction pass's time slices (same ``lww_group``) count as ONE
-        file-equivalent: the guard bounds amplification from unfolded
+        file-equivalent: the measure bounds amplification from unfolded
         deltas, not from the table's chosen time clustering — otherwise a
-        ts-sliced steady state would either permanently exceed the bound
+        ts-sliced steady state would either permanently exceed any bound
         (useless trigger every batch) or consume it (deltas never
-        trigger)."""
-        over = []
+        trigger). The single source of this counting rule — the compaction
+        trigger and the soak gates both read it."""
+        counts: dict[int, int] = {}
         for b, fs in self.current().files.items():
             n, seen = 0, set()
             for e in fs:
@@ -1966,9 +1967,15 @@ class LakeTable:
                         n += 1
                 else:
                     n += 1
-            if n > max_files:
-                over.append(int(b))
-        return sorted(over)
+            counts[int(b)] = n
+        return counts
+
+    def buckets_needing_compaction(self, max_files: int) -> list[int]:
+        """Buckets whose file-equivalent count (``bucket_file_counts``)
+        exceeds ``max_files`` — the read-amplification trigger."""
+        return sorted(
+            b for b, n in self.bucket_file_counts().items() if n > max_files
+        )
 
     def compact(
         self,

@@ -722,6 +722,7 @@ class Pipeline:
         self.spec = spec
         self.tables: dict[str, LakeTable] = {}
         self._views: dict[str, Any] = {}
+        self._layout_validated: set[str] = set()
         self._audits = {
             a.table: StagedAudit(compile_audit(a), a.on_fail)
             for a in spec.audits
@@ -766,6 +767,25 @@ class Pipeline:
                 key_cols=t.key_cols,
                 n_buckets=t.n_buckets,
             )
+        # validate each spec-declared layout NOW (schema/axis/shape checks),
+        # not inside the first cadence firing N committed epochs into the
+        # run — same upfront probe as streaming/pipeline.run_stream: compact
+        # with an empty bucket list runs exactly the explicit-layout
+        # validation and nothing else. Once per table per Pipeline instance.
+        for t in self.spec.tables:
+            if t.name in self._layout_validated or not t.layout:
+                continue
+            layout = dict(t.layout)
+            if "grid_slices" in layout:
+                layout["grid_slices"] = tuple(layout["grid_slices"])
+            try:
+                self.tables[t.name].compact(buckets=[], **layout)
+            except Exception as e:
+                raise ValueError(
+                    f"table {t.name!r}: spec-declared layout {t.layout!r} "
+                    f"is invalid for this table ({e})"
+                ) from e
+            self._layout_validated.add(t.name)
 
     def _max_committed_epoch(self) -> int:
         """Highest epoch any already-existing spec table has committed

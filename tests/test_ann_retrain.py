@@ -90,10 +90,11 @@ def test_props_fold_forward_and_update_atomically(spark, tmp_path):
 def test_retrain_moves_rows_and_preserves_the_row_set(spark, drifted):
     idx, a, b = drifted
     pre_snap = idx.table.current().snapshot_id
+    pre_rows = idx.table.read().select("vec_id", "cell").collect()
     pre_cells_of_b = {
-        r["vec_id"]: r["cell"]
-        for r in idx.table.read().filter(F.col("vec_id") >= 2000).collect()
+        r["vec_id"]: r["cell"] for r in pre_rows if r["vec_id"] >= 2000
     }
+    pre_cells_a = {r["cell"] for r in pre_rows if r["vec_id"] < 2000}
     share = idx.appended_share()
     assert share == pytest.approx(0.5)
 
@@ -110,10 +111,10 @@ def test_retrain_moves_rows_and_preserves_the_row_set(spark, drifted):
     cells_a = {r["cell"] for r in rows if r["vec_id"] < 2000}
     cells_b = {r["cell"] for r in rows if r["vec_id"] >= 2000}
     assert cells_a.isdisjoint(cells_b)
-    # before the retrain, frozen centroids had squeezed B into A-cells
-    assert set(pre_cells_of_b.values()) <= cells_a | set(
-        pre_cells_of_b.values()
-    )
+    # before the retrain, frozen centroids had squeezed B into cells A
+    # already occupied (the quantizer was trained on A alone, so every
+    # B assignment lands on an A-trained centroid)
+    assert set(pre_cells_of_b.values()) <= pre_cells_a
     # drift signal reset: new generation has no post-training appends
     assert idx.appended_share() == 0.0
 
@@ -167,3 +168,55 @@ def test_maintain_triggers_retrain_on_threshold(spark, tmp_path):
     again = LakeAnnIndex.load(spark, root)
     assert again.meta["token"] == idx.meta["token"]
     assert again.cents == idx.cents
+
+
+def test_post_retrain_append_epoch_beats_retrain_reinserts(spark, tmp_path):
+    """LSN-stride semantics: a maintenance epoch applied AFTER a retrain
+    must win LWW over the retrain's re-insert of the same key — appends
+    write at lsn=2*epoch and the retrain at the odd slot just above the
+    highest applied epoch, so there is no tie for payload comparison to
+    break nondeterministically (the pre-stride design collided at
+    watermark+1)."""
+    root = str(tmp_path / "idx")
+    idx = LakeAnnIndex.build(
+        spark, _cluster(spark, 1.0, 20, 1000), root,
+        key_col="vec_id", vec_col="v", k=2, iters=1, sample_mod=1,
+        n_buckets=2,
+    )
+    idx.append(_cluster(spark, -1.0, 20, 2000), epoch=1)
+    assert idx.retrain(force=True) is not None
+    # no residual commit keys: the generation token in props carries the
+    # retrain's exactly-once position instead
+    assert all("retrain" not in k for k in idx.table.current().commit_keys)
+    # epoch 2 re-delivers key 2000 with an updated embedding that stays in
+    # its cell (append's contract supersedes a key only within its cell —
+    # see LakeAnnIndex.append; a cell-hopping update needs delete+insert)
+    updated = spark.createDataFrame(
+        [(2000, [-1.0, 0.5] + [0.0] * (DIM - 2))],
+        "vec_id long, v array<double>",
+    )
+    idx.append(updated, epoch=2)
+    got = idx.table.read().filter(F.col("vec_id") == 2000).collect()
+    assert len(got) == 1 and got[0]["v"][1] == 0.5
+
+
+def test_retrain_lsn_clears_residual_epochs(spark, tmp_path):
+    """A maintenance epoch committed ABOVE the contiguous watermark (gap
+    in the epoch sequence) must still sit BELOW the retrain's lsn —
+    deriving the retrain lsn from the watermark alone would write the
+    reassignments UNDER epoch 5's rows and tombstone-vs-insert ties would
+    leave a key live in two cells."""
+    root = str(tmp_path / "idx")
+    idx = LakeAnnIndex.build(
+        spark, _cluster(spark, 1.0, 20, 1000), root,
+        key_col="vec_id", vec_col="v", k=2, iters=1, sample_mod=1,
+        n_buckets=2,
+    )
+    idx.append(_cluster(spark, -1.0, 20, 2000), epoch=5)  # gap: 1-4 absent
+    snap = idx.table.current()
+    assert snap.epoch_watermark < 5  # the gap kept epoch 5 residual
+    assert idx.retrain(force=True) is not None
+    rows = idx.table.read().collect()
+    # one live row per key — no key stranded live in two cells
+    assert len(rows) == 40
+    assert len({r["vec_id"] for r in rows}) == 40

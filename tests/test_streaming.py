@@ -183,7 +183,7 @@ def test_stream_compact_layout_grid(spark, setup):
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                    max_files_per_trigger=2, compact_every=2,
                    compact_layout={"grid_slices": [3, 2]})
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
     assert_matches_oracle(table.read(), events, PAYLOAD)
     snap = table.current()
     gridded = [

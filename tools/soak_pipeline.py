@@ -200,22 +200,12 @@ def main() -> None:
     )
 
     # declared-maintenance gates: ta's buckets must have folded to the
-    # grid layout (lww_group slices count as one file-equivalent), tb's
-    # read amplification must be bounded by the file-count guard
+    # grid layout, tb's read amplification must be bounded by the
+    # file-count guard. The file-equivalent counting rule (lww_group
+    # slices fold to one) lives in LakeTable.bucket_file_counts — the
+    # same source the compaction trigger reads, so the gate can't drift
     def worst_files(tbl) -> int:
-        worst = 0
-        for fs in tbl.current().files.values():
-            n, seen = 0, set()
-            for e in fs:
-                g = e.get("lww_group")
-                if e.get("kind") == "base" and g is not None:
-                    if g not in seen:
-                        seen.add(g)
-                        n += 1
-                else:
-                    n += 1
-            worst = max(worst, n)
-        return worst
+        return max(tbl.bucket_file_counts().values(), default=0)
 
     ta_grid = all(
         {e.get("key_k") for e in fs} == {2}
