@@ -869,8 +869,16 @@ def q23_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DECIMAL(12,2) (then BIGINT cents) is order-independent — a plain
     # double sum differs in the last ulp across partition orders and
     # flips round(x, 2) at .005 boundaries (bit this query at sf0.01).
-    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
-        F.sum(F.col("value").cast("decimal(12,2)")).alias("dsum")
+    # ONE exchange serves both stages: hash-partitioning on user_id (a
+    # subset of the daily grouping key) satisfies the aggregation's
+    # ClusteredDistribution AND the window's — without the explicit
+    # repartition Catalyst plans a (user_id, d) exchange for the groupBy
+    # plus a second user_id exchange for the window (plan-pinned in
+    # tests/test_plans.py; same trick as the fused dedup+bucketed write)
+    daily = (
+        ev.repartition("user_id")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("dsum"))
     )
     w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-6, 0)
     cents = (F.col("dsum") * 100).cast("bigint")

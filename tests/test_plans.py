@@ -270,3 +270,26 @@ def test_merged_audit_preview_prunes_to_checked_columns(spark, tmp_path):
     )
     assert merged.select("conv_id", "turn_idx", "role").exceptAll(full).count() == 0
     assert full.exceptAll(merged.select("conv_id", "turn_idx", "role")).count() == 0
+
+
+def test_q23_moving_avg_single_exchange_shared_by_agg_and_window(spark, sf_dir):
+    """The daily rollup and the 7-row window frame must share ONE exchange:
+    hash-partitioning on user_id (a subset of the (user_id, day) grouping
+    key) satisfies both stages' distributions — without the explicit
+    repartition Catalyst plans two (groupBy key, then window key). Scan
+    stays pruned to the three referenced columns."""
+    df = reference.q23_moving_avg(spark, sf_dir)
+    (scan,) = read_schema_columns(df)
+    assert set(scan) == {"user_id", "ts", "value"}, scan
+    assert n_exchanges(df) == 1, explain_str(df)
+
+
+def test_q21_grouping_sets_expand_before_single_exchange(spark, sf_dir):
+    """The asymmetric grouping-set lattice must be ONE scan + ONE exchange:
+    Expand emits the three set shapes map-side and partial aggregation
+    collapses them before the shuffle — never one pass per marginal."""
+    df = reference.q21_grouping_sets(spark, sf_dir)
+    (scan,) = read_schema_columns(df)
+    assert set(scan) == {"o_orderpriority", "o_orderdate", "o_totalprice"}, scan
+    assert n_exchanges(df) == 1, explain_str(df)
+    assert "Expand" in explain_str(df, "simple")
