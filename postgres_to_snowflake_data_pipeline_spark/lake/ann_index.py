@@ -338,18 +338,18 @@ class LakeAnnIndex:
     - ``retrain`` closes the lifecycle: when ``appended_share`` crosses
       the drift tolerance, retrain re-trains the coarse quantizer on the
       CURRENT rows' hash-sample and commits {new centroids + cell
-      reassignments + tombstones for moved rows} as ONE LWW epoch under a
-      base-snapshot-derived commit key — crash-safe, exactly-once, and
-      concurrent readers keep a consistent (old quantizer, old layout)
-      view until the commit lands. ``maintain`` = append + auto-retrain.
+      reassignments + tombstones for moved rows} as ONE LWW merge —
+      crash-safe and exactly-once via the generation token + retrain
+      position riding props (no residual commit keys), and concurrent
+      readers keep a consistent (old quantizer, old layout) view until
+      the commit lands. ``maintain`` = append + auto-retrain.
 
     Insert-only contract (classic IVF insert): re-inserting a key whose
     embedding MOVED to a different cell is a new (cell, key) row — emit a
     delete for the old cell's row alongside, or rebuild, if embeddings
-    mutate. Centroids stay a JSON sidecar (the k×dim-double quantizer),
-    versioned with the build; the same deterministic training as
-    ``AnnIndex`` (functions/kmeans.py), so the v08 oracle SQL covers this
-    storage verbatim (catalog entry v09, queries/simops.py)."""
+    mutate (see ``append``). Training is the same deterministic k-means
+    as ``AnnIndex`` (functions/kmeans.py), so the v08 oracle SQL covers
+    this storage verbatim (catalog entry v09, queries/simops.py)."""
 
     _TABLE = "table"
 
@@ -455,13 +455,19 @@ class LakeAnnIndex:
         )
         return cls(spark, root, cents, meta, table)
 
-    #: maintenance epochs write at EVEN lsns (2*epoch); retrain commits
-    #: write at the ODD lsn just above the highest applied epoch. The
-    #: stride guarantees a retrain's re-inserts beat every row they were
-    #: derived from yet LOSE to any later append epoch — without it a
-    #: retrain at watermark+1 TIES the next append's lsn and LWW falls
-    #: back to payload comparison (nondeterministic winner).
-    _LSN_STRIDE = 2
+    #: maintenance epochs write at lsn = epoch * STRIDE; retrain commits
+    #: write in the open interval between the highest applied epoch's
+    #: slot and the next epoch's. The stride guarantees a retrain's
+    #: re-inserts beat every row they were derived from yet LOSE to any
+    #: later append epoch — without it a retrain at watermark+1 TIES the
+    #: next append's lsn and LWW falls back to payload comparison
+    #: (nondeterministic winner). The interval is WIDE (2^20) because
+    #: back-to-back retrains with no intervening epoch (force=True after
+    #: a parameter change) each need a FRESH slot — the second retrain's
+    #: move-tombstones must beat the first retrain's re-inserts, so its
+    #: lsn comes from props' last retrain position + 1, not the epoch
+    #: alone.
+    _LSN_STRIDE = 1 << 20
 
     @classmethod
     def _as_events(
@@ -472,7 +478,7 @@ class LakeAnnIndex:
         vec_col: str,
     ) -> DataFrame:
         """Change events for one maintenance batch: assign cells with the
-        (frozen) centroids; ``lsn = 2*epoch`` (see ``_LSN_STRIDE``) —
+        (frozen) centroids; ``lsn = epoch * _LSN_STRIDE`` —
         insert-only keys are unique per batch, and a later epoch
         re-inserting a key wins by LWW."""
         return vectors.select(
@@ -580,12 +586,12 @@ class LakeAnnIndex:
         list of every later snapshot forever; the generation token in
         props already carries the same monotone position atomically.)
 
-        LWW mechanics: reassignments are re-inserts at the ODD lsn just
-        above the highest APPLIED maintenance epoch (``2*max_epoch + 1``
-        — including residual epochs committed above the contiguous
-        watermark), so they beat every row they were derived from but
-        lose to any later append epoch at ``2*(max_epoch+1)``; see
-        ``_LSN_STRIDE``. A row whose cell MOVED gets a tombstone at its
+        LWW mechanics: reassignments are re-inserts at an lsn strictly
+        between the highest APPLIED position (epoch slots — residual
+        epochs above the contiguous watermark included — and any prior
+        retrain's lsn from props) and the NEXT epoch's slot, so they
+        beat every row they were derived from but lose to any later
+        append epoch; see ``_LSN_STRIDE``. A row whose cell MOVED gets a tombstone at its
         old ``(cell, key)`` and an insert at the new one; an unmoved row
         is re-inserted identically (same payload — the tie is
         content-equal). Readers never see a torn state: until the CAS
@@ -624,7 +630,18 @@ class LakeAnnIndex:
             e for e in (epoch_of(k) for k in snap.commit_keys) if e is not None
         ]
         max_epoch = max([snap.epoch_watermark, *residual_epochs])
-        lsn = max_epoch * self._LSN_STRIDE + 1
+        # strictly above every applied lsn — including a PRIOR retrain at
+        # the same max_epoch (its position rides props), else the second
+        # retrain's tombstones would tie the first's re-inserts
+        lsn = max(
+            max_epoch * self._LSN_STRIDE + 1,
+            int(meta.get("retrain_lsn", 0)) + 1,
+        )
+        if lsn >= (max_epoch + 1) * self._LSN_STRIDE:
+            raise RuntimeError(
+                f"retrain lsn interval exhausted at epoch {max_epoch} "
+                f"({self._LSN_STRIDE - 1} retrains between two appends)"
+            )
         assigned = cur.select(
             F.col("cell").alias("_old_cell"),
             F.col(key_col),
@@ -659,6 +676,7 @@ class LakeAnnIndex:
             meta,
             base_rows=base_rows,
             token=uuid.uuid4().hex[:12],
+            retrain_lsn=lsn,
             cells={str(c): v for c, v in sorted(cents.items())},
         )
         committed = self.table.merge(

@@ -2045,6 +2045,17 @@ class LakeTable:
         folded at a different layout are rewritten. Explicit time
         clustering (``ts_slices > 1`` or a grid) on a schema with no
         timestamp column raises (mirroring ``read(ts_prune=...)``)."""
+        if grid_slices is not None:
+            # accept any 2-sequence (JSON specs deliver lists) and reject
+            # wrong shapes LOUDLY here — every caller (streaming cadence,
+            # pipeline maintenance, upfront spec validation) funnels
+            # through this one check instead of pre-normalizing
+            grid_slices = tuple(grid_slices)  # type: ignore[arg-type]
+            if len(grid_slices) != 2:
+                raise ValueError(
+                    "compact: grid_slices must be (key_bands, ts_bands), "
+                    f"got {grid_slices!r}"
+                )
         snap = self.current()
         zcol = self._zone_ts_col(snap.schema)
         explicit_axes = sum(

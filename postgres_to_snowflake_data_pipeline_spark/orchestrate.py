@@ -775,11 +775,10 @@ class Pipeline:
         for t in self.spec.tables:
             if t.name in self._layout_validated or not t.layout:
                 continue
-            layout = dict(t.layout)
-            if "grid_slices" in layout:
-                layout["grid_slices"] = tuple(layout["grid_slices"])
             try:
-                self.tables[t.name].compact(buckets=[], **layout)
+                # compact() canonicalizes the layout (grid_slices shape
+                # check included) — no caller-side normalization
+                self.tables[t.name].compact(buckets=[], **t.layout)
             except Exception as e:
                 raise ValueError(
                     f"table {t.name!r}: spec-declared layout {t.layout!r} "
@@ -922,8 +921,6 @@ class Pipeline:
                 continue
             tbl = self.tables[t.name]
             layout = dict(t.layout or {})
-            if "grid_slices" in layout:
-                layout["grid_slices"] = tuple(layout["grid_slices"])
             if t.compact_every and (epoch + 1) % t.compact_every == 0:
                 tbl.compact(**layout)
                 maintenance[t.name] = "cadence"

@@ -869,16 +869,17 @@ def q23_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DECIMAL(12,2) (then BIGINT cents) is order-independent — a plain
     # double sum differs in the last ulp across partition orders and
     # flips round(x, 2) at .005 boundaries (bit this query at sf0.01).
-    # ONE exchange serves both stages: hash-partitioning on user_id (a
-    # subset of the daily grouping key) satisfies the aggregation's
-    # ClusteredDistribution AND the window's — without the explicit
-    # repartition Catalyst plans a (user_id, d) exchange for the groupBy
-    # plus a second user_id exchange for the window (plan-pinned in
-    # tests/test_plans.py; same trick as the fused dedup+bucketed write)
-    daily = (
-        ev.repartition("user_id")
-        .groupBy("user_id", F.to_date("ts").alias("d"))
-        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("dsum"))
+    # Two SMALL exchanges beat one big one here: map-side partial
+    # aggregation collapses the raw events to ~O(users x days) rows
+    # BEFORE the (user_id, d) exchange, and the window's user_id exchange
+    # re-shuffles only that rollup. An explicit repartition("user_id")
+    # up front would merge them into a single exchange — but that one
+    # exchange ships EVERY raw event row (partial agg then runs
+    # post-shuffle where it reduces nothing) and concentrates a hot
+    # user's full history in one task. Exchange COUNT is not shuffle
+    # VOLUME; plan-pinned in tests/test_plans.py.
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("dsum")
     )
     w = Window.partitionBy("user_id").orderBy("d").rowsBetween(-6, 0)
     cents = (F.col("dsum") * 100).cast("bigint")

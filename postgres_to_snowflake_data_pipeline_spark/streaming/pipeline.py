@@ -103,8 +103,6 @@ def run_stream(
         if compact_ts_slices is not None
         else {}
     )
-    if "grid_slices" in layout:
-        layout["grid_slices"] = tuple(layout["grid_slices"])
     if layout:
         # validate the slicing request NOW (schema/axis checks), not
         # inside foreachBatch at the first cadence firing N committed

@@ -8,7 +8,8 @@ tombstones for moved rows} as ONE LWW merge. Pinned properties:
 
 - props fold FORWARD through every commit kind (merge, compact, evolve)
   and update atomically with data commits;
-- retrain is exactly-once (base-snapshot-derived commit key);
+- retrain is exactly-once (generation token + retrain position ride
+  props atomically; no residual commit keys);
 - retrain preserves the row set (one live row per vec_id, no dups across
   cells) while moving rows to their new cells;
 - time travel is TOTAL: a pre-retrain snapshot searches with the OLD
@@ -173,10 +174,10 @@ def test_maintain_triggers_retrain_on_threshold(spark, tmp_path):
 def test_post_retrain_append_epoch_beats_retrain_reinserts(spark, tmp_path):
     """LSN-stride semantics: a maintenance epoch applied AFTER a retrain
     must win LWW over the retrain's re-insert of the same key — appends
-    write at lsn=2*epoch and the retrain at the odd slot just above the
-    highest applied epoch, so there is no tie for payload comparison to
-    break nondeterministically (the pre-stride design collided at
-    watermark+1)."""
+    write at epoch-stride slots and the retrain strictly between the
+    highest applied slot and the next epoch's, so there is no tie for
+    payload comparison to break nondeterministically (the pre-stride
+    design collided at watermark+1)."""
     root = str(tmp_path / "idx")
     idx = LakeAnnIndex.build(
         spark, _cluster(spark, 1.0, 20, 1000), root,
@@ -218,5 +219,34 @@ def test_retrain_lsn_clears_residual_epochs(spark, tmp_path):
     assert idx.retrain(force=True) is not None
     rows = idx.table.read().collect()
     # one live row per key — no key stranded live in two cells
+    assert len(rows) == 40
+    assert len({r["vec_id"] for r in rows}) == 40
+
+
+def test_back_to_back_forced_retrains_keep_one_live_row_per_key(spark, tmp_path):
+    """Two retrains with NO intervening append (force=True after an
+    out-of-band parameter change — the documented force use case) must
+    each write at a FRESH lsn: if both derived their lsn from the epoch
+    alone, the second retrain's move-tombstones would TIE the first's
+    re-inserts and a key could stay live in two cells. The retrain
+    position rides props so the second run lands strictly above."""
+    root = str(tmp_path / "idx")
+    idx = LakeAnnIndex.build(
+        spark, _cluster(spark, 1.0, 20, 1000), root,
+        key_col="vec_id", vec_col="v", k=2, iters=1, sample_mod=1,
+        n_buckets=2,
+    )
+    idx.append(_cluster(spark, -1.0, 20, 2000), epoch=1)
+    first = idx.retrain(force=True)
+    assert first is not None
+    lsn1 = idx.meta["retrain_lsn"]
+    # out-of-band param change, then force retrain with no new appends:
+    # different k => different centroids => rows MOVE between the runs
+    idx.meta["k"] = 3
+    idx.table.update_props({"ann": dict(idx.meta)})
+    second = idx.retrain(force=True)
+    assert second is not None
+    assert idx.meta["retrain_lsn"] > lsn1
+    rows = idx.table.read().collect()
     assert len(rows) == 40
     assert len({r["vec_id"] for r in rows}) == 40

@@ -132,7 +132,7 @@ def test_streaming_pipeline_refreshes_view(spark, tmp_path, source):
         spark, source, feed, CHANGE_EVENT_SCHEMA, str(tmp_path / "ck"),
         views=[view],
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
     assert view.last_source_snapshot() == source.current().snapshot_id
     _assert_view_exact(view, source)
 

@@ -33,7 +33,7 @@ def test_listener_offsets_reconcile_with_commits(spark, tmp_path):
     try:
         q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA,
                        str(tmp_path / "ck"), max_files_per_trigger=2)
-        q.awaitTermination(300)
+        assert q.awaitTermination(300), "stream did not drain within deadline"
         # listener events are delivered asynchronously on the driver bus
         deadline = time.time() + 30
         while time.time() < deadline:

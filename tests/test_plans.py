@@ -272,16 +272,25 @@ def test_merged_audit_preview_prunes_to_checked_columns(spark, tmp_path):
     assert full.exceptAll(merged.select("conv_id", "turn_idx", "role")).count() == 0
 
 
-def test_q23_moving_avg_single_exchange_shared_by_agg_and_window(spark, sf_dir):
-    """The daily rollup and the 7-row window frame must share ONE exchange:
-    hash-partitioning on user_id (a subset of the (user_id, day) grouping
-    key) satisfies both stages' distributions — without the explicit
-    repartition Catalyst plans two (groupBy key, then window key). Scan
+def test_q23_moving_avg_partial_agg_below_both_small_exchanges(spark, sf_dir):
+    """The raw event stream must NEVER cross a shuffle: map-side partial
+    aggregation collapses events to the daily rollup BEFORE the
+    (user_id, day) exchange, and the window's user_id exchange carries
+    only that rollup — two small exchanges, not one raw-stream exchange
+    (a repartition(user_id) 'fusion' would halve the exchange COUNT but
+    ship O(events) bytes and pile hot users into single tasks). Scan
     stays pruned to the three referenced columns."""
     df = reference.q23_moving_avg(spark, sf_dir)
     (scan,) = read_schema_columns(df)
     assert set(scan) == {"user_id", "ts", "value"}, scan
-    assert n_exchanges(df) == 1, explain_str(df)
+    plan = explain_str(df, "simple")
+    assert n_exchanges(df) == 2, plan
+    # the partial aggregate sits on the SCAN side of the shuffle: in the
+    # top-down tree no Exchange line appears between the partial_sum
+    # HashAggregate and the parquet scan beneath it
+    partial = plan.index("partial_sum")
+    scan = plan.index("Scan parquet", partial)
+    assert "Exchange" not in plan[partial:scan], plan[partial:scan]
 
 
 def test_q21_grouping_sets_expand_before_single_exchange(spark, sf_dir):

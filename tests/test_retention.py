@@ -81,7 +81,7 @@ def test_continuous_rate_stream_merges(spark, tmp_path):
     while time.time() < deadline and table.current().commit_count < 2:
         time.sleep(1)
     q.stop()
-    q.awaitTermination(60)
+    assert q.awaitTermination(60), "stream did not drain within deadline"
     assert table.current().commit_count >= 2, "no batches merged"
     state = table.read()
     assert state.count() > 0

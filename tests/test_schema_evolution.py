@@ -137,13 +137,13 @@ def test_mid_stream_evolution_matches_oracle(spark, tmp_path):
                              ("conv_id", "turn_idx"), n_buckets=8)
     # phase 1: drain v1 with the v1 schema
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, str(tmp_path / "ck1"))
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
     # producer upgrades: v2 files (new columns) land in the feed
     (v2.repartitionByRange(2, "lsn").write.mode("append").parquet(feed))
     # phase 2: restart stream with the v2 schema (same checkpoint continues;
     # files already processed are not re-read)
     q2 = run_stream(spark, table, feed, CHANGE_EVENT_V2_SCHEMA, str(tmp_path / "ck1"))
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300), "stream did not drain within deadline"
 
     assert [f.name for f in table.schema().fields][-2:] == ["tool_meta", "latency_ms"]
     state = table.read()

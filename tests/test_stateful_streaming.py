@@ -29,7 +29,7 @@ def test_progress_state_across_batches_matches_batch_truth(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
 
     # memory sink in update mode appends each emission; keep the LAST row
     # per conversation (the final state after all batches)

@@ -38,7 +38,7 @@ def test_stream_drain_matches_oracle(spark, setup):
     events, feed, table, ckpt, lineage = setup
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                    lineage_path=lineage, max_files_per_trigger=2)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
     assert_matches_oracle(table.read(), events, PAYLOAD)
     ldf = spark.read.parquet(lineage)
     assert ldf.groupBy().sum("rows_in").first()[0] == events.count()
@@ -56,24 +56,24 @@ def test_stream_restart_from_checkpoint_reconverges(spark, setup):
             break
         time.sleep(1)
     q.stop()
-    q.awaitTermination(60)
+    assert q.awaitTermination(60), "stream did not drain within deadline"
     assert table.current().commit_count >= 3, "stream made no progress before kill"
     # phase 2: restart from the same checkpoint; drain the rest
     q2 = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                     max_files_per_trigger=1)
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300), "stream did not drain within deadline"
     assert_matches_oracle(table.read(), events, PAYLOAD)
 
 
 def test_whole_stream_replayed_twice_converges_identically(spark, setup, tmp_path):
     events, feed, table, ckpt, _ = setup
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
     state1 = table.read().orderBy("conv_id", "turn_idx").collect()
     # wipe the checkpoint -> Spark re-delivers every batch with the same ids
     shutil.rmtree(ckpt)
     q2 = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt)
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300), "stream did not drain within deadline"
     state2 = table.read().orderBy("conv_id", "turn_idx").collect()
     assert state1 == state2, "second full replay changed table state"
 
@@ -93,7 +93,7 @@ def test_late_arriving_feed_files(spark, tmp_path):
         spark, str(tmp_path / "t2"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"), n_buckets=8
     )
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, str(tmp_path / "ck"))
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
     assert_matches_oracle(table.read(), all_events, PAYLOAD)
 
 def test_watermarked_duplicate_shed_matches_oracle(spark, setup):
@@ -102,7 +102,7 @@ def test_watermarked_duplicate_shed_matches_oracle(spark, setup):
     events, feed, table, ckpt, _ = setup
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                    max_files_per_trigger=2, watermark_delay="12 hours")
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
     assert_matches_oracle(table.read(), events, PAYLOAD)
 
 
@@ -114,7 +114,7 @@ def test_file_count_compaction_trigger_bounds_read_amplification(spark, setup):
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                    max_files_per_trigger=1, compact_every=0,
                    compact_max_files=3)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
     worst = max(len(fs) for fs in table.current().files.values())
     # one over-bound epoch may land after the last compaction check
     assert worst <= 3 + 1, f"bucket has {worst} files despite trigger"
@@ -130,7 +130,7 @@ def test_stream_time_clustered_compaction(spark, setup):
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                    max_files_per_trigger=2, compact_every=2,
                    compact_ts_slices=3)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
     assert_matches_oracle(table.read(), events, PAYLOAD)
     snap = table.current()
     sliced = [fs for fs in snap.files.values()
@@ -154,7 +154,7 @@ def test_stream_restart_without_flag_preserves_slicing(spark, tmp_path):
     q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                    max_files_per_trigger=2, compact_every=1,
                    compact_ts_slices=3)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
     # more feed arrives; the operator restarts WITHOUT the flag
     extra = change_events(spark, 2000, n_convs=300, seed=77)
     import glob as _g
@@ -165,7 +165,7 @@ def test_stream_restart_without_flag_preserves_slicing(spark, tmp_path):
         _sh.copy(f, f"{feed}/late-{i}.parquet")
     q2 = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
                     max_files_per_trigger=2, compact_every=1)
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300), "stream did not drain within deadline"
     snap = table.current()
     ks = {e.get("ts_k") for fs in snap.files.values() for e in fs
           if e.get("kind") == "base"}

@@ -54,7 +54,7 @@ def test_streaming_window_agg_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
     streamed = spark.table("hourly")
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
