@@ -60,6 +60,7 @@ from postgres_to_snowflake_data_pipeline_spark.lake.metadata import (
     Snapshot,
     fold_commit_keys,
 )
+from postgres_to_snowflake_data_pipeline_spark.lake import content as content_index
 
 INTERNAL_FIELDS = [
     T.StructField("_lsn", T.LongType(), False),
@@ -231,6 +232,8 @@ class LakeTable:
         key_prune: Any | list | None = None,
         ts_prune: tuple[datetime, datetime] | None = None,
         semi_keys: DataFrame | None = None,
+        eq_prune: dict[str, Any] | None = None,
+        token_prune: str | None = None,
     ) -> DataFrame:
         """Current (or time-travel) state of the table as a DataFrame.
 
@@ -258,35 +261,84 @@ class LakeTable:
         the residual filter excludes them — or (b) strictly-older loser
         versions, which cannot change LWW resolution. The residual
         ``ts BETWEEN`` filter runs AFTER resolution. Entries without zone
-        stats (pre-stats commits) are treated as covering."""
+        stats (pre-stats commits) are treated as covering.
+
+        ``eq_prune={col: value}`` / ``token_prune="token"`` (content
+        indexes, lake/content.py) return the current rows matching
+        ``col = value`` for every pair / whose declared token column
+        contains the lowercase-alphanumeric token, opening only the files
+        whose per-file value set / token index cannot rule the predicate
+        out. Soundness is the SAME floor-retention rule as ``ts_prune``
+        (``_lww_retain``) applied after it — the rules compose because a
+        wrong answer would need a retained stale version passing every
+        residual filter, whose file is then a candidate under every rule,
+        and each floor in turn retains the true winner's file. Files
+        without an index (pre-declaration commits, over-cap vocabularies,
+        Bloom false positives) are candidates — extra opens, never wrong
+        rows."""
         snap = self.current() if snapshot_id is None else self.log.load(snapshot_id)
         want_fields = list(snap.schema.fields)
         ts_col = self._zone_ts_col(snap.schema) if ts_prune is not None else None
         if ts_prune is not None and ts_col is None:
             raise ValueError("ts_prune: schema has no timestamp column")
-        if ts_prune is not None and include_tombstones:
-            # tombstones carry NULL payload ts: they are invisible to the
-            # residual window filter and their membership in "the window"
+        if (
+            ts_prune is not None or eq_prune or token_prune is not None
+        ) and include_tombstones:
+            # tombstones carry NULL payload columns: they are invisible to
+            # the residual filters and their membership in "the predicate"
             # is undefined — reject loudly rather than silently drop them
             raise ValueError(
-                "ts_prune cannot be combined with include_tombstones: "
-                "tombstones have no event time"
+                "ts_prune/eq_prune/token_prune cannot be combined with "
+                "include_tombstones: tombstones have no payload values"
             )
+        # content predicates: (column, field id for stats identity, value,
+        # kind). eq columns need only exist in the schema (files without an
+        # index stay candidates); the token column must be the DECLARED one
+        # — the index rode the writes, any other column has no stats.
+        schema_names = {f.name for f in want_fields}
+        content_preds: list[tuple[str, int | None, Any, str]] = []
+        for c, v in (eq_prune or {}).items():
+            if c not in schema_names:
+                raise ValueError(f"eq_prune: unknown column {c!r}")
+            if v is None:
+                raise ValueError(
+                    "eq_prune: NULL never equals a value — filter NULLs "
+                    "client-side"
+                )
+            content_preds.append((c, snap.column_ids.get(c), v, "eq"))
+        if token_prune is not None:
+            _, tok = self._content_spec(snap)
+            if tok is None:
+                raise ValueError(
+                    "token_prune: no token column declared "
+                    "(props['index.tokens'])"
+                )
+            if content_index.tokenize(token_prune) != [token_prune]:
+                raise ValueError(
+                    "token_prune: pass ONE lowercase alphanumeric token "
+                    f"(got {token_prune!r})"
+                )
+            content_preds.append((tok[0], tok[1], token_prune, "tok"))
         if columns is not None:
             missing = set(columns) - {f.name for f in want_fields}
             if missing:
                 raise ValueError(f"unknown columns: {sorted(missing)}")
             keep = set(columns) | set(snap.key_cols)
-            # the zone ts column must be READ (residual window filter) even
-            # when unrequested, but must not leak into the caller's schema
+            # predicate columns must be READ (residual filters) even when
+            # unrequested, but must not leak into the caller's schema
             if ts_col is not None:
                 keep.add(ts_col)
+            keep.update(c for c, _i, _v, _k in content_preds)
             want_fields = [f for f in want_fields if f.name in keep]
-        ts_unrequested = (
-            ts_col is not None
-            and columns is not None
-            and ts_col not in set(columns) | set(snap.key_cols)
+        requested = (
+            None if columns is None else set(columns) | set(snap.key_cols)
         )
+        aux_drop = (
+            set()
+            if requested is None
+            else ({ts_col} if ts_col is not None else set())
+            | {c for c, _i, _v, _k in content_preds}
+        ) - (requested or set())
         # key_prune accepts one value or several (e.g. the ANN lake
         # index's probed cells): a file survives if ANY value can lie in
         # its [key_min, key_max]
@@ -317,15 +369,14 @@ class LakeTable:
                 kept = self._ts_prune_entries(
                     kept, ts_prune, snap.column_ids.get(ts_col)
                 )
+            if content_preds:
+                kept = self._content_prune_entries(kept, content_preds)
             for e in kept:
                 entries.append(e)
                 has_delta = has_delta or e.get("kind") == "delta"
         df = self._read_files(snap, entries, fields=want_fields)
         if df is None:
-            out_fields = [
-                f for f in want_fields
-                if not (ts_unrequested and f.name == ts_col)
-            ]
+            out_fields = [f for f in want_fields if f.name not in aux_drop]
             fields = out_fields + (INTERNAL_FIELDS if include_internal else [])
             return self.spark.createDataFrame([], T.StructType(fields))
         if semi_keys is not None:
@@ -348,14 +399,30 @@ class LakeTable:
             # version left the window is excluded even when a stale
             # in-window version was read
             df = df.filter(F.col(ts_col).between(ts_prune[0], ts_prune[1]))
+        for c, _i, v, kind in content_preds:
+            # residual content filters — post-LWW for the same reason; the
+            # token split pattern is the complement of the index tokenizer
+            # (lake/content.py), so membership of a non-empty token agrees
+            if kind == "eq":
+                df = df.filter(F.col(c) == F.lit(v))
+            else:
+                df = df.filter(
+                    F.array_contains(
+                        F.split(
+                            F.lower(F.col(c)),
+                            content_index.TOKEN_SPLIT_SQL,
+                        ),
+                        v,
+                    )
+                )
         if not include_tombstones:
             df = df.filter(~F.col("_deleted"))
         if not include_internal:
             df = df.select(
-                *[f.name for f in want_fields if not (ts_unrequested and f.name == ts_col)]
+                *[f.name for f in want_fields if f.name not in aux_drop]
             )
-        elif ts_unrequested:
-            df = df.drop(ts_col)
+        elif aux_drop:
+            df = df.drop(*aux_drop)
         return df
 
     @staticmethod
@@ -388,6 +455,58 @@ class LakeTable:
             or e.get("ts_id") != ts_col_id
             or (e["ts_min"] <= hi and e["ts_max"] >= lo)
         ]
+        return LakeTable._lww_retain(entries, covering)
+
+    @staticmethod
+    def _content_prune_entries(
+        entries: list[dict[str, Any]],
+        preds: list[tuple[str, int | None, Any, str]],
+    ) -> list[dict[str, Any]]:
+        """LWW-sound content-index pruning of one bucket's manifest
+        entries: a file is a CANDIDATE unless some predicate's index
+        proves it holds no matching row (missing/over-cap/stale-identity
+        indexes prove nothing), then the shared floor-retention rule
+        keeps every potential winner (``_lww_retain``). Index identity is
+        by field id, like the ts zone map — stats recorded for a since-
+        renamed column stay live, stats for a dropped-and-readded name do
+        not prune."""
+
+        def maybe(e: dict[str, Any], cid: int | None, v: Any, kind: str) -> bool:
+            if cid is None:
+                return True
+            if kind == "eq":
+                vals = (e.get("sets") or {}).get(str(cid))
+                return vals is None or v in vals
+            tok = e.get("tok")
+            if tok is None or tok.get("id") != cid:
+                return True
+            return content_index.token_maybe(tok, v)
+
+        covering = [
+            e
+            for e in entries
+            if all(maybe(e, cid, v, kind) for _c, cid, v, kind in preds)
+        ]
+        return LakeTable._lww_retain(entries, covering)
+
+    @staticmethod
+    def _lww_retain(
+        entries: list[dict[str, Any]],
+        covering: list[dict[str, Any]],
+    ) -> list[dict[str, Any]]:
+        """The LWW floor-retention rule shared by every payload-statistic
+        prune (ts zone map, content indexes): given the CANDIDATE subset
+        — files the statistic cannot rule out, where a statless entry must
+        already count as a candidate — keep the candidates plus every
+        entry whose ``lsn_max >= min(lsn_min over candidates)``. Any key
+        with a version in a candidate file has its winner at an lsn >=
+        that version's lsn >= the floor, so the winner's file is always
+        retained; the caller's residual filter (post-LWW) excludes keys
+        whose winner fails the predicate. Sequential application of two
+        such rules stays sound: a wrong answer would need a retained stale
+        version passing every residual, whose file is then a candidate
+        under every rule, and each floor in turn retains the true
+        winner's file."""
         if not covering:
             return []
         floors = [e["lsn_min"] for e in covering if e.get("lsn_min") is not None]
@@ -396,17 +515,17 @@ class LakeTable:
         floor = min(floors)
         cover_ids = {id(e) for e in covering}
         cover_groups = {e.get("lww_group") for e in covering}
-        # When every covering entry came from ONE time-sliced compaction
-        # pass, a same-pass sibling outside the window can be pruned
+        # When every covering entry came from ONE compaction pass, a
+        # same-pass sibling outside the candidate set can be pruned
         # regardless of lsn: within a pass each key appears in exactly one
         # file (LWW fully resolved at compaction), so the sibling holds
-        # neither a better version of a covering key nor any in-window row
-        # (non-covering entries all have usable ts stats — statless ones
+        # neither a better version of a covering key nor any matching row
+        # (non-covering entries all have usable stats — statless ones
         # count as covering). Entries from other passes or later deltas
         # still pass through the lsn-floor rule; a late lower-lsn delta
-        # inside the window is itself covering with a different group,
-        # which disables the shortcut and retains the out-of-window
-        # winners that must beat it.
+        # that matches the predicate is itself covering with a different
+        # group, which disables the shortcut and retains the out-of-
+        # predicate winners that must beat it.
         g = (
             next(iter(cover_groups))
             if len(cover_groups) == 1 and None not in cover_groups
@@ -421,6 +540,39 @@ class LakeTable:
                 and (e.get("lsn_max") is None or e["lsn_max"] >= floor)
             )
         ]
+
+    def _content_spec(
+        self, snap: Snapshot
+    ) -> tuple[dict[str, int], tuple[str, int] | None]:
+        """The table's declared content indexes, resolved against the
+        snapshot: (set-indexed columns -> field id, token column). Columns
+        the schema lacks (not yet evolved in / dropped) or whose type is
+        not set-indexable (strings and integers only — values must survive
+        a JSON manifest round-trip and compare by equality) resolve to
+        nothing; a column id assigned only by the IN-FLIGHT commit is
+        absent here, so that commit's files carry no index for it — sound
+        (statless entries are always candidates), one commit late, same
+        contract as the ts zone column."""
+        by_name = {f.name: f for f in snap.schema.fields}
+        sets: dict[str, int] = {}
+        for c in snap.props.get("index.sets", []) or []:
+            f = by_name.get(c)
+            cid = snap.column_ids.get(c)
+            if (
+                f is not None
+                and cid is not None
+                and isinstance(
+                    f.dataType,
+                    (T.StringType, T.IntegerType, T.LongType, T.ShortType),
+                )
+            ):
+                sets[c] = cid
+        tok: tuple[str, int] | None = None
+        tc = snap.props.get("index.tokens")
+        if tc is not None and tc in by_name and snap.column_ids.get(tc) is not None:
+            if isinstance(by_name[tc].dataType, T.StringType):
+                tok = (tc, snap.column_ids[tc])
+        return sets, tok
 
     def _bucket_of(self, key_value: str, n_buckets: int) -> int:
         """The storage bucket one key value hashes into — evaluated through
@@ -821,6 +973,7 @@ class LakeTable:
         key_col: str | None = None,
         ts_col: str | None = None,
         ts_col_id: int | None = None,
+        content: tuple[dict[str, int], tuple[str, int] | None] | None = None,
     ) -> tuple[dict[str, list[dict[str, Any]]], list[dict[str, Any]]]:
         """Write rows partitioned by bucket; return (bucket -> file entries,
         per-bucket stats rows).
@@ -859,7 +1012,9 @@ class LakeTable:
             .mode("overwrite")
             .parquet(out)
         )
-        return self._collect_entries(out, commit_dir, key_col, ts_col, ts_col_id)
+        return self._collect_entries(
+            out, commit_dir, key_col, ts_col, ts_col_id, content
+        )
 
     def _collect_entries(
         self,
@@ -868,6 +1023,7 @@ class LakeTable:
         key_col: str | None = None,
         ts_col: str | None = None,
         ts_col_id: int | None = None,
+        content: tuple[dict[str, int], tuple[str, int] | None] | None = None,
     ) -> tuple[dict[str, list[dict[str, Any]]], list[dict[str, Any]]]:
         """Stats + manifest entries for the ``_bdir=`` dirs under ``out``
         (the second half of ``_write_data``, callable on its own so a
@@ -885,10 +1041,13 @@ class LakeTable:
             )
             for d in bdirs
         }
+        set_ids, tok = content if content is not None else ({}, None)
         stats = self._file_stats(
             [os.path.join(out, d, f) for d, fs in listing.items() for f in fs],
             key_col,
             ts_col,
+            set_cols=sorted(set_ids) or None,
+            tok_col=tok[0] if tok is not None else None,
         )
         files: dict[str, list[dict[str, Any]]] = {}
         bucket_stats: list[dict[str, Any]] = []
@@ -911,6 +1070,15 @@ class LakeTable:
                     e["ts_min"] = int(st["ts_min"])
                     e["ts_max"] = int(st["ts_max"])
                     e["ts_id"] = ts_col_id  # column identity of the stats
+                sets = {
+                    str(cid): st["set_" + c]
+                    for c, cid in set_ids.items()
+                    if st.get("set_" + c) is not None
+                }
+                if sets:
+                    e["sets"] = sets
+                if st.get("tok") is not None and tok is not None:
+                    e["tok"] = dict(st["tok"], id=tok[1])
                 rows_b += int(st["rows"])
                 entries.append(e)
             files[b] = entries
@@ -964,11 +1132,48 @@ class LakeTable:
             v = v.replace(tzinfo=timezone.utc)
         return int(v.timestamp() * 1_000_000)
 
+    @staticmethod
+    def _content_stats(
+        pf: Any,
+        set_cols: list[str] | None,
+        tok_col: str | None,
+    ) -> dict[str, Any]:
+        """Content-index stats for one open parquet file: per declared set
+        column its capped distinct-value list (or None), and the token
+        index of the declared token column (lake/content.py). Columns the
+        file predates (schema evolution) yield nothing — their entries
+        stay statless, i.e. always candidates."""
+        out: dict[str, Any] = {}
+        if not set_cols and tok_col is None:
+            return out
+        names = set(pf.schema_arrow.names)
+        want = [c for c in (set_cols or []) if c in names]
+        tc = tok_col if tok_col is not None and tok_col in names else None
+        if not want and tc is None:
+            return out
+        tbl = pf.read(columns=want + ([tc] if tc and tc not in want else []))
+        for c in want:
+            vals = set(tbl.column(c).to_pylist())
+            vals.discard(None)
+            if len(vals) <= content_index.SET_CAP:
+                out["set_" + c] = sorted(vals)
+        if tc is not None:
+            toks: set[str] = set()
+            for v in tbl.column(tc).to_pylist():
+                if v is not None:
+                    toks.update(content_index.tokenize(v))
+            idx = content_index.build_token_index(toks)
+            if idx is not None:
+                out["tok"] = idx
+        return out
+
     def _file_stats(
         self,
         paths: list[str],
         key_col: str | None = None,
         ts_col: str | None = None,
+        set_cols: list[str] | None = None,
+        tok_col: str | None = None,
     ) -> dict[str, dict]:
         """PER-FILE (rows, lsn/key/ts min-max) from parquet footers, keyed
         by path. ``<= STATS_DRIVER_THRESHOLD`` files: read on the driver
@@ -982,6 +1187,14 @@ class LakeTable:
         self-contained on purpose: workers don't have the package on
         their import path when the driver runs from a foreign cwd.
 
+        ``set_cols`` / ``tok_col`` (declared content indexes,
+        lake/content.py) are the one part footers cannot answer: each
+        file's declared columns are READ — columnar, only those columns —
+        to record the distinct-value set / token index in the manifest.
+        That cost is opt-in (table props), proportional to the indexed
+        columns' bytes, and rides the same driver-vs-distributed split as
+        the footer pass.
+
         I/O layer honesty: like the rest of this table's commit path
         (manifest listing, sidecars), the opener is plain-filesystem —
         executors must see the table root (local disk here, NFS/alluxio
@@ -993,7 +1206,8 @@ class LakeTable:
 
             out: dict[str, dict] = {}
             for p in paths:
-                md = pq.ParquetFile(p).metadata
+                pf = pq.ParquetFile(p)
+                md = pf.metadata
                 klo, khi = (
                     self._footer_minmax(md, key_col)
                     if key_col is not None
@@ -1013,14 +1227,76 @@ class LakeTable:
                     "key_max": khi,
                     "ts_min": self._ts_micros(tlo),
                     "ts_max": self._ts_micros(thi),
+                    **self._content_stats(pf, set_cols, tok_col),
                 }
             return out
 
         kc, tc = key_col, ts_col
+        scols, tkc = list(set_cols or []), tok_col
 
         def footers(it):
+            import base64
+            import hashlib
+            import re
+
             import pyarrow.parquet as pq
             from datetime import timezone
+
+            # inlined lake/content.py constants + builders: the closure
+            # must stay self-contained (workers may lack the package on
+            # their import path). Geometry changes must be mirrored there.
+            SET_CAP, TOKEN_EXACT_CAP, BLOOM_M, BLOOM_K, TOKEN_CAP = (
+                64, 256, 16384, 4, 4096,
+            )
+            tok_re = re.compile(r"[a-z0-9]+")
+
+            def token_idx(tokens):
+                if len(tokens) > TOKEN_CAP:
+                    return None
+                if len(tokens) <= TOKEN_EXACT_CAP:
+                    return {"s": sorted(tokens)}
+                bits = bytearray(BLOOM_M // 8)
+                for t in tokens:
+                    d = hashlib.md5(t.encode("utf-8")).digest()
+                    for i in range(BLOOM_K):
+                        p = (
+                            int.from_bytes(d[i * 4 : (i + 1) * 4], "big")
+                            % BLOOM_M
+                        )
+                        bits[p >> 3] |= 1 << (p & 7)
+                return {
+                    "m": BLOOM_M,
+                    "k": BLOOM_K,
+                    "b": base64.b64encode(bytes(bits)).decode(),
+                }
+
+            def cstats(pf):
+                out = {}
+                if not scols and tkc is None:
+                    return out
+                names = set(pf.schema_arrow.names)
+                want = [c for c in scols if c in names]
+                tc2 = tkc if tkc is not None and tkc in names else None
+                if not want and tc2 is None:
+                    return out
+                tbl = pf.read(
+                    columns=want
+                    + ([tc2] if tc2 and tc2 not in want else [])
+                )
+                for c in want:
+                    vals = set(tbl.column(c).to_pylist())
+                    vals.discard(None)
+                    if len(vals) <= SET_CAP:
+                        out["set_" + c] = sorted(vals)
+                if tc2 is not None:
+                    toks = set()
+                    for v in tbl.column(tc2).to_pylist():
+                        if v is not None:
+                            toks.update(tok_re.findall(v.lower()))
+                    idx = token_idx(toks)
+                    if idx is not None:
+                        out["tok"] = idx
+                return out
 
             def mm(md, col):
                 names = [
@@ -1048,11 +1324,12 @@ class LakeTable:
                 return int(v.timestamp() * 1_000_000)
 
             for p in it:
-                md = pq.ParquetFile(p).metadata
+                pf = pq.ParquetFile(p)
+                md = pf.metadata
                 lo, hi = mm(md, "_lsn")
                 klo, khi = mm(md, kc) if kc is not None else (None, None)
                 tlo, thi = mm(md, tc) if tc is not None else (None, None)
-                yield p, md.num_rows, lo, hi, klo, khi, us(tlo), us(thi)
+                yield p, md.num_rows, lo, hi, klo, khi, us(tlo), us(thi), cstats(pf)
 
         sc = self.spark.sparkContext
         n_slices = min(len(paths), sc.defaultParallelism * 4)
@@ -1065,8 +1342,9 @@ class LakeTable:
                 "key_max": khi,
                 "ts_min": tlo,
                 "ts_max": thi,
+                **cs,
             }
-            for p, rows, lo, hi, klo, khi, tlo, thi in (
+            for p, rows, lo, hi, klo, khi, tlo, thi, cs in (
                 sc.parallelize(paths, n_slices).mapPartitions(footers).collect()
             )
         }
@@ -1344,6 +1622,7 @@ class LakeTable:
             # a zone column added by THIS commit's evolution has no id yet
             # (assigned in _next_commit): skip its stats for one commit
             ts_col_id=snap.column_ids.get(zcol) if zcol else None,
+            content=self._content_spec(snap),
         )
         new_files = {b: [dict(e, kind="delta") for e in es] for b, es in raw.items()}
         total_rows = sum(b["rows_merged"] for b in bucket_lineage)
@@ -2168,6 +2447,7 @@ class LakeTable:
             key_col=snap.key_cols[0],
             ts_col=zcol,
             ts_col_id=snap.column_ids.get(zcol) if zcol else None,
+            content=self._content_spec(snap),
         )
         if want_k > 1 and want_kk > 1 and zcol is not None:
             # GRID: key bands (dense rank — one key never straddles bands)

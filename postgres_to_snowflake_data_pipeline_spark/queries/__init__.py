@@ -63,6 +63,15 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # over one table, pruning asserted on inputFiles inside the query;
     # oracle = the LWW state windowed/filtered declaratively
     "c09_grid_mixed_reads": (cdcq.c09_grid_mixed_reads, cdcq.C09_SQL),
+    # content-index pruned read end-to-end (round 4e): per-file value sets
+    # + token indexes in the manifests (lake/content.py), read with
+    # eq_prune + token_prune under the LWW floor-retention rule, pruning
+    # asserted on inputFiles inside the query; oracle = the LWW state
+    # filtered by the identical predicates
+    "c10_content_pruned_read": (
+        cdcq.c10_content_pruned_read,
+        cdcq.C10_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -72,7 +81,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "q04_data_summary": (reference.q04_data_summary, reference.Q04_SQL),
     "q06_left_join_counts": (reference.q06_left_join_counts, reference.Q06_SQL),
-    "q08_lww_current_state": (reference.q08_lww_current_state, reference.Q08_SQL),
     # rotated back in-gate for round 4 (driver-green in r2, absent from r3's
     # 50-slot window): CDC final state, CSV round-trip, given-cell IVF
     "q09_cdc_final_state": (reference.q09_cdc_final_state, reference.Q09_SQL),
@@ -193,6 +201,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # round 4d: q05 (~q12's cleanse stage, 3x driver-green), q16 (~q17/q23
     # time-rollup family, 3x green) and v01 (exact-ANN baseline of the
     # in-gate IVF family, 3x green) demoted to admit the NEW q21/q22/q23
+    # round 4e: q08 (3x driver-green; LWW-state twin of the in-gate q09,
+    # which was shadowed in r3 and must earn its rotation row) demoted to
+    # admit the NEW c10 content-pruned read
+    "q08_lww_current_state": (reference.q08_lww_current_state, reference.Q08_SQL),
     "q05_cleanse_projection": (
         reference.q05_cleanse_projection,
         reference.Q05_SQL,

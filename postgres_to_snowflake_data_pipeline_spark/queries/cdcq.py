@@ -738,3 +738,110 @@ UNION ALL
 SELECT 'key' AS probe, conv_id, turn_idx, role, text, ts
 FROM state WHERE conv_id IN ({_C06_IN})
 """
+
+
+# ---------------------------------------------------------------------------
+# c10 — content-index pruned read through the whole engine (round 4e): the
+# feed's tool column is a time-band label (lsn order tracks event time, so
+# each replay epoch's delta files carry a TIGHT per-file tool value set in
+# their manifests — lake/content.py), text tokens are indexed per file,
+# and the final read combines eq_prune (tool) with token_prune (text)
+# under the LWW floor-retention rule. The engine side ASSERTS the read
+# opened fewer files than the table holds, so a driver-green row
+# certifies the pruning AND the values; the oracle is the LWW state
+# filtered by the identical predicates, replayed declaratively.
+# ---------------------------------------------------------------------------
+
+
+def c10_content_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the feed (4 epochs, no compaction) into a table that
+    DECLARES content indexes (props: index.sets on tool/role, index.tokens
+    on text), then read ``tool = 't3' AND role = 'purchase' AND text has
+    token 'k'`` via read(eq_prune=..., token_prune=...).
+
+    The tool band is integer-µs arithmetic both engines replay
+    identically: band = (epoch_us(ts) - mn) * 4 // (mx - mn + 1). Band
+    t3 rows live only in the last epoch's files, so the value-set prune
+    (+ lsn floor) must skip the earlier epochs' deltas — asserted on
+    inputFiles. The role and token predicates prune no files at this
+    grain (every file holds every role, and 'k' is in every payload's
+    vocabulary) — they exist to prove three residual filters COMPOSE on
+    one read and that candidates under one index still pass the others'
+    maybe-tests."""
+    work = _work_dir("cdcc10", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = load(spark, sf_dir, "events")
+    mn, mx = ev.select(F.min(us), F.max(us)).first()
+    band = F.concat(
+        F.lit("t"),
+        F.expr(
+            f"CAST(((unix_micros(CAST(ts AS TIMESTAMP)) - {mn}) * 4) "
+            f"DIV ({mx} - {mn} + 1) AS STRING)"
+        ),
+    )
+    op = F.when(F.col("value") < DELETE_BELOW, "delete").otherwise(
+        F.when(F.col("event_id") % 2 == 0, "insert").otherwise("update")
+    )
+    is_del = op == "delete"
+    feed = ev.select(
+        F.col("event_id").alias("lsn"),
+        op.alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.expr(_TURN_CASE).cast("int").alias("turn_idx"),
+        F.when(~is_del, F.col("event_type")).alias("role"),
+        F.when(~is_del, F.col("props")).alias("text"),
+        F.when(~is_del, band).alias("tool"),
+        F.col("ts"),
+    )
+    feed.write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    table.update_props(
+        {"index.sets": ["tool", "role"], "index.tokens": "text"}
+    )
+    replay_feed(spark, table, feed_path, epochs=4)
+    pruned = table.read(
+        eq_prune={"tool": "t3", "role": "purchase"}, token_prune="k"
+    )
+    assert set(pruned.inputFiles()) < set(
+        table.read().inputFiles()
+    ), "content-index read not pruned"
+    return pruned.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+C10_SQL = f"""
+WITH b AS (
+  SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+),
+feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text,
+         concat('t', CAST((epoch_us(ts) - mn) * 4 // (mx - mn + 1) AS VARCHAR))
+           AS tool,
+         ts
+  FROM events, b
+),
+w AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text,
+         arg_max(tool, lsn) AS tool,
+         arg_max(ts, lsn) AS ts
+  FROM feed GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, role, text, tool, ts
+FROM w
+WHERE op <> 'delete' AND tool = 't3' AND role = 'purchase'
+  AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'k')
+"""
