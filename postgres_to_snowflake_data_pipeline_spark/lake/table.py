@@ -1097,6 +1097,14 @@ class LakeTable:
     #: distributed pushdown read-back (cf. Spark's
     #: spark.sql.sources.parallelPartitionDiscovery.threshold)
     STATS_DRIVER_THRESHOLD = 256
+    #: much lower cutoff when content indexes are declared: those stats
+    #: READ the indexed columns' data (decompress + tokenize + hash),
+    #: which is column-bytes-bound, not footer-GET-bound. At toy epoch
+    #: sizes the two paths are a wash (~0.3 s/commit of real column work
+    #: either way — measured, tools/bench_contentprune.py); at real epoch
+    #: sizes the serial driver loop would grow with column bytes while
+    #: one distributed job stays flat, so distribution starts early
+    CONTENT_DRIVER_THRESHOLD = 4
 
     @staticmethod
     def _footer_minmax(md, col: str) -> tuple[Any, Any]:
@@ -1143,6 +1151,8 @@ class LakeTable:
         index of the declared token column (lake/content.py). Columns the
         file predates (schema evolution) yield nothing — their entries
         stay statless, i.e. always candidates."""
+        import pyarrow.compute as pc
+
         out: dict[str, Any] = {}
         if not set_cols and tok_col is None:
             return out
@@ -1153,15 +1163,20 @@ class LakeTable:
             return out
         tbl = pf.read(columns=want + ([tc] if tc and tc not in want else []))
         for c in want:
-            vals = set(tbl.column(c).to_pylist())
+            vals = set(pc.unique(tbl.column(c)).to_pylist())
             vals.discard(None)
             if len(vals) <= content_index.SET_CAP:
                 out["set_" + c] = sorted(vals)
         if tc is not None:
-            toks: set[str] = set()
-            for v in tbl.column(tc).to_pylist():
-                if v is not None:
-                    toks.update(content_index.tokenize(v))
+            # vectorized tokenize: lower + split on non-alnum runs yields
+            # the same non-empty token set as content_index.tokenize
+            flat = pc.list_flatten(
+                pc.split_pattern_regex(
+                    pc.utf8_lower(pc.drop_null(tbl.column(tc))),
+                    content_index.TOKEN_SPLIT_SQL,
+                )
+            )
+            toks = {t for t in pc.unique(flat).to_pylist() if t}
             idx = content_index.build_token_index(toks)
             if idx is not None:
                 out["tok"] = idx
@@ -1201,7 +1216,12 @@ class LakeTable:
         alike). An object-store deployment swaps the closure's open for
         ``pyarrow.fs.FileSystem.from_uri`` — the SHAPE (parallelize
         paths, read footers, never rows) is the part that scales."""
-        if len(paths) <= self.STATS_DRIVER_THRESHOLD:
+        cutoff = (
+            self.STATS_DRIVER_THRESHOLD
+            if not set_cols and tok_col is None
+            else self.CONTENT_DRIVER_THRESHOLD
+        )
+        if len(paths) <= cutoff:
             import pyarrow.parquet as pq
 
             out: dict[str, dict] = {}
@@ -1237,8 +1257,8 @@ class LakeTable:
         def footers(it):
             import base64
             import hashlib
-            import re
 
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
             from datetime import timezone
 
@@ -1248,7 +1268,6 @@ class LakeTable:
             SET_CAP, TOKEN_EXACT_CAP, BLOOM_M, BLOOM_K, TOKEN_CAP = (
                 64, 256, 16384, 4, 4096,
             )
-            tok_re = re.compile(r"[a-z0-9]+")
 
             def token_idx(tokens):
                 if len(tokens) > TOKEN_CAP:
@@ -1284,15 +1303,18 @@ class LakeTable:
                     + ([tc2] if tc2 and tc2 not in want else [])
                 )
                 for c in want:
-                    vals = set(tbl.column(c).to_pylist())
+                    vals = set(pc.unique(tbl.column(c)).to_pylist())
                     vals.discard(None)
                     if len(vals) <= SET_CAP:
                         out["set_" + c] = sorted(vals)
                 if tc2 is not None:
-                    toks = set()
-                    for v in tbl.column(tc2).to_pylist():
-                        if v is not None:
-                            toks.update(tok_re.findall(v.lower()))
+                    flat = pc.list_flatten(
+                        pc.split_pattern_regex(
+                            pc.utf8_lower(pc.drop_null(tbl.column(tc2))),
+                            "[^a-z0-9]+",
+                        )
+                    )
+                    toks = {t for t in pc.unique(flat).to_pylist() if t}
                     idx = token_idx(toks)
                     if idx is not None:
                         out["tok"] = idx
