@@ -295,15 +295,35 @@ class LakeTable:
         # kind). eq columns need only exist in the schema (files without an
         # index stay candidates); the token column must be the DECLARED one
         # — the index rode the writes, any other column has no stats.
-        schema_names = {f.name for f in want_fields}
+        schema_by_name = {f.name: f for f in want_fields}
         content_preds: list[tuple[str, int | None, Any, str]] = []
         for c, v in (eq_prune or {}).items():
-            if c not in schema_names:
+            f = schema_by_name.get(c)
+            if f is None:
                 raise ValueError(f"eq_prune: unknown column {c!r}")
             if v is None:
                 raise ValueError(
                     "eq_prune: NULL never equals a value — filter NULLs "
                     "client-side"
+                )
+            # the index prune compares with PYTHON equality against the
+            # manifest's JSON values while the residual filter uses Spark
+            # coercion — a type-mismatched value ('5' vs int column) would
+            # silently rule out files the SQL predicate matches. Reject
+            # loudly instead of pruning wrong.
+            if isinstance(f.dataType, T.StringType):
+                type_ok = isinstance(v, str)
+            elif isinstance(
+                f.dataType, (T.IntegerType, T.LongType, T.ShortType)
+            ):
+                type_ok = isinstance(v, int) and not isinstance(v, bool)
+            else:
+                type_ok = True  # non-indexable column: residual-only
+            if not type_ok:
+                raise ValueError(
+                    f"eq_prune: column {c!r} is "
+                    f"{f.dataType.simpleString()} but the value is "
+                    f"{type(v).__name__} — pass the column's native type"
                 )
             content_preds.append((c, snap.column_ids.get(c), v, "eq"))
         if token_prune is not None:
@@ -540,6 +560,50 @@ class LakeTable:
                 and (e.get("lsn_max") is None or e["lsn_max"] >= floor)
             )
         ]
+
+    @staticmethod
+    def _validate_index_props(
+        props: dict[str, Any], schema: T.StructType
+    ) -> None:
+        """Reject malformed content-index declarations LOUDLY at commit
+        time. Shape errors always raise; a declared column that exists
+        with a non-indexable type raises too. A column the schema does
+        not (yet) have is allowed — declaring ahead of an evolution is
+        legitimate, and ``_content_spec`` activates it when the column
+        appears."""
+        by_name = {f.name: f for f in schema.fields}
+        sets = props.get("index.sets")
+        if sets is not None:
+            if not isinstance(sets, (list, tuple)) or not all(
+                isinstance(c, str) for c in sets
+            ):
+                raise ValueError(
+                    "index.sets must be a list of column names, got "
+                    f"{sets!r}"
+                )
+            for c in sets:
+                f = by_name.get(c)
+                if f is not None and not isinstance(
+                    f.dataType,
+                    (T.StringType, T.IntegerType, T.LongType, T.ShortType),
+                ):
+                    raise ValueError(
+                        f"index.sets: column {c!r} has non-indexable type "
+                        f"{f.dataType.simpleString()} (strings and "
+                        "integers only)"
+                    )
+        tok = props.get("index.tokens")
+        if tok is not None:
+            if not isinstance(tok, str):
+                raise ValueError(
+                    f"index.tokens must be ONE column name, got {tok!r}"
+                )
+            f = by_name.get(tok)
+            if f is not None and not isinstance(f.dataType, T.StringType):
+                raise ValueError(
+                    f"index.tokens: column {tok!r} has type "
+                    f"{f.dataType.simpleString()} (string required)"
+                )
 
     def _content_spec(
         self, snap: Snapshot
@@ -1501,6 +1565,14 @@ class LakeTable:
                     props.pop(pk, None)
                 else:
                     props[pk] = pv
+            if props_update and (
+                {"index.sets", "index.tokens"} & set(props_update)
+            ):
+                # validate at the one atomic choke point every props write
+                # funnels through — a malformed declaration would otherwise
+                # be SILENTLY skipped by _content_spec (no index ever
+                # built, every read a full scan, nothing reported)
+                self._validate_index_props(props, target_schema)
             snap = Snapshot(
                 snapshot_id=sid,
                 parent_id=parent.snapshot_id,

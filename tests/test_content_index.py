@@ -236,6 +236,34 @@ def test_token_prune_validates_input(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="no token column"):
         t2.read(token_prune="w")
+    # a type-mismatched value would silently prune files the SQL predicate
+    # matches (Python `'5' in [5]` is False, Spark coerces) — reject loudly
+    with pytest.raises(ValueError, match="native type"):
+        table.read(eq_prune={"turn_idx": "0"})
+    with pytest.raises(ValueError, match="native type"):
+        table.read(eq_prune={"tool": 5})
+
+
+def test_index_props_validated_at_commit(spark, tmp_path):
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA,
+        ("conv_id", "turn_idx"), n_buckets=2,
+    )
+    # a bare string would be iterated character-by-character and silently
+    # index nothing — every declaration error must raise at commit time
+    with pytest.raises(ValueError, match="list of column names"):
+        table.update_props({"index.sets": "tool"})
+    with pytest.raises(ValueError, match="non-indexable type"):
+        table.update_props({"index.sets": ["ts"]})
+    with pytest.raises(ValueError, match="ONE column name"):
+        table.update_props({"index.tokens": ["text"]})
+    with pytest.raises(ValueError, match="string required"):
+        table.update_props({"index.tokens": "turn_idx"})
+    # declaring a column the schema does not have YET is allowed (ahead of
+    # an evolution); it activates when the column appears
+    table.update_props({"index.sets": ["future_col"]})
+    # and clearing a declaration is always allowed
+    table.update_props({"index.sets": None})
 
 
 def test_bloom_index_on_mid_size_vocab(spark, tmp_path):
