@@ -256,10 +256,22 @@ class TableSpec:
     compact_every: int = 0
     compact_max_files: int = 0
     layout: dict[str, Any] | None = None
+    #: content indexes (lake/content.py), e.g. {"sets": ["tool"],
+    #: "tokens": "text"} — reconciled into the table's props on every
+    #: Pipeline construction (declarative: the spec owns the declaration,
+    #: the table's commit-time validation owns the type checks)
+    indexes: dict[str, Any] | None = None
 
     def __post_init__(self) -> None:
         if not self.key_cols:
             raise ValueError(f"table {self.name!r}: key_cols must be non-empty")
+        if self.indexes is not None:
+            bad = set(self.indexes) - {"sets", "tokens"}
+            if bad:
+                raise ValueError(
+                    f"table {self.name!r}: indexes accepts only "
+                    f"'sets'/'tokens', got {sorted(bad)}"
+                )
         if self.layout is not None:
             bad = set(self.layout) - set(_LAYOUT_KEYS)
             if bad or len(self.layout) != 1:
@@ -614,6 +626,7 @@ class PipelineSpec:
                     compact_every=t.get("compact_every", 0),
                     compact_max_files=t.get("compact_max_files", 0),
                     layout=t.get("layout"),
+                    indexes=t.get("indexes"),
                 )
                 for t in raw.get("tables", [])
             ),
@@ -742,8 +755,30 @@ class Pipeline:
                         n_buckets=t.n_buckets,
                     )
                 # else: created lazily from the first epoch's feed schema
+            if t.name in self.tables:
+                self._reconcile_indexes(self.tables[t.name], t)
 
     # -- helpers ------------------------------------------------------------
+    @staticmethod
+    def _reconcile_indexes(table: LakeTable, t: TableSpec) -> None:
+        """Fold the spec's declared content indexes into the table's props
+        — DECLARATIVELY: the spec is the source of truth, so a changed (or
+        removed) declaration updates the table, and an unchanged one is a
+        no-op (no commit — a restart loop must not grow the snapshot log).
+        Deep validation (shape, column types) happens at the table's own
+        commit choke point, same as every other props write."""
+        want = {
+            "index.sets": (t.indexes or {}).get("sets"),
+            "index.tokens": (t.indexes or {}).get("tokens"),
+        }
+        have = table.props
+        delta = {
+            k: v for k, v in want.items() if have.get(k) != v
+            and not (v is None and k not in have)
+        }
+        if delta:
+            table.update_props(delta)
+
     def _ensure_tables(
         self, feed: DataFrame, table_columns: dict[str, set[str]]
     ) -> None:
@@ -767,6 +802,7 @@ class Pipeline:
                 key_cols=t.key_cols,
                 n_buckets=t.n_buckets,
             )
+            self._reconcile_indexes(self.tables[t.name], t)
         # validate each spec-declared layout NOW (schema/axis/shape checks),
         # not inside the first cadence firing N committed epochs into the
         # run — same upfront probe as streaming/pipeline.run_stream: compact

@@ -489,3 +489,61 @@ def test_bad_spec_layout_fails_before_the_first_commit(spark, tmp_path):
         pipe.run_epoch(0, feeds={"wal": ev})
     # nothing committed: the failure preceded the first apply
     assert pipe.tables["ta"].current().commit_count == 0
+
+
+def test_spec_declared_content_indexes(spark, tmp_path):
+    """TableSpec.indexes (round 4e): the spec declares content indexes;
+    Pipeline reconciles them into table props (create AND load paths),
+    commit entries carry the per-file stats, a restart with an unchanged
+    spec commits NOTHING, and a changed/removed declaration updates the
+    table declaratively."""
+    ev = change_events(spark, 2000, n_convs=100).localCheckpoint()
+
+    def spec_with(indexes):
+        return PipelineSpec.from_dict({
+            "lake_root": str(tmp_path / "lake"),
+            "sources": [{"name": "wal", "kind": "dataframe"}],
+            "tables": [{"name": "ta", "key_cols": ["conv_id", "turn_idx"],
+                        "n_buckets": 4, **indexes}],
+        })
+
+    spec = spec_with({"indexes": {"sets": ["role"], "tokens": "text"}})
+    pipe = Pipeline(spark, spec)
+    pipe.run_epoch(0, feeds={"wal": ev.withColumn("_table", F.lit("ta"))})
+    table = pipe.tables["ta"]
+    assert table.props["index.sets"] == ["role"]
+    assert table.props["index.tokens"] == "text"
+    snap = table.current()
+    role_id = str(snap.column_ids["role"])
+    data_entries = [
+        e for fs in snap.files.values() for e in fs
+    ]
+    assert data_entries and all(
+        role_id in e.get("sets", {}) and "tok" in e for e in data_entries
+    )
+
+    # restart with the SAME spec: reconcile is a no-op, zero new commits
+    before = table.current().snapshot_id
+    pipe2 = Pipeline(spark, spec)
+    assert pipe2.tables["ta"].current().snapshot_id == before
+
+    # changed declaration: props follow the spec
+    pipe3 = Pipeline(
+        spark, spec_with({"indexes": {"sets": ["role", "tool"]}})
+    )
+    p = pipe3.tables["ta"].props
+    assert p["index.sets"] == ["role", "tool"]
+    assert "index.tokens" not in p
+
+    # removed declaration: props cleared
+    pipe4 = Pipeline(spark, spec_with({}))
+    p = pipe4.tables["ta"].props
+    assert "index.sets" not in p and "index.tokens" not in p
+
+    # shape validation at spec load; type validation at the table commit
+    with pytest.raises(ValueError, match="'sets'/'tokens'"):
+        spec_with({"indexes": {"columns": ["role"]}})
+    with pytest.raises(ValueError, match="string required"):
+        Pipeline(
+            spark, spec_with({"indexes": {"tokens": "turn_idx"}})
+        )
