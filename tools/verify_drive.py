@@ -112,6 +112,25 @@ def main() -> int:
         snap0 = table.read(snapshot_id=1)
         check("time travel to first commit returns rows", snap0.count() > 0)
 
+        # 5b. content indexes (round 4e): declare, write one epoch, read
+        # back through eq_prune + token_prune against naive filters
+        table.update_props({"index.sets": ["role"], "index.tokens": "text"})
+        tail = change_events(spark, 2_000, n_convs=800, evolved_from=0)
+        tail = tail.withColumn("lsn", F.col("lsn") + 10_000_000)
+        apply_batch(spark, table, tail, epoch=9)
+        cur = table.read().persist()
+        naive_eq = cur.where("role = 'assistant'").count()
+        got_eq = table.read(eq_prune={"role": "assistant"}).count()
+        check("eq_prune matches naive filter", got_eq == naive_eq,
+              f"({got_eq} rows)")
+        naive_tok = cur.where(
+            F.array_contains(F.split(F.lower("text"), "[^a-z0-9]+"), "turn")
+        ).count()
+        got_tok = table.read(token_prune="turn").count()
+        check("token_prune matches naive filter", got_tok == naive_tok,
+              f"({got_tok} rows)")
+        cur.unpersist()
+
         # 6. staged JDBC writeback round-trips and replaces atomically
         url = f"jdbc:derby:memory:verifydrive;create=true"
         props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
