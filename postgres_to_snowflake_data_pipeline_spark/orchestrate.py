@@ -767,8 +767,12 @@ class Pipeline:
         no-op (no commit — a restart loop must not grow the snapshot log).
         Deep validation (shape, column types) happens at the table's own
         commit choke point, same as every other props write."""
+        sets = (t.indexes or {}).get("sets")
         want = {
-            "index.sets": (t.indexes or {}).get("sets"),
+            # normalize to the JSON shape props round-trip through — a
+            # tuple-typed spec would otherwise never compare equal to the
+            # stored list and re-commit on every restart
+            "index.sets": list(sets) if sets is not None else None,
             "index.tokens": (t.indexes or {}).get("tokens"),
         }
         have = table.props
