@@ -34,8 +34,10 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
-    n_slices = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    argv = [a for a in sys.argv[1:] if a != "--content-index"]
+    content_index = len(argv) != len(sys.argv) - 1
+    n_events = int(argv[0]) if argv else 1_000_000
+    n_slices = int(argv[1]) if len(argv) > 1 else 16
 
     from pyspark.sql import functions as F
 
@@ -63,6 +65,14 @@ def main() -> None:
         spark, os.path.join(work, "t"), TRANSCRIPT_SCHEMA,
         key_cols=("conv_id", "turn_idx"), n_buckets=32,
     )
+    if content_index:
+        # --content-index: the soak pays the per-commit index build at
+        # volume (every commit's files carry value sets + token indexes;
+        # 32+ files/commit exercises the DISTRIBUTED content-stats path)
+        # and the final validation adds a pruned-vs-naive read check
+        table.update_props(
+            {"index.sets": ["role", "tool"], "index.tokens": "text"}
+        )
 
     # stream-side lineage listener rides the whole soak (source offsets
     # per micro-batch, reconciled against the feed at the end)
@@ -246,9 +256,25 @@ def main() -> None:
     want_view = view_agg(table.read())
     view_mismatch = diff_count(vr, want_view)
 
+    # --content-index: pruned reads must equal the naive filters on the
+    # final state (exercised across every commit's indexes: deltas,
+    # compacted bases, post-GC survivors)
+    content_mismatch = 0
+    if content_index:
+        content_mismatch += diff_count(
+            table.read(eq_prune={"role": "assistant"}),
+            state.where("role = 'assistant'"),
+        )
+        content_mismatch += diff_count(
+            table.read(token_prune="turn"),
+            state.where(F.array_contains(
+                F.split(F.lower("text"), "[^a-z0-9]+"), "turn")),
+        )
+
     ok = (drain_ok and mismatch == 0 and rows_in == feed_rows and meta_bounded
           and listener_mismatches == 0 and len(progress) > 0
-          and view_mismatch == 0 and reader_consistent)
+          and view_mismatch == 0 and reader_consistent
+          and content_mismatch == 0)
     print(json.dumps({
         "soak_events": n_events, "slices": n_slices, "killed_and_restarted": killed,
         "drain_ok": drain_ok,
@@ -267,6 +293,8 @@ def main() -> None:
         "reader_gc_races": reader_gc_races,
         "view_refreshes": view._table.current().snapshot_id if view._table else 0,
         "gc": gc, "snapshots_retained": len(table.snapshots()),
+        "content_index": content_index,
+        "content_mismatch_rows": content_mismatch,
         "ok": ok,
     }))
     shutil.rmtree(work, ignore_errors=True)
