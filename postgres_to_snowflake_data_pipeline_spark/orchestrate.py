@@ -776,10 +776,9 @@ class Pipeline:
             "index.tokens": (t.indexes or {}).get("tokens"),
         }
         have = table.props
-        delta = {
-            k: v for k, v in want.items() if have.get(k) != v
-            and not (v is None and k not in have)
-        }
+        # props never store None (update folds None = delete), so
+        # have.get(k) != v is exact: absent+None compares equal (no-op)
+        delta = {k: v for k, v in want.items() if have.get(k) != v}
         if delta:
             table.update_props(delta)
 

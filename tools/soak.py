@@ -34,8 +34,8 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
+    content_index = "--content-index" in sys.argv[1:]
     argv = [a for a in sys.argv[1:] if a != "--content-index"]
-    content_index = len(argv) != len(sys.argv) - 1
     n_events = int(argv[0]) if argv else 1_000_000
     n_slices = int(argv[1]) if len(argv) > 1 else 16
 
