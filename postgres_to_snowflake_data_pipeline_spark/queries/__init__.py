@@ -120,7 +120,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         textops.t16_stratified_sample,
         textops.T16_SQL,
     ),
-    "q20_cube_totals": (reference.q20_cube_totals, reference.Q20_SQL),
     # NEW round 4d — the rest of the grouping-set lattice surface plus the
     # long->wide and trend operators (reference.py docstrings cite the
     # reference semantics); new entries enter the gate window to earn a
@@ -159,6 +158,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # cells' hash buckets through the manifest. Same math as v08 — the
     # oracle SQL is shared verbatim
     "v09_ann_ivf_lake": (simops.v09_ann_ivf_lake, simops.V09_SQL),
+    # hybrid retrieval (round 4e): keyword + metadata filter BEFORE the
+    # vector distance — the relational predicate prunes ~98% of candidates
+    # ahead of the O(cands x queries) cosine stage; at scale the filter is
+    # the content-index/inverted-index path (read(token_prune/eq_prune))
+    "v11_hybrid_search": (simops.v11_hybrid_search, simops.V11_SQL),
     # multimodal binary plumbing (Arrow-batched decode, ALL codecs REAL)
     "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
     # audio feature extraction over REAL decoded PCM (round 4): exact
@@ -203,8 +207,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # in-gate IVF family, 3x green) demoted to admit the NEW q21/q22/q23
     # round 4e: q08 (3x driver-green; LWW-state twin of the in-gate q09,
     # which was shadowed in r3 and must earn its rotation row) demoted to
-    # admit the NEW c10 content-pruned read
+    # admit the NEW c10 content-pruned read; q20 (2x green; strict subset
+    # of the in-gate q21 grouping-set lattice) demoted to admit the NEW
+    # v11 hybrid search
     "q08_lww_current_state": (reference.q08_lww_current_state, reference.Q08_SQL),
+    "q20_cube_totals": (reference.q20_cube_totals, reference.Q20_SQL),
     "q05_cleanse_projection": (
         reference.q05_cleanse_projection,
         reference.Q05_SQL,

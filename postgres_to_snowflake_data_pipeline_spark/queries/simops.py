@@ -728,3 +728,78 @@ FROM (
 )
 WHERE rnk <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# v11 — hybrid retrieval: keyword + metadata filter BEFORE the vector
+# distance (the retrieval shape LLM corpora actually serve: "top-k similar
+# docs mentioning X in language Y"). Candidates are documents carrying
+# token 'dup' with lang='en', joined to their embeddings, scored by exact
+# cosine against the broadcast query set, top-5 per query.
+#
+# Scale design: the relational predicate prunes the candidate set ahead of
+# the O(candidates x queries) distance stage — at 100 TB the token/lang
+# filter is the content-index / inverted-index path (a lake-backed corpus
+# reads via LakeTable.read(token_prune=..., eq_prune=...), opening only
+# files whose indexes may match), and the surviving fraction (~2% here)
+# is what the v01-shaped broadcast crossJoin ever sees. The join to
+# embeddings is on the corpus key, co-partitioned under a shared bucket
+# layout in the lake (no shuffle of the vectors at scale).
+# ---------------------------------------------------------------------------
+HYBRID_TOKEN = "dup"
+HYBRID_LANG = "en"
+
+
+def v11_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    keep = docs.filter(
+        (F.col("lang") == HYBRID_LANG)
+        & F.array_contains(
+            F.split(F.lower(F.col("text")), "[^a-z0-9]+"), HYBRID_TOKEN
+        )
+    ).select(F.col("doc_id").alias("neighbor_id"))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+    )
+    cands = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .join(keep, emb["vec_id"] == keep["neighbor_id"])
+        .select("neighbor_id", F.col("embedding").alias("c_embedding"))
+    )
+    return _topk(cands.crossJoin(F.broadcast(queries)), k=5)
+
+
+V11_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+keep AS (
+  SELECT doc_id FROM documents
+  WHERE lang = '{HYBRID_LANG}'
+    AND list_contains(
+          string_split_regex(lower(text), '[^a-z0-9]+'), '{HYBRID_TOKEN}')
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce
+  FROM embeddings JOIN keep ON vec_id = doc_id
+  WHERE vec_id >= {N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+               6) AS cosine
+  FROM c, q
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rnk AS INTEGER) AS rnk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 5
+"""
