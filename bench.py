@@ -46,6 +46,7 @@ HEADLINE = [
     "v06_ann_ivf_kmeans",
     "v07_ann_ivf_persisted",
     "v09_ann_ivf_lake",
+    "v11_hybrid_search",
     "m01_multimodal_decode",
     "m02_frame_sample",
     "m04_audio_features",
