@@ -686,7 +686,8 @@ class PipelineSpec:
                  "n_buckets": t.n_buckets, "schema_ddl": t.schema_ddl,
                  "compact_every": t.compact_every,
                  "compact_max_files": t.compact_max_files,
-                 "layout": t.layout}
+                 "layout": t.layout,
+                 "indexes": t.indexes}
                 for t in self.tables
             ],
             "views": [

@@ -508,6 +508,11 @@ def test_spec_declared_content_indexes(spark, tmp_path):
         })
 
     spec = spec_with({"indexes": {"sets": ["role"], "tokens": "text"}})
+    # the declaration must survive the JSON round-trip — an omission in
+    # to_dict would make a reloaded spec silently DELETE the indexes via
+    # the declarative reconcile
+    rt = PipelineSpec.from_dict(json.loads(json.dumps(spec.to_dict())))
+    assert rt.tables[0].indexes == {"sets": ["role"], "tokens": "text"}
     pipe = Pipeline(spark, spec)
     pipe.run_epoch(0, feeds={"wal": ev.withColumn("_table", F.lit("ta"))})
     table = pipe.tables["ta"]

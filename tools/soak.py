@@ -265,10 +265,14 @@ def main() -> None:
             table.read(eq_prune={"role": "assistant"}),
             state.where("role = 'assistant'"),
         )
+        from postgres_to_snowflake_data_pipeline_spark.lake.content import (
+            TOKEN_SPLIT_SQL,
+        )
+
         content_mismatch += diff_count(
             table.read(token_prune="turn"),
             state.where(F.array_contains(
-                F.split(F.lower("text"), "[^a-z0-9]+"), "turn")),
+                F.split(F.lower("text"), TOKEN_SPLIT_SQL), "turn")),
         )
 
     ok = (drain_ok and mismatch == 0 and rows_in == feed_rows and meta_bounded

@@ -123,8 +123,12 @@ def main() -> int:
         got_eq = table.read(eq_prune={"role": "assistant"}).count()
         check("eq_prune matches naive filter", got_eq == naive_eq,
               f"({got_eq} rows)")
+        from postgres_to_snowflake_data_pipeline_spark.lake.content import (
+            TOKEN_SPLIT_SQL,
+        )
+
         naive_tok = cur.where(
-            F.array_contains(F.split(F.lower("text"), "[^a-z0-9]+"), "turn")
+            F.array_contains(F.split(F.lower("text"), TOKEN_SPLIT_SQL), "turn")
         ).count()
         got_tok = table.read(token_prune="turn").count()
         check("token_prune matches naive filter", got_tok == naive_tok,
