@@ -28,8 +28,10 @@ N_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
 
 # representative slice of the catalog: relational agg/join, LWW, exact +
 # near dedup, corpus curation + iterative clustering, ANN (train-per-call
-# and persisted-index lifecycles), Arrow-batched decode
+# and persisted-index lifecycles), Arrow-batched decode, partial-update
+# (TOAST-aware) merge
 HEADLINE = [
+    "c11_partial_update_state",
     "q01_pricing_summary",
     "q02_silver_report",
     "q08_lww_current_state",

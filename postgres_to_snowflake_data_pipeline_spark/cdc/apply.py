@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from postgres_to_snowflake_data_pipeline_spark.cdc.dedup import lww_dedup
+from postgres_to_snowflake_data_pipeline_spark.cdc.dedup import lww_dedup, lww_patch_dedup
 from postgres_to_snowflake_data_pipeline_spark.cdc.normalize import (
     evolve_schema,
     normalize_to_schema,
@@ -254,6 +254,37 @@ def _dedup_storage(
     (payload + _lsn/_deleted/_bucket, bucket-clustered)."""
     key_cols = tuple(snap0.key_cols)  # the table's, not the schema default:
     kcol0 = key_cols[0]               # key columns can be RENAMED mid-stream
+    patch = LakeTable._patch_spec(snap0)
+    if patch is not None:
+        # partial-update table: same fused single-shuffle shape, with the
+        # patch-aware reduction (cdc/dedup.py::lww_patch_dedup) and the
+        # per-column LSN + delete-LSN internals appended to storage
+        pcols, sentinel = patch
+        pcols = tuple(c for c in pcols if c in events.columns)
+        if salt_buckets and salt_buckets > 1:
+            winners = lww_patch_dedup(
+                events, key_cols, pcols, sentinel, salt_buckets=salt_buckets
+            )
+            winners = winners.withColumn(
+                "_bucket", bucket_expr(kcol0, snap0.n_buckets)
+            )
+            winners = winners.repartition(snap0.n_buckets, F.col("_bucket"))
+        else:
+            bucketed = events.withColumn(
+                "_bucket", bucket_expr(kcol0, snap0.n_buckets)
+            )
+            bucketed = bucketed.repartition(snap0.n_buckets, F.col("_bucket"))
+            winners = lww_patch_dedup(
+                bucketed, ("_bucket",) + key_cols, pcols, sentinel
+            )
+        return winners.select(
+            *[f.name for f in table_schema.fields],
+            F.col(ORDER_COL).alias("_lsn"),
+            (F.col("op") == "delete").alias("_deleted"),
+            F.col("_bucket"),
+            *[F.col(f"_plsn_{c}") for c in pcols],
+            F.col("_dlsn"),
+        )
     if salt_buckets and salt_buckets > 1:
         winners = lww_dedup(events, key_cols, salt_buckets=salt_buckets)
         winners = winners.withColumn("_bucket", bucket_expr(kcol0, snap0.n_buckets))
@@ -590,6 +621,19 @@ def reprocess_quarantined(
     Cross-writer races degrade to ``skipped`` exactly like
     ``apply_batch``: whichever racer folds the reprocess key wins; the
     loser cleans up and reports the batch applied."""
+    if LakeTable._patch_spec(table.current()) is not None:
+        # a quarantined storage row collapses a multi-event patch history
+        # (per-column set-LSNs) that the event view cannot faithfully
+        # re-emit as single rows under original LSNs — re-admission would
+        # silently re-stamp carried-forward values at the winner's LSN.
+        # Reject loudly; repair patch tables by re-applying a corrected
+        # FEED slice instead.
+        raise ValueError(
+            "reprocess_quarantined is not supported on partial-update "
+            "tables (patch.columns declared): the event view cannot "
+            "preserve per-column set-LSNs — re-apply a corrected feed "
+            "slice for the rejected epoch instead"
+        )
     # origin identity from the LATEST reject commit for this name (the
     # snapshot walk is oldest-first)
     origin_epoch = None
@@ -771,10 +815,22 @@ def bootstrap_snapshot(
     rows = normalize_to_schema(rows, table_schema)
     obs = Observation(f"bootstrap-{lsn_floor}")
     rows = rows.observe(obs, F.count(F.lit(1)).alias("rows_in"))
+    extra: list[F.Column] = []
+    patch = LakeTable._patch_spec(table.current())
+    if patch is not None:
+        # a bootstrap row's value was by definition set at the snapshot
+        # position (same rule _read_files applies to pre-declaration files)
+        extra = [
+            F.when(
+                F.col(c).isNotNull(), F.lit(lsn_floor).cast("long")
+            ).alias(f"_plsn_{c}")
+            for c in patch[0]
+        ] + [F.lit(None).cast("long").alias("_dlsn")]
     storage = rows.select(
         *[f.name for f in table_schema.fields],
         F.lit(lsn_floor).cast("long").alias("_lsn"),
         F.lit(False).alias("_deleted"),
+        *extra,
     )
 
     def _metrics(rows_merged: int) -> dict:

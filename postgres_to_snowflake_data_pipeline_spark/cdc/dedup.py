@@ -79,3 +79,89 @@ def lww_dedup(
         deduped = events.groupBy(*key_cols).agg(winner)
 
     return deduped.select(*key_cols, "_w.*").drop("_del_rank").select(*events.columns)
+
+
+def lww_patch_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...],
+    patch_columns: tuple[str, ...],
+    patch_sentinel: str,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Partial-update (TOAST-aware) within-batch reduction — the feed-side
+    half of the lake's patch merge engine (lake/table.py::_resolve_patch).
+
+    Postgres logical decoding omits unchanged TOASTed values from UPDATE
+    row images; the feed marks them with the table's in-band sentinel
+    string. This reduction collapses a batch to one storage row per key:
+
+    - whole-row winner (max (lsn, delete-rank) struct) decides existence,
+      op and every NON-patch column — identical to :func:`lww_dedup`;
+    - each patch column keeps its latest in-batch SET value (sentinel and
+      delete rows skipped) together with the LSN that set it
+      (``_plsn_{col}``, NULL = this batch never set it);
+    - ``_dlsn`` records the batch's max delete LSN, so a later read can
+      tell "carried forward" from "destroyed by the folded-in delete".
+
+    Values are stored RAW (no in-batch kill): read-time resolution compares
+    ``_plsn_{col}`` against the max ``_dlsn`` across ALL storage rows, and
+    applying the kill early would break that associativity. Output columns:
+    the input's, plus the per-column LSNs and ``_dlsn`` appended.
+
+    Still one Tungsten hash aggregate with map-side partials (every added
+    aggregate is a NULL-skipping declarative ``max``); the optional salted
+    two-stage mirrors :func:`lww_dedup` (all aggregates are associative,
+    so stage 2 just maxes the stage-1 partials)."""
+    non_patch = [
+        c
+        for c in events.columns
+        if c not in key_cols and c != ORDER_COL and c not in patch_columns
+    ]
+    base = F.struct(
+        F.col(ORDER_COL),
+        (F.col("op") == "delete").cast("int").alias("_del_rank"),
+        *[F.col(c) for c in non_patch],
+    )
+    aggs = [
+        F.max(base).alias("_w"),
+        F.max(F.when(F.col("op") == "delete", F.col(ORDER_COL))).alias("_dlsn"),
+    ]
+    for c in patch_columns:
+        set_cond = (
+            (F.col("op") != "delete")
+            & F.col(c).isNotNull()
+            & (F.col(c) != F.lit(patch_sentinel))
+        )
+        aggs.append(
+            F.max(
+                F.when(
+                    set_cond,
+                    F.struct(F.col(ORDER_COL).alias("p"), F.col(c).alias("v")),
+                )
+            ).alias(f"_s_{c}")
+        )
+    if salt_buckets and salt_buckets > 1:
+        salt = F.pmod(F.xxhash64(F.col(ORDER_COL)), F.lit(salt_buckets)).alias(
+            "_salt"
+        )
+        partial = events.groupBy(*key_cols, salt).agg(*aggs)
+        grouped = partial.groupBy(*key_cols).agg(
+            F.max("_w").alias("_w"),
+            F.max("_dlsn").alias("_dlsn"),
+            *[F.max(f"_s_{c}").alias(f"_s_{c}") for c in patch_columns],
+        )
+    else:
+        grouped = events.groupBy(*key_cols).agg(*aggs)
+    out = []
+    for name in events.columns:
+        if name in key_cols:
+            out.append(F.col(name))
+        elif name in patch_columns:
+            out.append(F.col(f"_s_{name}.v").alias(name))
+        elif name == ORDER_COL:
+            out.append(F.col(f"_w.{ORDER_COL}").alias(ORDER_COL))
+        else:
+            out.append(F.col(f"_w.{name}").alias(name))
+    out += [F.col(f"_s_{c}.p").alias(f"_plsn_{c}") for c in patch_columns]
+    out.append(F.col("_dlsn"))
+    return grouped.select(*out)

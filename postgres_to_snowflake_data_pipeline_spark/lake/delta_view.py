@@ -114,6 +114,17 @@ class DeltaAggView:
             )
         if N_ROWS in measures or N_ROWS in group_cols:
             raise ValueError(f"column name {N_ROWS!r} is reserved")
+        if LakeTable._patch_spec(source.current()) is not None:
+            # the retraction math unions event-shaped deltas with pre-images
+            # and resolves whole-row LWW — on a partial-update table a patch
+            # delta's unset columns would wrongly beat the pre-image values.
+            # IncrementalAggView recomputes dirty groups from the (patch-
+            # resolved) table and stays exact there.
+            raise ValueError(
+                "DeltaAggView is not supported on partial-update tables "
+                "(patch.columns declared) — use IncrementalAggView, whose "
+                "dirty-group recompute reads the patch-resolved state"
+            )
         self.spark = spark
         self.root = root
         self.source = source

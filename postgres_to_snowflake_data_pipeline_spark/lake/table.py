@@ -69,6 +69,84 @@ INTERNAL_FIELDS = [
 ]
 INTERNAL_COLS = [f.name for f in INTERNAL_FIELDS]
 
+#: partial-update (patch) merge engine — the default in-band marker an
+#: UPDATE event carries in a declared patch column to mean "unchanged":
+#: Postgres logical decoding omits un-modified TOASTed values from the WAL
+#: row image (Debezium surfaces them as a configured placeholder string),
+#: so a CDC feed over wide transcript text MUST be able to say "keep
+#: whatever this column already is" without re-shipping the value.
+PATCH_SENTINEL_DEFAULT = "__unchanged__"
+
+
+def _plsn(col: str) -> str:
+    """Storage column holding the LSN at which a patch column was last SET
+    (NULL = no folded-in event ever set it)."""
+    return f"_plsn_{col}"
+
+
+def _resolve_patch(
+    df: DataFrame, key_cols: list[str], patch_cols: list[str]
+) -> DataFrame:
+    """Per-COLUMN last-writer-wins for partial-update tables (the
+    merge-on-read analog of Apache Paimon's *partial-update* merge engine,
+    public docs — not a code port). Storage rows carry, besides
+    ``_lsn``/``_deleted``, a per-patch-column set-LSN (``_plsn_{c}``) and
+    the max folded-in delete LSN (``_dlsn``); that makes the resolution
+    ASSOCIATIVE, so the same aggregate serves batch dedup output, read-time
+    merge over any number of deltas, and compaction:
+
+    - row existence + non-patch columns: the whole-row winner, exactly as
+      ``resolve_lww`` (max over the (_lsn, _dr, payload...) struct);
+    - each patch column: the value with the greatest ``_plsn_{c}`` —
+      KILLED to NULL when that LSN does not exceed ``max(_dlsn)`` (a later
+      delete destroyed it; a patch that re-creates the key must not
+      resurrect pre-delete column values).
+
+    One Tungsten hash aggregate: every per-column winner is a declarative
+    ``max`` over a (plsn, value) struct, NULL-skipping, so the whole
+    resolution is a single groupBy with map-side partials — same shuffle
+    shape and skew behavior as the plain LWW path."""
+    special = (
+        set(patch_cols) | {_plsn(c) for c in patch_cols} | {"_dlsn", "_lsn"}
+    )
+    other = [c for c in df.columns if c not in key_cols and c not in special]
+    prefixed = F.struct(
+        F.col("_lsn"),
+        F.col("_deleted").cast("int").alias("_dr"),
+        *[F.col(c) for c in other],
+    )
+    aggs = [F.max(prefixed).alias("_w"), F.max("_dlsn").alias("_D")]
+    for c in patch_cols:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col(_plsn(c)).isNotNull(),
+                    F.struct(F.col(_plsn(c)).alias("p"), F.col(c).alias("v")),
+                )
+            ).alias(f"_s_{c}")
+        )
+    g = df.groupBy(*key_cols).agg(*aggs)
+    out: list[F.Column] = []
+    for name in df.columns:  # preserve the input column order exactly
+        if name in key_cols:
+            out.append(F.col(name))
+        elif name in patch_cols:
+            live = F.col(f"_s_{name}").isNotNull() & (
+                F.col("_D").isNull() | (F.col(f"_s_{name}.p") > F.col("_D"))
+            )
+            out.append(F.when(live, F.col(f"_s_{name}.v")).alias(name))
+        elif name.startswith("_plsn_") and name[6:] in patch_cols:
+            c = name[6:]
+            live = F.col(f"_s_{c}").isNotNull() & (
+                F.col("_D").isNull() | (F.col(f"_s_{c}.p") > F.col("_D"))
+            )
+            out.append(F.when(live, F.col(f"_s_{c}.p")).alias(name))
+        elif name == "_dlsn":
+            out.append(F.col("_D").alias("_dlsn"))
+        else:
+            out.append(F.col(f"_w.{name}").alias(name))
+    return g.select(*out)
+
 
 def bucket_expr(col: str | F.Column, n_buckets: int) -> F.Column:
     """Deterministic bucket assignment — pure function of the key value, so
@@ -83,7 +161,15 @@ def resolve_lww(df: DataFrame, key_cols: list[str]) -> DataFrame:
     aggregate (max_by would plan as ObjectHashAggregate and hit its 128-key
     sort-based fallback on these near-unique keys; see cdc/dedup.py). The
     (_lsn, _dr) prefix decides; trailing fields only tie-break identical
-    duplicate rows."""
+    duplicate rows.
+
+    Self-detecting patch mode: a frame carrying ``_dlsn`` (partial-update
+    tables — see ``_resolve_patch``) routes to per-column LWW, so EVERY
+    resolution site (read, read_staged, compaction, view pre/post images)
+    honors patch semantics without per-caller plumbing."""
+    if "_dlsn" in df.columns:
+        patch_cols = [c[6:] for c in df.columns if c.startswith("_plsn_")]
+        return _resolve_patch(df, key_cols, patch_cols)
     other = [c for c in df.columns if c not in key_cols and c != "_lsn"]
     prefixed = F.struct(
         F.col("_lsn"),
@@ -116,6 +202,7 @@ class LakeTable:
         schema: T.StructType,
         key_cols: tuple[str, ...],
         n_buckets: int = 16,
+        props: dict[str, Any] | None = None,
     ) -> "LakeTable":
         t = cls(spark, root)
         if t.log.exists():
@@ -123,6 +210,17 @@ class LakeTable:
         # same orderability contract as schema evolution: a MapType payload
         # column would poison the LWW comparator at first merge/read
         assert_orderable_schema(schema)
+        if props:
+            # same checks the props_update choke point applies — a table
+            # born with a bad declaration must fail at create, not at the
+            # first read
+            cls._validate_index_props(props, schema)
+            bad_keys = set(props.get("patch.columns") or []) & set(key_cols)
+            if bad_keys:
+                raise ValueError(
+                    f"patch.columns cannot include key columns "
+                    f"{sorted(bad_keys)}"
+                )
         os.makedirs(root, exist_ok=True)
         snap = Snapshot(
             snapshot_id=0,
@@ -134,6 +232,7 @@ class LakeTable:
             summary={"operation": "create", "committed_at_unix": time.time()},
             column_ids={f.name: i + 1 for i, f in enumerate(schema.fields)},
             next_column_id=len(schema.fields) + 1,
+            props=dict(props or {}),
         )
         snap._files = {}
         try:
@@ -203,20 +302,44 @@ class LakeTable:
             read_fields.append(T.StructField(fld.name, fld.dataType, True))
             for old in priors[fld.name]:
                 read_fields.append(T.StructField(old, fld.dataType, True))
-        for fld in INTERNAL_FIELDS:
+        internal = self._internal_fields_for(snap, [f.name for f in want])
+        for fld in internal:
             read_fields.append(T.StructField(fld.name, fld.dataType, True))
         df = self.spark.read.schema(T.StructType(read_fields)).parquet(*paths)
         cols: list[F.Column] = []
+        value_of: dict[str, F.Column] = {}
         for fld in want:
             if priors[fld.name]:
+                expr = F.coalesce(
+                    F.col(fld.name), *[F.col(o) for o in priors[fld.name]]
+                )
+            else:
+                expr = F.col(fld.name)
+            value_of[fld.name] = expr
+            cols.append(expr.alias(fld.name))
+        for fld in internal:
+            # files written BEFORE a patch.columns declaration carry no
+            # per-column LSNs: each full row's value was by construction
+            # set at that row's own _lsn (and a tombstone row IS a delete
+            # at its _lsn), so coalescing reconstructs the exact patch
+            # state and late declaration on a populated table stays sound
+            if fld.name.startswith("_plsn_"):
+                base = value_of.get(fld.name[6:], F.col(fld.name[6:]))
                 cols.append(
                     F.coalesce(
-                        F.col(fld.name), *[F.col(o) for o in priors[fld.name]]
+                        F.col(fld.name),
+                        F.when(base.isNotNull(), F.col("_lsn")),
                     ).alias(fld.name)
+                )
+            elif fld.name == "_dlsn":
+                cols.append(
+                    F.coalesce(
+                        F.col("_dlsn"),
+                        F.when(F.col("_deleted"), F.col("_lsn")),
+                    ).alias("_dlsn")
                 )
             else:
                 cols.append(F.col(fld.name))
-        cols.extend(F.col(c) for c in INTERNAL_COLS)
         return df.select(*cols)
 
     def _resolve_lww(self, df: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -277,6 +400,22 @@ class LakeTable:
         Bloom false positives) are candidates — extra opens, never wrong
         rows."""
         snap = self.current() if snapshot_id is None else self.log.load(snapshot_id)
+        if self._patch_spec(snap) is not None and (
+            ts_prune is not None or eq_prune or token_prune is not None
+        ):
+            # the lsn-floor retention rule is sound for WHOLE-ROW LWW only
+            # (skipped files hold provably-losing versions). On a partial-
+            # update table an old file can hold the CURRENT value of a
+            # patch column for a key whose newer rows are retained — any
+            # payload-stat skip can drop it. Reject loudly; key-scoped
+            # pruning (key_prune/semi_keys/buckets) keeps every row of a
+            # retained key and stays available.
+            raise ValueError(
+                "ts_prune/eq_prune/token_prune are unsound on partial-"
+                "update tables (patch.columns declared): per-column "
+                "resolution needs every storage row of a key, not just "
+                "the lsn-floor-retained set"
+            )
         want_fields = list(snap.schema.fields)
         ts_col = self._zone_ts_col(snap.schema) if ts_prune is not None else None
         if ts_prune is not None and ts_col is None:
@@ -397,7 +536,11 @@ class LakeTable:
         df = self._read_files(snap, entries, fields=want_fields)
         if df is None:
             out_fields = [f for f in want_fields if f.name not in aux_drop]
-            fields = out_fields + (INTERNAL_FIELDS if include_internal else [])
+            fields = out_fields + (
+                self._internal_fields_for(snap, [f.name for f in out_fields])
+                if include_internal
+                else []
+            )
             return self.spark.createDataFrame([], T.StructType(fields))
         if semi_keys is not None:
             # point/dirty-set reads: restrict BEFORE the LWW aggregation so
@@ -592,6 +735,29 @@ class LakeTable:
                         f"{f.dataType.simpleString()} (strings and "
                         "integers only)"
                     )
+        patch = props.get("patch.columns")
+        if patch is not None:
+            if not isinstance(patch, (list, tuple)) or not all(
+                isinstance(c, str) for c in patch
+            ):
+                raise ValueError(
+                    "patch.columns must be a list of column names, got "
+                    f"{patch!r}"
+                )
+            for c in patch:
+                f = by_name.get(c)
+                if f is not None and not isinstance(f.dataType, T.StringType):
+                    raise ValueError(
+                        f"patch.columns: column {c!r} has type "
+                        f"{f.dataType.simpleString()} — partial-update "
+                        "columns are string-typed (the TOAST'd-text shape; "
+                        "the in-band sentinel is a string)"
+                    )
+        sent = props.get("patch.sentinel")
+        if sent is not None and (not isinstance(sent, str) or not sent):
+            raise ValueError(
+                f"patch.sentinel must be a non-empty string, got {sent!r}"
+            )
         tok = props.get("index.tokens")
         if tok is not None:
             if not isinstance(tok, str):
@@ -637,6 +803,44 @@ class LakeTable:
             if isinstance(by_name[tc].dataType, T.StringType):
                 tok = (tc, snap.column_ids[tc])
         return sets, tok
+
+    @staticmethod
+    def _patch_spec(snap: Snapshot) -> tuple[tuple[str, ...], str] | None:
+        """The table's declared partial-update columns, resolved against
+        the snapshot: ``(patch columns, sentinel)`` or None. Declared via
+        props (``patch.columns``: list of string-typed payload column
+        names; ``patch.sentinel``: the in-band "unchanged" marker,
+        default ``PATCH_SENTINEL_DEFAULT``) — props fold forward, so the
+        engine's merge/read/compact paths all see the same contract.
+        Columns the schema lacks (declared ahead of an evolution, or
+        since dropped) resolve to nothing — their storage columns are
+        simply absent/ignored, same contract as the content indexes."""
+        cols = snap.props.get("patch.columns")
+        if not cols:
+            return None
+        by_name = {f.name for f in snap.schema.fields}
+        active = tuple(c for c in cols if c in by_name)
+        if not active:
+            return None
+        sentinel = snap.props.get("patch.sentinel", PATCH_SENTINEL_DEFAULT)
+        return active, sentinel
+
+    def _internal_fields_for(
+        self, snap: Snapshot, want_names: list[str] | None = None
+    ) -> list[T.StructField]:
+        """INTERNAL_FIELDS plus, on partial-update tables, the per-column
+        set-LSNs for the requested patch columns and the folded delete
+        LSN. ``want_names=None`` means the full schema (all patch columns
+        ride)."""
+        fields = list(INTERNAL_FIELDS)
+        spec = self._patch_spec(snap)
+        if spec is not None:
+            cols, _sent = spec
+            for c in cols:
+                if want_names is None or c in want_names:
+                    fields.append(T.StructField(_plsn(c), T.LongType(), True))
+            fields.append(T.StructField("_dlsn", T.LongType(), True))
+        return fields
 
     def _bucket_of(self, key_value: str, n_buckets: int) -> int:
         """The storage bucket one key value hashes into — evaluated through
@@ -842,6 +1046,16 @@ class LakeTable:
                 )
             if new.lower() in {c.lower() for c in INTERNAL_COLS} or new.startswith("_"):
                 raise ValueError(f"invalid column name {new!r}")
+            if old in (parent.props.get("patch.columns") or []):
+                # storage files carry the per-column set-LSN under
+                # _plsn_{old}; a rename would silently deactivate the
+                # partial-update semantics (the declaration names the old
+                # column). Re-declare via update_props first if a rename
+                # is truly wanted.
+                raise ValueError(
+                    f"cannot rename declared patch column {old!r} "
+                    "(patch.columns); update the declaration first"
+                )
             fields = [
                 T.StructField(new, f.dataType, f.nullable) if f.name == old else f
                 for f in parent.schema.fields
@@ -1003,11 +1217,57 @@ class LakeTable:
                 T.StructField("op", T.StringType(), False),
             ] + list(snap.schema.fields)
             return self.spark.createDataFrame([], T.StructType(fields))
-        return df.select(
+        spec = self._patch_spec(snap)
+        if spec is None:
+            return df.select(
+                F.col("_lsn").alias("lsn"),
+                F.when(F.col("_deleted"), "delete").otherwise("upsert").alias(
+                    "op"
+                ),
+                *[f.name for f in snap.schema.fields],
+            )
+        # Partial-update tables emit a PATCH feed (documented contract):
+        # an upsert's patch column is the sentinel when this delta never
+        # set it (or a folded-in delete killed it), and a storage row that
+        # folded a delete UNDER a surviving upsert additionally emits the
+        # delete at its own LSN — so replaying the window reconverges a
+        # downstream patch consumer exactly (the collapsed row alone
+        # cannot say "this column was destroyed, not carried").
+        cols, sentinel = spec
+        payload = []
+        for f in snap.schema.fields:
+            if f.name in cols:
+                dead = F.col(_plsn(f.name)).isNull() | (
+                    F.col("_dlsn").isNotNull()
+                    & (F.col(_plsn(f.name)) <= F.col("_dlsn"))
+                )
+                payload.append(
+                    F.when(F.col("_deleted"), F.lit(None).cast(f.dataType))
+                    .when(dead, F.lit(sentinel))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                payload.append(F.col(f.name))
+        rows = df.select(
             F.col("_lsn").alias("lsn"),
             F.when(F.col("_deleted"), "delete").otherwise("upsert").alias("op"),
-            *[f.name for f in snap.schema.fields],
+            *payload,
+            F.when(
+                ~F.col("_deleted"), F.col("_dlsn")
+            ).alias("_pre_delete_lsn"),
         )
+        pre_deletes = rows.filter(F.col("_pre_delete_lsn").isNotNull()).select(
+            F.col("_pre_delete_lsn").alias("lsn"),
+            F.lit("delete").alias("op"),
+            *[
+                F.col(f.name)
+                if f.name in snap.key_cols
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in snap.schema.fields
+            ],
+        )
+        return rows.drop("_pre_delete_lsn").unionByName(pre_deletes)
 
     # ------------------------------------------------------------------
     # write path
@@ -1566,13 +1826,22 @@ class LakeTable:
                 else:
                     props[pk] = pv
             if props_update and (
-                {"index.sets", "index.tokens"} & set(props_update)
+                {"index.sets", "index.tokens", "patch.columns",
+                 "patch.sentinel"} & set(props_update)
             ):
                 # validate at the one atomic choke point every props write
                 # funnels through — a malformed declaration would otherwise
                 # be SILENTLY skipped by _content_spec (no index ever
                 # built, every read a full scan, nothing reported)
                 self._validate_index_props(props, target_schema)
+                bad_keys = set(props.get("patch.columns") or []) & set(
+                    parent.key_cols
+                )
+                if bad_keys:
+                    raise ValueError(
+                        f"patch.columns cannot include key columns "
+                        f"{sorted(bad_keys)}"
+                    )
             snap = Snapshot(
                 snapshot_id=sid,
                 parent_id=parent.snapshot_id,
@@ -1692,7 +1961,9 @@ class LakeTable:
         snap = self.current()
         target_schema = schema or snap.schema
         kcol = snap.key_cols[0]
-        ordered = [f.name for f in target_schema.fields] + INTERNAL_COLS
+        ordered = [f.name for f in target_schema.fields] + [
+            f.name for f in self._internal_fields_for(snap)
+        ]
         if "_bucket" in winners.columns:
             # caller already bucket-partitioned (apply_batch fuses the dedup
             # and write shuffles) — write directly, no extra exchange
@@ -1841,7 +2112,11 @@ class LakeTable:
             want = [f for f in want if f.name in keep]
         df = self._read_files(snap, entries, fields=want)
         if df is None:
-            fields = want + (INTERNAL_FIELDS if include_internal else [])
+            fields = want + (
+                self._internal_fields_for(snap, [f.name for f in want])
+                if include_internal
+                else []
+            )
             return self.spark.createDataFrame([], T.StructType(fields))
         if with_base:
             df = self._resolve_lww(df, snap.key_cols)

@@ -72,6 +72,14 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c10_content_pruned_read,
         cdcq.C10_SQL,
     ),
+    # partial-update / TOAST-aware merge engine (round 4f): updates that
+    # omit unchanged text/tool (in-band sentinel) replayed through the
+    # patch-aware dedup + per-column-LWW read + compaction; oracle =
+    # latest-SET-value-per-column killed by later deletes, declaratively
+    "c11_partial_update_state": (
+        cdcq.c11_partial_update_state,
+        cdcq.C11_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -88,7 +96,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         reference.q12_csv_source_roundtrip,
         reference.Q12_SQL,
     ),
-    "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
     "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
     "q18_json_extract": (reference.q18_json_extract, reference.Q18_SQL),
     "q19_percentile_stats": (
@@ -210,6 +217,10 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # admit the NEW c10 content-pruned read; q20 (2x green; strict subset
     # of the in-gate q21 grouping-set lattice) demoted to admit the NEW
     # v11 hybrid search
+    # round 4f: q11 (green r2+r3; ts-parsing family sibling of the in-gate
+    # q09, and q07 below covers the same normalize stage) demoted to admit
+    # the NEW c11 partial-update merge engine
+    "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
     "q08_lww_current_state": (reference.q08_lww_current_state, reference.Q08_SQL),
     "q20_cube_totals": (reference.q20_cube_totals, reference.Q20_SQL),
     "q05_cleanse_projection": (

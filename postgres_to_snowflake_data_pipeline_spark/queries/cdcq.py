@@ -845,3 +845,114 @@ FROM w
 WHERE op <> 'delete' AND tool = 't3' AND role = 'purchase'
   AND list_contains(string_split_regex(lower(text), '[^a-z0-9]+'), 'k')
 """
+
+
+# ---------------------------------------------------------------------------
+# c11 — partial-update (TOAST-aware) CDC replay through the whole engine.
+# Postgres logical decoding omits unchanged TOASTed values from UPDATE row
+# images (the transcripts table's big `text` column is exactly the column
+# that would be TOASTed); the feed marks them with the table's in-band
+# sentinel, and the engine's patch merge engine (props `patch.columns`,
+# lake/table.py::_resolve_patch + cdc/dedup.py::lww_patch_dedup) must carry
+# the stored value forward — per COLUMN, across epochs, through deletes and
+# compaction. The oracle restates the rule declaratively: each patch
+# column's value is its latest SET (non-sentinel, non-delete) value, killed
+# when a later delete outranks it; everything else is plain whole-row LWW.
+# A hash match proves the engine's per-column LSN storage, associative
+# resolution and compaction rewrite all converge to that state.
+# Reference analog: the reference re-ships FULL rows on every load
+# (/root/reference/scripts/load_data.py:119-131) — partial images are the
+# piece a WAL-tail engine needs that a batch reloader never sees.
+# ---------------------------------------------------------------------------
+_PATCH_SENT = "__unchanged__"
+
+
+def patch_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The c01 feed with TOAST-style partial updates: a third of the
+    upserts omit ``text``, two fifths omit ``tool`` (both in-band via the
+    sentinel), deletes carry no payload."""
+    ev = load(spark, sf_dir, "events")
+    is_del = F.col("value") < DELETE_BELOW
+    text = (
+        F.when(is_del, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 3 == 0, F.lit(_PATCH_SENT))
+        .otherwise(F.col("props"))
+    )
+    tool = (
+        F.when(is_del, F.lit(None).cast("string"))
+        .when(F.col("event_id") % 5 < 2, F.lit(_PATCH_SENT))
+        .otherwise(F.concat(F.lit("tool-"), F.col("event_type")))
+    )
+    return ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(is_del, "delete").otherwise("upsert").alias("op"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.expr(_TURN_CASE).cast("int").alias("turn_idx"),
+        F.when(~is_del, F.col("event_type")).alias("role"),
+        text.alias("text"),
+        tool.alias("tool"),
+        F.col("ts"),
+    )
+
+
+def c11_partial_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay the partial-update feed in 4 epochs (compaction mid-stream at
+    epoch 2, so the final read resolves a compacted base PLUS later patch
+    deltas); return the final per-column-LWW state."""
+    work = _work_dir("cdcp", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    patch_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+        props={"patch.columns": ["text", "tool"], "patch.sentinel": _PATCH_SENT},
+    )
+    replay_feed(spark, table, feed_path, epochs=4, compact_every=2)
+    return table.read().select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+
+
+_C11_SET = (
+    "op <> 'delete' AND {c} IS NOT NULL AND {c} <> '" + _PATCH_SENT + "'"
+)
+C11_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL ELSE event_type END AS role,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL
+              WHEN event_id % 3 = 0 THEN '{_PATCH_SENT}'
+              ELSE props END AS text,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL
+              WHEN event_id % 5 < 2 THEN '{_PATCH_SENT}'
+              ELSE concat('tool-', event_type) END AS tool,
+         ts
+  FROM events
+),
+w AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(ts, lsn) AS ts,
+         max(lsn) FILTER (WHERE op = 'delete') AS dlsn,
+         arg_max(text, lsn) FILTER (WHERE {_C11_SET.format(c="text")}) AS text_v,
+         max(lsn)           FILTER (WHERE {_C11_SET.format(c="text")}) AS text_l,
+         arg_max(tool, lsn) FILTER (WHERE {_C11_SET.format(c="tool")}) AS tool_v,
+         max(lsn)           FILTER (WHERE {_C11_SET.format(c="tool")}) AS tool_l
+  FROM feed GROUP BY 1, 2
+)
+SELECT conv_id, turn_idx, role,
+       CASE WHEN text_l IS NOT NULL AND (dlsn IS NULL OR text_l > dlsn)
+            THEN text_v END AS text,
+       CASE WHEN tool_l IS NOT NULL AND (dlsn IS NULL OR tool_l > dlsn)
+            THEN tool_v END AS tool,
+       ts
+FROM w WHERE op <> 'delete'
+"""
