@@ -139,6 +139,19 @@ class IncrementalAggView:
     def _persist_hint(self, hint: dict[str, Any]) -> None:
         atomic_write_json(self._hint_path(), hint)
 
+    def _drop_unrepresentable(self, df: DataFrame, src_snap) -> DataFrame:
+        """Drop changefeed rows whose group values name no real group:
+        NULLs (tombstone payloads) and, on partial-update sources, the
+        patch sentinel in a patch-typed group column. Their true groups
+        are dirtied through the pre-image union instead."""
+        spec = LakeTable._patch_spec(src_snap)
+        pcols = set(spec[0]) if spec is not None else set()
+        for g in self.group_cols:
+            df = df.filter(F.col(g).isNotNull())
+            if g in pcols:
+                df = df.filter(F.col(g) != F.lit(spec[1]))
+        return df
+
     def _pairs_of(self, df: DataFrame, key0: str, n_buckets: int) -> list | None:
         """Distinct (group..., bucket) pairs of ``df`` — bounded collect
         (caps at MAX_HINT_GROUPS × n_buckets rows; None = too many)."""
@@ -194,9 +207,7 @@ class IncrementalAggView:
             upd = delta if w >= self.last_source_snapshot() else (
                 self.source.changes(w)
             )
-            live = upd
-            for g in self.group_cols:
-                live = live.filter(F.col(g).isNotNull())
+            live = self._drop_unrepresentable(upd, src_snap)
             pairs = self._pairs_of(live, key0, nb)
             if pairs is None:
                 hint["overflow"] = True
@@ -333,10 +344,13 @@ class IncrementalAggView:
             # dirty semi-join and the view's own bucketing are equality-
             # based): tombstone change rows carry NULL payload columns and
             # would otherwise fabricate a spurious NULL dirty group — their
-            # true (pre-image) groups were unioned in above.
+            # true (pre-image) groups were unioned in above. Same for the
+            # patch sentinel on partial-update sources: a changefeed row's
+            # "unchanged" marker names no group (the real group was either
+            # set by an earlier commit's delta — already dirtied then — or
+            # is this key's pre-image, unioned in above).
             if non_key_grouping:
-                for g in self.group_cols:
-                    changed = changed.filter(F.col(g).isNotNull())
+                changed = self._drop_unrepresentable(changed, src_snap)
         # the dirty-group key set is small (distinct changed groups) —
         # checkpoint it so the delta files are scanned ONCE, not re-read by
         # the semi-join, the anti-join, and the bucket collect below

@@ -317,6 +317,81 @@ def test_late_patch_declaration_on_populated_table(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# incremental views over a patch source (the documented DeltaAggView
+# alternative): dirty-group recompute reads the patch-RESOLVED state, so
+# the view stays exact; sentinel changefeed values must never fabricate a
+# dirty group (lake/view.py::_drop_unrepresentable)
+# ---------------------------------------------------------------------------
+
+def _view_exact(view, source, group_col, agg_fn):
+    got = view.read()
+    # NULL groups are not representable as view keys (documented contract)
+    want = agg_fn(source.read()).filter(F.col(group_col).isNotNull())
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    assert got.filter(F.col(group_col) == SENT).isEmpty()
+
+
+def _epoch_slices(spark, events, n):
+    lo, hi = events.select(F.min("lsn"), F.max("lsn")).first()
+    step = (hi - lo + 1) // n + 1
+    return [
+        events.filter(
+            (F.col("lsn") >= lo + e * step) & (F.col("lsn") < lo + (e + 1) * step)
+        )
+        for e in range(n)
+    ]
+
+
+def test_incremental_view_on_patch_source_nonpatch_grouping(spark, tmp_path):
+    from postgres_to_snowflake_data_pipeline_spark.lake.view import IncrementalAggView
+
+    def agg(rows):
+        return rows.groupBy("role").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+
+    source = _patch_table(spark, tmp_path / "src")
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), source,
+        group_cols=("role",), agg_fn=agg, n_buckets=4,
+    )
+    ev = _to_patch_feed(change_events(spark, 6000, n_convs=200)).localCheckpoint()
+    for e, batch in enumerate(_epoch_slices(spark, ev, 3)):
+        apply_batch(spark, source, batch, epoch=e)
+        assert view.refresh() is not None
+        _view_exact(view, source, "role", agg)
+
+
+def test_incremental_view_grouped_by_patch_column(spark, tmp_path):
+    """Grouping BY the patch column itself: carried-forward values keep
+    their group, sets move it, deletes kill it — and the sentinel never
+    appears as a view group."""
+    from postgres_to_snowflake_data_pipeline_spark.lake.view import IncrementalAggView
+
+    def agg(rows):
+        return rows.groupBy("tool").agg(F.count(F.lit(1)).alias("n"))
+
+    source = _patch_table(spark, tmp_path / "src")
+    view = IncrementalAggView(
+        spark, str(tmp_path / "v"), source,
+        group_cols=("tool",), agg_fn=agg, n_buckets=4,
+    )
+    ev = _to_patch_feed(change_events(spark, 6000, n_convs=200)).localCheckpoint()
+    for e, batch in enumerate(_epoch_slices(spark, ev, 3)):
+        apply_batch(spark, source, batch, epoch=e)
+        assert view.refresh() is not None
+        _view_exact(view, source, "tool", agg)
+    # hand-drive the group-move edge: patch tool to a brand-new value and
+    # assert the OLD group's count drops while the new group appears
+    apply_batch(spark, source, _feed(spark, [
+        (10_000_000, "update", "u1", 0, "user", SENT, "brand-new-tool"),
+    ]), epoch=99)
+    assert view.refresh() is not None
+    _view_exact(view, source, "tool", agg)
+
+
+# ---------------------------------------------------------------------------
 # guard rails
 # ---------------------------------------------------------------------------
 
