@@ -261,6 +261,12 @@ class TableSpec:
     #: Pipeline construction (declarative: the spec owns the declaration,
     #: the table's commit-time validation owns the type checks)
     indexes: dict[str, Any] | None = None
+    #: partial-update (TOAST-aware) merge engine, e.g. {"columns":
+    #: ["text"], "sentinel": "__unchanged__"} (sentinel optional) —
+    #: reconciled into the table's ``patch.columns``/``patch.sentinel``
+    #: props the same way; deep validation (string-typed columns, not a
+    #: key) happens at the table's commit choke point
+    patch: dict[str, Any] | None = None
 
     def __post_init__(self) -> None:
         if not self.key_cols:
@@ -271,6 +277,14 @@ class TableSpec:
                 raise ValueError(
                     f"table {self.name!r}: indexes accepts only "
                     f"'sets'/'tokens', got {sorted(bad)}"
+                )
+        if self.patch is not None:
+            bad = set(self.patch) - {"columns", "sentinel"}
+            if bad or not self.patch.get("columns"):
+                raise ValueError(
+                    f"table {self.name!r}: patch accepts 'columns' "
+                    f"(non-empty) and optional 'sentinel', got "
+                    f"{sorted(self.patch)}"
                 )
         if self.layout is not None:
             bad = set(self.layout) - set(_LAYOUT_KEYS)
@@ -627,6 +641,7 @@ class PipelineSpec:
                     compact_max_files=t.get("compact_max_files", 0),
                     layout=t.get("layout"),
                     indexes=t.get("indexes"),
+                    patch=t.get("patch"),
                 )
                 for t in raw.get("tables", [])
             ),
@@ -687,7 +702,8 @@ class PipelineSpec:
                  "compact_every": t.compact_every,
                  "compact_max_files": t.compact_max_files,
                  "layout": t.layout,
-                 "indexes": t.indexes}
+                 "indexes": t.indexes,
+                 "patch": t.patch}
                 for t in self.tables
             ],
             "views": [
@@ -769,12 +785,15 @@ class Pipeline:
         Deep validation (shape, column types) happens at the table's own
         commit choke point, same as every other props write."""
         sets = (t.indexes or {}).get("sets")
+        pcols = (t.patch or {}).get("columns")
         want = {
             # normalize to the JSON shape props round-trip through — a
             # tuple-typed spec would otherwise never compare equal to the
             # stored list and re-commit on every restart
             "index.sets": list(sets) if sets is not None else None,
             "index.tokens": (t.indexes or {}).get("tokens"),
+            "patch.columns": list(pcols) if pcols is not None else None,
+            "patch.sentinel": (t.patch or {}).get("sentinel"),
         }
         have = table.props
         # props never store None (update folds None = delete), so

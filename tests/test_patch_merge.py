@@ -392,6 +392,70 @@ def test_incremental_view_grouped_by_patch_column(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# declarative pipeline: spec-declared patch tables
+# ---------------------------------------------------------------------------
+
+def test_pipeline_spec_declares_patch_table(spark, tmp_path):
+    import json
+
+    from postgres_to_snowflake_data_pipeline_spark.orchestrate import Pipeline, PipelineSpec
+
+    raw = {
+        "lake_root": str(tmp_path / "lake"),
+        "sources": [{"name": "wal", "kind": "dataframe"}],
+        "tables": [{
+            "name": "ta", "key_cols": ["conv_id", "turn_idx"], "n_buckets": 4,
+            "patch": {"columns": ["text", "tool"]},
+        }],
+        "views": [{
+            "name": "per_conv", "table": "ta", "group_cols": ["conv_id"],
+            "kind": "incremental",
+            "aggs": {"n_turns": "count(1)", "chars": "sum(length(text))"},
+            "n_buckets": 2,
+        }],
+    }
+    spec = PipelineSpec.from_dict(raw)
+    # round-trip preserves the declaration
+    assert PipelineSpec.from_json(json.dumps(spec.to_dict())) == spec
+
+    ev = _to_patch_feed(change_events(spark, 5000, n_convs=200))
+    ev = ev.withColumn("_table", F.lit("ta")).localCheckpoint()
+    slices = _epoch_slices(spark, ev, 2)
+    pipe = Pipeline(spark, spec)
+    for e in (0, 1):
+        pipe.run_epoch(e, feeds={"wal": slices[e]})
+    table = pipe.tables["ta"]
+    assert table.props.get("patch.columns") == ["text", "tool"]
+    expected = _naive_patch_replay([r.asDict() for r in ev.drop("_table").collect()])
+    got = {
+        (r["conv_id"], r["turn_idx"]): (r["role"], r["text"], r["tool"])
+        for r in table.read().collect()
+    }
+    assert got == expected
+    # declared view over the patch table equals full recompute
+    want = {
+        tuple(r)
+        for r in table.read().groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("chars"),
+        ).collect()
+    }
+    assert {tuple(r) for r in pipe.view("per_conv").collect()} == want
+    # restart loop: an unchanged declaration must not grow the snapshot log
+    before = table.current().snapshot_id
+    pipe2 = Pipeline(spark, spec)
+    assert pipe2.tables["ta"].current().snapshot_id == before
+    # a delta-kind view over a patch table is rejected loudly (views build
+    # lazily, so the guard fires at first view materialization)
+    bad = dict(raw, views=[{
+        "name": "v", "table": "ta", "group_cols": ["role"],
+        "measures": {"n": ["count", "*"]}, "payload_cols": ["role"],
+    }])
+    with pytest.raises(ValueError, match="IncrementalAggView"):
+        Pipeline(spark, PipelineSpec.from_dict(bad)).view("v")
+
+
+# ---------------------------------------------------------------------------
 # guard rails
 # ---------------------------------------------------------------------------
 

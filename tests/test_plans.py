@@ -88,6 +88,23 @@ def test_bucket_aligned_dedup_single_exchange(spark):
     assert n_exchanges(w) == 1, explain_str(w)
 
 
+def test_bucket_aligned_patch_dedup_single_exchange(spark):
+    """The partial-update reduction keeps the fused-shuffle contract: its
+    extra per-column aggregates are more columns in the SAME Tungsten hash
+    aggregate, never a second exchange."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.dedup import lww_patch_dedup
+
+    ev = change_events(spark, 10_000, n_convs=100)
+    b = ev.withColumn("_bucket", bucket_expr("conv_id", 16)).repartition(
+        16, F.col("_bucket")
+    )
+    w = lww_patch_dedup(
+        b, ("_bucket", "conv_id", "turn_idx"), ("text", "tool"), "__unchanged__"
+    )
+    assert n_exchanges(w) == 1, explain_str(w)
+    assert "ObjectHashAggregate" not in explain_str(w)
+
+
 def test_salted_apply_writes_one_delta_file_per_bucket(spark, tmp_path):
     """The salted path re-clusters winners on _bucket before the write;
     without it the stage-2 key-hash partitioning scatters every bucket
