@@ -1269,6 +1269,68 @@ class LakeTable:
         )
         return rows.drop("_pre_delete_lsn").unionByName(pre_deletes)
 
+    def history(self) -> DataFrame:
+        """SCD2 version history from the retained changefeed: one row per
+        key VERSION (changes are batch-collapsed, so a version is a key's
+        winner per merge commit) with half-open LSN validity —
+        ``valid_from_lsn`` = the version's own LSN, ``valid_to_lsn`` = the
+        LSN of the change that superseded it (NULL = still current,
+        flagged ``is_current``). Deletes close their predecessor's
+        interval but emit no version row of their own. Reference analog:
+        the reference keeps only the latest full reload
+        (/root/reference/scripts/load_data.py:119-131) — version history
+        is what a WAL-tail engine can offer that a clear-and-reload never
+        can.
+
+        Plan shape at scale: ONE hash shuffle on the key columns (the
+        lead() window); payload rides that single exchange — the honest
+        minimum for materializing full history. Compaction does not
+        truncate it (fold commits carry no merge manifest and are
+        skipped), but snapshot EXPIRY does, so a table whose history no
+        longer reaches snapshot 0 is rejected loudly instead of silently
+        returning a suffix (same rule as IncrementalAggView's
+        ``_history_covers``). Partial-update tables are rejected: their
+        changefeed carries in-band sentinels ("column unchanged"), and an
+        honest per-column version history needs carry-forward resolution
+        across versions — a different operator, not a silently-wrong
+        whole-row one."""
+        snap = self.current()
+        if self._patch_spec(snap) is not None:
+            raise ValueError(
+                "history() is not supported on partial-update tables "
+                "(patch.columns declared): version rows would carry the "
+                "in-band sentinel where a column was not re-shipped"
+            )
+        hist = self.snapshots()
+        if hist and hist[0].snapshot_id > 1:
+            raise ValueError(
+                "history() needs the full changefeed, but snapshots before "
+                f"id {hist[0].snapshot_id} have been expired — the earliest "
+                "versions are unrecoverable (read a preserved snapshot "
+                "instead, or retain history on tables that need SCD2 reads)"
+            )
+        keys = list(snap.key_cols)
+        # changes() is at-least-once across a v1->v2 format upgrade (its
+        # cumulative manifest re-emits earlier rows) — identical rows, so a
+        # (key, lsn) dedup restores exactly-once. Repartitioning on the
+        # KEYS first lets both the dedup aggregate (clustering on a
+        # superset of the partitioning) and the lead() window reuse ONE
+        # exchange (same trick as the fused merge shuffle, cdc/apply.py).
+        ch = self.changes(0).repartition(*[F.col(k) for k in keys])
+        ch = ch.dropDuplicates([*keys, "lsn"])
+        w = Window.partitionBy(*keys).orderBy("lsn")
+        out = (
+            ch.withColumn("valid_to_lsn", F.lead("lsn").over(w))
+            .filter(F.col("op") != "delete")
+            .select(
+                *[f.name for f in snap.schema.fields],
+                F.col("lsn").alias("valid_from_lsn"),
+                F.col("valid_to_lsn"),
+                F.col("valid_to_lsn").isNull().alias("is_current"),
+            )
+        )
+        return out
+
     # ------------------------------------------------------------------
     # write path
     # ------------------------------------------------------------------

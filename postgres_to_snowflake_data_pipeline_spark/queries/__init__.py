@@ -80,6 +80,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c11_partial_update_state,
         cdcq.C11_SQL,
     ),
+    # SCD2 version history from the retained changefeed (round 4f):
+    # replay -> compaction mid-stream -> LakeTable.history() (half-open
+    # LSN validity via one key-partitioned lead window); oracle = the
+    # same epoch-collapse arithmetic replay_feed uses, then lead() over
+    # per-(key, epoch) winners with delete versions dropped
+    "c12_scd2_history": (cdcq.c12_scd2_history, cdcq.C12_SQL),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -87,7 +93,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         reference.q03_verification_counts,
         reference.Q03_SQL,
     ),
-    "q04_data_summary": (reference.q04_data_summary, reference.Q04_SQL),
     "q06_left_join_counts": (reference.q06_left_join_counts, reference.Q06_SQL),
     # rotated back in-gate for round 4 (driver-green in r2, absent from r3's
     # 50-slot window): CDC final state, CSV round-trip, given-cell IVF
@@ -219,8 +224,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # v11 hybrid search
     # round 4f: q11 (green r2+r3; ts-parsing family sibling of the in-gate
     # q09, and q07 below covers the same normalize stage) demoted to admit
-    # the NEW c11 partial-update merge engine
+    # the NEW c11 partial-update merge engine; q04 (3x driver-green;
+    # group+MAX summary whose agg family rides in-gate q01/q21) demoted
+    # to admit the NEW c12 SCD2 history
     "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
+    "q04_data_summary": (reference.q04_data_summary, reference.Q04_SQL),
     "q08_lww_current_state": (reference.q08_lww_current_state, reference.Q08_SQL),
     "q20_cube_totals": (reference.q20_cube_totals, reference.Q20_SQL),
     "q05_cleanse_projection": (

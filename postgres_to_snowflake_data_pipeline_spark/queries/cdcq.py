@@ -956,3 +956,74 @@ SELECT conv_id, turn_idx, role,
        ts
 FROM w WHERE op <> 'delete'
 """
+
+
+# ---------------------------------------------------------------------------
+# c12 — SCD2 version history from the retained changefeed. The engine
+# replays the c01 feed in 4 epochs (compaction mid-stream — fold commits
+# carry no merge manifest, so history survives them) and reads
+# LakeTable.history(): one row per key version with half-open LSN
+# validity. The oracle restates it declaratively: collapse the feed to
+# per-(key, epoch) winners exactly as replay_feed slices it (same integer
+# lsn arithmetic), then lead() the winners' LSNs per key and drop delete
+# versions — a later delete closes its predecessor's interval but emits
+# no row. A hash match proves the changefeed's batch-collapse, the
+# manifest-indirected per-commit reads and the window derivation all
+# agree on WHAT changed WHEN — the reference's clear-and-reload keeps
+# only the latest state (/root/reference/scripts/load_data.py:119-131),
+# so version history is pure engine capability on top.
+# ---------------------------------------------------------------------------
+def c12_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = _work_dir("cdch", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    replay_feed(spark, table, feed_path, epochs=4, compact_every=2)
+    return table.history().select(
+        "conv_id", "turn_idx", "role", "text", "ts",
+        "valid_from_lsn", "valid_to_lsn", "is_current",
+    )
+
+
+C12_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text, ts
+  FROM events
+),
+b AS (
+  SELECT min(lsn) AS lo,
+         greatest((max(lsn) - min(lsn) + 1) // 4, 1) AS step
+  FROM feed
+),
+w AS (
+  SELECT conv_id, turn_idx,
+         least((lsn - b.lo) // b.step, 3) AS ep,
+         max(lsn) AS lsn,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text,
+         arg_max(ts, lsn) AS ts
+  FROM feed, b GROUP BY 1, 2, 3
+),
+v AS (
+  SELECT *,
+         lead(lsn) OVER (PARTITION BY conv_id, turn_idx ORDER BY lsn)
+           AS valid_to_lsn
+  FROM w
+)
+SELECT conv_id, turn_idx, role, text, ts,
+       lsn AS valid_from_lsn, valid_to_lsn,
+       valid_to_lsn IS NULL AS is_current
+FROM v WHERE op <> 'delete'
+"""
