@@ -89,10 +89,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
-    "q03_verification_counts": (
-        reference.q03_verification_counts,
-        reference.Q03_SQL,
-    ),
     "q06_left_join_counts": (reference.q06_left_join_counts, reference.Q06_SQL),
     # rotated back in-gate for round 4 (driver-green in r2, absent from r3's
     # 50-slot window): CDC final state, CSV round-trip, given-cell IVF
@@ -131,6 +127,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "t16_stratified_sample": (
         textops.t16_stratified_sample,
         textops.T16_SQL,
+    ),
+    # NEW round 4f — Gopher-style repetition/boilerplate scoring, computed
+    # entirely in-row (higher-order array fns, no token shuffle)
+    "t20_repetition_score": (
+        textops.t20_repetition_score,
+        textops.T20_SQL,
     ),
     # NEW round 4d — the rest of the grouping-set lattice surface plus the
     # long->wide and trend operators (reference.py docstrings cite the
@@ -226,9 +228,16 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # q09, and q07 below covers the same normalize stage) demoted to admit
     # the NEW c11 partial-update merge engine; q04 (3x driver-green;
     # group+MAX summary whose agg family rides in-gate q01/q21) demoted
-    # to admit the NEW c12 SCD2 history
+    # to admit the NEW c12 SCD2 history; q03 (3x driver-green; its
+    # count/distinct aggregates ride in-gate q01/q19, the 5-way UNION
+    # stays pytest-parity-covered) demoted to admit the NEW t20
+    # repetition scoring
     "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
     "q04_data_summary": (reference.q04_data_summary, reference.Q04_SQL),
+    "q03_verification_counts": (
+        reference.q03_verification_counts,
+        reference.Q03_SQL,
+    ),
     "q08_lww_current_state": (reference.q08_lww_current_state, reference.Q08_SQL),
     "q20_cube_totals": (reference.q20_cube_totals, reference.Q20_SQL),
     "q05_cleanse_projection": (

@@ -828,3 +828,94 @@ FROM (
 )
 WHERE rk <= {SAMPLE_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# t20 — repetition / boilerplate scoring (Gopher-style quality filter,
+# Rae et al. 2021 §A1.1, public paper): per-document duplicate-word
+# fraction, most-frequent-word share and duplicate-5-gram fraction, each
+# computed ENTIRELY inside the row with higher-order array functions — no
+# explode, no token ever crosses a shuffle (the only exchange is the
+# ORDER BY on (doc_id)-sized rows). The in-row top-word count is
+# O(distinct × n) per doc, the right trade at corpus scale: CPU inside
+# whole-stage codegen instead of a (doc_id, word) shuffle that would dwarf
+# the data. Reference analog: the reference's cleanse stage drops rows by
+# shape only (/root/reference/scripts/load_data.py:73-96); content-quality
+# scoring is engine capability on top.
+# ---------------------------------------------------------------------------
+_GRAMS5 = (
+    f"CASE WHEN size({_TOKS}) >= 5 THEN "
+    f"transform(sequence(1, size({_TOKS}) - 4), "
+    f"i -> concat_ws(' ', slice({_TOKS}, i, 5))) "
+    f"ELSE CAST(array() AS array<string>) END"
+)
+
+#: flag thresholds (Gopher uses 0.2 / 0.3-family cutoffs; exact values are
+#: corpus policy, not engine semantics)
+REP_TOP_WORD_MAX = 0.2
+REP_DUP_GRAM_MAX = 0.1
+
+
+def t20_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.expr(_TOKS)
+    n = F.size(toks)
+    grams = F.expr(_GRAMS5)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    )
+    dup_word = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / n.cast("double"), 6
+    )
+    top_word = F.round(top / n.cast("double"), 6)
+    dup_gram = F.when(
+        n >= 5,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        d.select(
+            "doc_id",
+            n.alias("n_words"),
+            dup_word.alias("dup_word_frac"),
+            top_word.alias("top_word_frac"),
+            dup_gram.alias("dup_5gram_frac"),
+        )
+        .withColumn(
+            "is_repetitive",
+            (F.col("top_word_frac") > REP_TOP_WORD_MAX)
+            | (F.col("dup_5gram_frac") > REP_DUP_GRAM_MAX),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T20_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, len(toks) AS n_words,
+    round(1 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6)
+      AS dup_word_frac,
+    round(list_max([len(list_filter(toks, x -> x = w))
+                    for w in list_distinct(toks)])
+          / CAST(len(toks) AS DOUBLE), 6) AS top_word_frac,
+    CASE WHEN len(toks) >= 5 THEN
+      round(1 - len(list_distinct([array_to_string(toks[i:i+4], ' ')
+                                   for i in range(1, len(toks) - 3)]))
+            / CAST(len(toks) - 4 AS DOUBLE), 6)
+    ELSE 0.0 END AS dup_5gram_frac
+  FROM t
+)
+SELECT doc_id, n_words, dup_word_frac, top_word_frac, dup_5gram_frac,
+       (top_word_frac > {REP_TOP_WORD_MAX} OR dup_5gram_frac > {REP_DUP_GRAM_MAX})
+         AS is_repetitive
+FROM s ORDER BY doc_id
+"""

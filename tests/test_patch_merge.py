@@ -392,6 +392,45 @@ def test_incremental_view_grouped_by_patch_column(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# streaming: micro-batch slicing is arbitrary (file arrival, not LSN), so
+# this is the strongest associativity test the patch resolution gets —
+# any slicing must converge to the same per-column state, across a
+# mid-stream kill/restart
+# ---------------------------------------------------------------------------
+
+def test_streaming_patch_replay_with_restart(spark, tmp_path):
+    from postgres_to_snowflake_data_pipeline_spark.cdc.generator import write_feed
+    from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import CHANGE_EVENT_SCHEMA
+    from postgres_to_snowflake_data_pipeline_spark.streaming.pipeline import run_stream
+
+    events = _to_patch_feed(change_events(spark, 6000, n_convs=200))
+    feed = str(tmp_path / "feed")
+    write_feed(events, feed, n_files=8)
+    table = _patch_table(spark, tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    # phase 1: a few micro-batches, then kill
+    q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
+                   max_files_per_trigger=1, available_now=False)
+    import time
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if table.current().commit_count >= 3:
+            break
+        time.sleep(1)
+    q.stop()
+    assert q.awaitTermination(60), "phase-1 stream did not stop in time"
+    assert table.current().commit_count >= 3
+    # phase 2: restart from checkpoint, drain the rest
+    q = run_stream(spark, table, feed, CHANGE_EVENT_SCHEMA, ckpt,
+                   max_files_per_trigger=3)
+    assert q.awaitTermination(300), "stream did not drain within deadline"
+    expected = _naive_patch_replay(
+        [r.asDict() for r in spark.read.parquet(feed).collect()]
+    )
+    assert _state(table) == expected
+
+
+# ---------------------------------------------------------------------------
 # declarative pipeline: spec-declared patch tables
 # ---------------------------------------------------------------------------
 
