@@ -89,7 +89,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
-    "q06_left_join_counts": (reference.q06_left_join_counts, reference.Q06_SQL),
     # rotated back in-gate for round 4 (driver-green in r2, absent from r3's
     # 50-slot window): CDC final state, CSV round-trip, given-cell IVF
     "q09_cdc_final_state": (reference.q09_cdc_final_state, reference.Q09_SQL),
@@ -133,6 +132,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "t20_repetition_score": (
         textops.t20_repetition_score,
         textops.T20_SQL,
+    ),
+    # NEW round 4f — benchmark decontamination: corpus docs sharing a
+    # 13-gram with the (small, BROADCAST) benchmark set
+    "t21_decontamination": (
+        textops.t21_decontamination,
+        textops.T21_SQL,
     ),
     # NEW round 4d — the rest of the grouping-set lattice surface plus the
     # long->wide and trend operators (reference.py docstrings cite the
@@ -231,8 +236,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # to admit the NEW c12 SCD2 history; q03 (3x driver-green; its
     # count/distinct aggregates ride in-gate q01/q19, the 5-way UNION
     # stays pytest-parity-covered) demoted to admit the NEW t20
-    # repetition scoring
+    # repetition scoring; q06 (3x driver-green; the join family stays
+    # in-gate via q02 broadcast-dims and j01/j02) demoted to admit the
+    # NEW t21 decontamination
     "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
+    "q06_left_join_counts": (reference.q06_left_join_counts, reference.Q06_SQL),
     "q04_data_summary": (reference.q04_data_summary, reference.Q04_SQL),
     "q03_verification_counts": (
         reference.q03_verification_counts,

@@ -919,3 +919,93 @@ SELECT doc_id, n_words, dup_word_frac, top_word_frac, dup_5gram_frac,
          AS is_repetitive
 FROM s ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# t21 — benchmark decontamination (the training-data hygiene pass every
+# public LLM corpus pipeline runs, e.g. GPT-3 App. C / PaLM App. D,
+# public papers: drop training docs that share a long n-gram with an
+# evaluation set). Benchmark set here: every 50th doc_id (deterministic
+# stand-in for a small eval suite). A corpus doc is contaminated when it
+# shares >= 1 distinct 13-gram with any benchmark doc.
+#
+# Scale shape: the benchmark side is SMALL by construction (eval suites
+# are KBs against a 100 TB corpus), so its distinct-gram set is
+# BROADCAST — the corpus side streams map-side through the hash join,
+# and only (doc_id, 16-byte gram hash) pairs of actual HITS reach the
+# final per-doc aggregate. No corpus-vs-corpus shuffle exists anywhere.
+# ---------------------------------------------------------------------------
+_GRAMS13 = (
+    f"CASE WHEN size({_TOKS}) >= 13 THEN "
+    f"array_distinct(transform(sequence(1, size({_TOKS}) - 12), "
+    f"i -> concat_ws(' ', slice({_TOKS}, i, 13)))) "
+    f"ELSE CAST(array() AS array<string>) END"
+)
+BENCH_MOD = 50  # doc_id % BENCH_MOD == 0 -> benchmark member
+
+
+def t21_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.expr(_GRAMS13)).alias("gram")
+    ).select("doc_id", F.md5("gram").alias("g"))
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = grams.filter(is_bench).select(
+        F.col("doc_id").alias("bench_doc"), "g"
+    )
+    hits = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("bench_doc").alias("n_benchmark_docs"),
+        )
+    )
+    # the pass LABELS every corpus doc (clean docs carry zero counts) —
+    # that is the shape a downstream filter consumes, and it puts the
+    # whole corpus under the value-hash check, not just the hits
+    return (
+        d.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("n_benchmark_docs", F.lit(0)).alias(
+                "n_benchmark_docs"
+            ),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+T21_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_D_TOKS} AS toks FROM documents
+),
+g AS (
+  SELECT doc_id,
+         md5(unnest(CASE WHEN len(toks) >= 13 THEN
+             list_distinct([array_to_string(toks[i:i+12], ' ')
+                            for i in range(1, len(toks) - 11)])
+             ELSE [] END)) AS g
+  FROM t
+)
+, h AS (
+  SELECT c.doc_id,
+         CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_grams,
+         CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_benchmark_docs
+  FROM g c JOIN g b USING (g)
+  WHERE c.doc_id % {BENCH_MOD} <> 0 AND b.doc_id % {BENCH_MOD} = 0
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_shared_grams, 0) AS n_shared_grams,
+       coalesce(h.n_benchmark_docs, 0) AS n_benchmark_docs,
+       coalesce(h.n_shared_grams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {BENCH_MOD} <> 0
+ORDER BY d.doc_id
+"""
