@@ -43,6 +43,8 @@ HEADLINE = [
     "t09_simhash",
     "t15_curation_pipeline",
     "t17_dup_clusters",
+    "t21_decontamination",
+    "t22_pii_redaction",
     "v01_ann_cosine_topk",
     "v04_ann_lsh_bucketed",
     "v06_ann_ivf_kmeans",

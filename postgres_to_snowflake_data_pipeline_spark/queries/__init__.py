@@ -96,8 +96,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         reference.q12_csv_source_roundtrip,
         reference.Q12_SQL,
     ),
-    "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
     "q18_json_extract": (reference.q18_json_extract, reference.Q18_SQL),
+    # NEW round 4g — unpivot (wide->long), the inverse of q22's pivot:
+    # one scan, map-side Expand + partial agg, one exchange (plan-pinned)
+    "q24_unpivot_measures": (
+        reference.q24_unpivot_measures,
+        reference.Q24_SQL,
+    ),
     "q19_percentile_stats": (
         reference.q19_percentile_stats,
         reference.Q19_SQL,
@@ -105,7 +110,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "j01_asof_join": (temporal.j01_asof_join, temporal.J01_SQL),
     "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
     # text analysis / dedup (training-data ops)
-    "t01_token_count": (textops.t01_token_count, textops.T01_SQL),
     "t02_quality_score": (textops.t02_quality_score, textops.T02_SQL),
     "t03_lang_id": (textops.t03_lang_id, textops.T03_SQL),
     "t05_dedup_exact": (textops.t05_dedup_exact, textops.T05_SQL),
@@ -138,6 +142,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "t21_decontamination": (
         textops.t21_decontamination,
         textops.T21_SQL,
+    ),
+    # NEW round 4g — PII detection + redaction over deterministically
+    # planted PII (regex sweep stays entirely map-side; plan-pinned)
+    "t22_pii_redaction": (
+        textops.t22_pii_redaction,
+        textops.T22_SQL,
     ),
     # NEW round 4d — the rest of the grouping-set lattice surface plus the
     # long->wide and trend operators (reference.py docstrings cite the
@@ -239,6 +249,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # repetition scoring; q06 (3x driver-green; the join family stays
     # in-gate via q02 broadcast-dims and j01/j02) demoted to admit the
     # NEW t21 decontamination
+    # round 4g: q14 (3x driver-green; semi/anti joins ride the in-gate
+    # join family q02/j01/j02) demoted to admit the NEW q24 unpivot;
+    # t01 (3x driver-green; its tokenizer is the SAME _TOKS expression
+    # exercised in-gate by t15/t16/t20/t21) demoted to admit the NEW
+    # t22 PII redaction
+    "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
+    "t01_token_count": (textops.t01_token_count, textops.T01_SQL),
     "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
     "q06_left_join_counts": (reference.q06_left_join_counts, reference.Q06_SQL),
     "q04_data_summary": (reference.q04_data_summary, reference.Q04_SQL),

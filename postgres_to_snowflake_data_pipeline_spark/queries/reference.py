@@ -917,3 +917,68 @@ FROM daily
 WINDOW w AS (PARTITION BY user_id ORDER BY d
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
+
+
+# ---------------------------------------------------------------------------
+# q24 — unpivot (wide -> long): the inverse of q22's pivot, completing the
+# reshape pair the reference's report layer implies (silver_layer_dag.py
+# emits fixed wide columns; a metrics store consumes long (measure, value)
+# rows). Four lineitem measures melt into (measure, value) and aggregate
+# per (measure, returnflag).
+#
+# Scale shape: DataFrame.unpivot lowers to a single Expand node — ONE scan
+# of the four measure columns multiplied 4x MAP-SIDE, then partial
+# aggregation collapses to |measures| x |flags| groups before the one
+# exchange. Never four scans, and the shuffle carries group rows only.
+# Money stays exact: DOUBLE measures become BIGINT cents before the sum
+# (order-independent; a double sum flips .005 boundaries across partition
+# orders — see CLAUDE.md rounding note).
+# ---------------------------------------------------------------------------
+def q24_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(F.col(c) * 100).cast("bigint").alias(c)  # noqa: E731
+    wide = li.select(
+        "l_returnflag",
+        cents("l_quantity"),
+        cents("l_extendedprice"),
+        cents("l_discount"),
+        cents("l_tax"),
+    )
+    long = wide.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "cents",
+    )
+    return (
+        long.groupBy("measure", "l_returnflag")
+        .agg(
+            F.sum("cents").alias("sum_cents"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("measure", "l_returnflag")
+    )
+
+
+Q24_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity * 100) AS BIGINT)      AS l_quantity,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS l_extendedprice,
+         CAST(round(l_discount * 100) AS BIGINT)      AS l_discount,
+         CAST(round(l_tax * 100) AS BIGINT)           AS l_tax
+  FROM lineitem
+),
+long AS (
+  SELECT l_returnflag, measure, cents
+  FROM wide
+  UNPIVOT (cents FOR measure IN
+           (l_quantity, l_extendedprice, l_discount, l_tax))
+)
+SELECT measure, l_returnflag,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       count(*) AS n_rows
+FROM long
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""

@@ -1009,3 +1009,100 @@ FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
 WHERE d.doc_id % {BENCH_MOD} <> 0
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# t22 — PII detection + redaction (the scrubbing pass every public
+# training-corpus pipeline runs before release: mask emails, IPv4
+# addresses and phone numbers, count what was hit). The generator's
+# corpus is deliberately PII-free, so the query PLANTS deterministic
+# PII derived from doc_id first — both engines build the identical
+# augmented text, then the redaction semantics (regex sweep order,
+# global replacement, per-class hit counts, md5 of the scrubbed text)
+# are checked value-for-value. Same planted-fixture approach as the
+# ANN recall tests (random data would exercise nothing).
+#
+# Scale shape: pure per-row regexp column expressions — no shuffle at
+# all except the presentation sort; the pass streams map-side at any
+# corpus size and pushes only (doc_id, text) through the scan.
+# Patterns are RE2-safe (no backrefs/lookaround) so Spark (Java regex)
+# and DuckDB (RE2) agree literally.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+_PII_IPV4 = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+# planted suffix: every doc gets one email; every 3rd an IP; every 7th a
+# phone; every 4th a SECOND email — counts vary per row so the oracle
+# check is non-trivial
+_PLANT_SPARK = (
+    "concat(text,"
+    " ' contact user', CAST(doc_id AS STRING), '@example.com',"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' host 10.', CAST(doc_id % 256 AS STRING),"
+    "      '.0.', CAST(doc_id % 100 AS STRING)) ELSE '' END,"
+    " CASE WHEN doc_id % 7 = 0 THEN concat(' tel +1-555-', "
+    "      lpad(CAST(doc_id % 10000 AS STRING), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 4 = 0 THEN concat(' cc admin', CAST(doc_id AS STRING),"
+    "      '@corp.example.org') ELSE '' END)"
+)
+_PLANT_DUCK = (
+    "text ||"
+    " ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||"
+    " CASE WHEN doc_id % 3 = 0 THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR)"
+    "      || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||"
+    " CASE WHEN doc_id % 7 = 0 THEN ' tel +1-555-' || "
+    "      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||"
+    " CASE WHEN doc_id % 4 = 0 THEN ' cc admin' || CAST(doc_id AS VARCHAR)"
+    "      || '@corp.example.org' ELSE '' END"
+)
+
+
+def t22_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    planted = F.expr(_PLANT_SPARK)
+    n_emails = F.size(F.regexp_extract_all(planted, F.lit(_PII_EMAIL), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(planted, F.lit(_PII_PHONE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(planted, F.lit(_PII_IPV4), F.lit(0)))
+    # sweep order matters and is part of the contract: emails first (their
+    # domains contain dots an aggressive IP pattern could nibble), then
+    # phones, then IPs over what remains
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(planted, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IPV4,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+T22_SQL = f"""
+WITH p AS (
+  SELECT doc_id, {_PLANT_DUCK} AS planted FROM documents
+),
+s AS (
+  SELECT doc_id, planted,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(planted, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g') AS scrubbed
+  FROM p
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(planted, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(planted, '{_PII_PHONE}')) AS INTEGER) AS n_phones,
+       CAST(len(regexp_extract_all(planted, '{_PII_IPV4}')) AS INTEGER)  AS n_ips,
+       CAST(length(scrubbed) AS INTEGER) AS scrubbed_len,
+       md5(scrubbed) AS scrubbed_md5
+FROM s ORDER BY doc_id
+"""

@@ -319,3 +319,63 @@ def test_q21_grouping_sets_expand_before_single_exchange(spark, sf_dir):
     assert set(scan) == {"o_orderpriority", "o_orderdate", "o_totalprice"}, scan
     assert n_exchanges(df) == 1, explain_str(df)
     assert "Expand" in explain_str(df, "simple")
+
+
+def test_t20_repetition_in_row_no_explode_no_shuffle(spark, sf_dir):
+    """Gopher-style repetition scoring is computed ENTIRELY in-row with
+    higher-order array functions: no Generate (explode) node exists, and
+    the only exchange is the final presentation sort — no token ever
+    crosses a shuffle, so the pass streams map-side at any corpus size."""
+    df = textops.t20_repetition_score(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "Generate" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert n_exchanges(df) == 1, plan  # rangepartitioning for ORDER BY
+
+
+def test_t21_decontamination_broadcasts_benchmark_side(spark, sf_dir):
+    """Decontamination joins the corpus grams against the BENCHMARK gram
+    set map-side: the eval suite is KBs against a 100 TB corpus, so its
+    distinct 13-grams must arrive as a broadcast build side — the one
+    BroadcastHashJoin below. Any shuffled (SortMerge/ShuffledHash) join
+    keyed on the gram hash would be a corpus-vs-corpus shuffle and is
+    pinned out; the only shuffled join allowed is the final doc_id label
+    join, which carries (doc_id, two counts) — never grams or text."""
+    df = textops.t21_decontamination(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    for m in re.finditer(r"(SortMergeJoin|ShuffledHashJoin) \[([^]]*)\]", plan):
+        assert "g#" not in m.group(2), m.group(0)
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "gram" not in m.group(1) and "text" not in m.group(1), m.group(0)
+
+
+def test_t22_pii_redaction_is_map_side_only(spark, sf_dir):
+    """PII scrubbing is pure per-row regexp work: the plan has no
+    hash-partitioned exchange and no join — only the presentation sort
+    moves rows, so the pass streams at any corpus size. The scan reads
+    exactly (doc_id, text)."""
+    df = textops.t22_pii_redaction(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+    (scan,) = read_schema_columns(df)
+    assert set(scan) == {"doc_id", "text"}, scan
+
+
+def test_q24_unpivot_single_scan_expand_partial_agg(spark, sf_dir):
+    """Unpivot must melt map-side: ONE parquet scan of the 4 measure
+    columns + returnflag, an Expand node (never four scans), and partial
+    aggregation BELOW the single hash exchange so the shuffle carries
+    |measures| x |flags| group rows, not 4x the fact table."""
+    df = reference.q24_unpivot_measures(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "Expand" in plan, plan
+    (scan,) = read_schema_columns(df)
+    assert set(scan) == {
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+    }, scan
+    assert n_exchanges(df) == 2, plan  # one hash (agg) + one range (sort)
+    partial = plan.index("partial_sum")
+    scan_at = plan.index("Scan parquet", partial)
+    assert "Exchange" not in plan[partial:scan_at], plan[partial:scan_at]
