@@ -110,7 +110,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "j01_asof_join": (temporal.j01_asof_join, temporal.J01_SQL),
     "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
     # text analysis / dedup (training-data ops)
-    "t02_quality_score": (textops.t02_quality_score, textops.T02_SQL),
     "t03_lang_id": (textops.t03_lang_id, textops.T03_SQL),
     "t05_dedup_exact": (textops.t05_dedup_exact, textops.T05_SQL),
     "t06_ngram_jaccard_pairs": (
@@ -148,6 +147,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "t22_pii_redaction": (
         textops.t22_pii_redaction,
         textops.T22_SQL,
+    ),
+    # NEW round 4g — mixture sampling under per-source token budgets
+    # (data-mixing stage: greedy quality-ordered prefix per source;
+    # only narrow columns cross the one source-keyed exchange)
+    "t23_mixture_sample": (
+        textops.t23_mixture_sample,
+        textops.T23_SQL,
     ),
     # NEW round 4d — the rest of the grouping-set lattice surface plus the
     # long->wide and trend operators (reference.py docstrings cite the
@@ -253,9 +259,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # join family q02/j01/j02) demoted to admit the NEW q24 unpivot;
     # t01 (3x driver-green; its tokenizer is the SAME _TOKS expression
     # exercised in-gate by t15/t16/t20/t21) demoted to admit the NEW
-    # t22 PII redaction
+    # t22 PII redaction; t02 (3x driver-green; its quality composite is
+    # the SAME _quality_exprs() expression exercised in-gate by t15 and
+    # the new t23) demoted to admit the NEW t23 mixture sampling
     "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
     "t01_token_count": (textops.t01_token_count, textops.T01_SQL),
+    "t02_quality_score": (textops.t02_quality_score, textops.T02_SQL),
     "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
     "q06_left_join_counts": (reference.q06_left_join_counts, reference.Q06_SQL),
     "q04_data_summary": (reference.q04_data_summary, reference.Q04_SQL),

@@ -1106,3 +1106,72 @@ SELECT doc_id,
        md5(scrubbed) AS scrubbed_md5
 FROM s ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# t23 — mixture sampling under per-source token budgets: the data-mixing
+# stage of a training pipeline (each source gets a token budget from its
+# mixture weight; the best documents fill the budget greedily). Weights
+# here derive deterministically from the source id (w = 1 + src_num % 3,
+# budget = 800 * w tokens); ranking is the t02/t15 quality composite with
+# doc_id as the total-order tie-break; a document is kept while the
+# cumulative token count INCLUDING it fits the budget (greedy prefix).
+#
+# Scale shape: tokens and quality are computed map-side from the scan; the
+# single exchange partitions by SOURCE (mixture components are bounded —
+# dozens, not millions), and only (doc_id, source, n_tokens, quality)
+# cross it — text never shuffles (plan-pinned). A skewed giant source is
+# the known hazard at 100 TB; the fix there is the same two-level
+# pre-aggregation trick t16 uses (per-partition top-k before the window)
+# because a greedy prefix only ever needs ~budget/min_doc_tokens rows per
+# source — documented, not needed at bench scale.
+# ---------------------------------------------------------------------------
+TOKENS_PER_WEIGHT = 800
+
+
+def t23_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = _with_tokens(load(spark, sf_dir, "documents"))
+    _, _, quality = _quality_exprs()
+    src_num = F.substring("source", 4, 10).cast("bigint")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size("toks").alias("n_tokens"),
+        quality.alias("quality"),
+        (F.lit(TOKENS_PER_WEIGHT) * (1 + src_num % 3)).alias("budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "source", "n_tokens", "quality", "cum_tokens")
+        .orderBy("source", "doc_id")
+    )
+
+
+T23_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(len({_D_TOKS}) AS INTEGER) AS n_tokens,
+         {_D_QUALITY} AS quality,
+         {TOKENS_PER_WEIGHT} * (1 + CAST(substr(source, 4, 10) AS BIGINT) % 3)
+           AS budget
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens, quality, budget,
+         sum(n_tokens) OVER (PARTITION BY source
+                             ORDER BY quality DESC, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM scored
+)
+SELECT doc_id, source, n_tokens, quality, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= budget
+ORDER BY source, doc_id
+"""

@@ -228,9 +228,14 @@ def test_t18_survivors_never_shuffle_text(spark, sf_dir):
     from postgres_to_snowflake_data_pipeline_spark.queries import corpusops
 
     df = corpusops.t18_dedup_survivors(spark, sf_dir)
-    plan = explain_str(df, "formatted")
-    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
-        assert "text" not in m.group(1), m.group(0)
+    # "simple" mode keeps node arguments inline — "formatted" splits them
+    # into detail blocks where this regex never matches (a vacuous pin,
+    # caught round 4g)
+    plan = explain_str(df, "simple")
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan
+    for keys in exchanges:
+        assert "text" not in keys, keys
 
 
 def test_batch_audit_scan_is_narrow_and_shuffle_free(spark, tmp_path):
@@ -379,3 +384,20 @@ def test_q24_unpivot_single_scan_expand_partial_agg(spark, sf_dir):
     partial = plan.index("partial_sum")
     scan_at = plan.index("Scan parquet", partial)
     assert "Exchange" not in plan[partial:scan_at], plan[partial:scan_at]
+
+
+def test_t23_mixture_sample_shuffles_only_narrow_columns(spark, sf_dir):
+    """Mixture sampling: tokens + quality are computed MAP-SIDE from the
+    scan; the single hash exchange partitions by source and carries only
+    (doc_id, source, n_tokens, quality, budget) — the text column never
+    crosses a shuffle. Scan reads exactly (doc_id, text, source)."""
+    df = textops.t23_mixture_sample(spark, sf_dir)
+    (scan,) = read_schema_columns(df)
+    assert set(scan) == {"doc_id", "text", "source"}, scan
+    plan = explain_str(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # the exchange input is the narrow projection — the Window/Sort above
+    # it name only the narrow columns, never text/toks
+    window_at = plan.index("Window [")
+    exchange_at = plan.index("Exchange hashpartitioning")
+    assert "text#" not in plan[window_at:exchange_at], plan
