@@ -324,6 +324,10 @@ class DeltaAggView:
 
         hist = self.source.snapshots()
         covers = bool(hist) and hist[0].snapshot_id <= last + 1
+        if covers and self.source.rollback_in_range(last, src_sid):
+            # a rollback rewound source state inside the window — not
+            # expressible as retractions; rebuild from the current truth
+            covers = False
         needs_preimage = not self.append_only and last > 0
         if covers and needs_preimage:
             # the pre-image read needs snapshot `last` itself retained

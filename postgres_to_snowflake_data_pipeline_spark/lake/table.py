@@ -1197,6 +1197,13 @@ class LakeTable:
         incremental batches, audit replays) regardless of commits that
         landed since."""
         snap = self.current()
+        if self.rollback_in_range(since_snapshot_id, until_snapshot_id):
+            raise ValueError(
+                "changes() window spans a rollback commit: the rolled-back "
+                "merges' rows no longer describe table state and would "
+                "LWW-poison an incremental consumer — rebuild from read(), "
+                "or close the window before the rollback snapshot"
+            )
         entries: list[dict[str, Any]] = []
         for s in self.log.history():
             if s.snapshot_id <= since_snapshot_id:
@@ -1308,6 +1315,14 @@ class LakeTable:
                 f"id {hist[0].snapshot_id} have been expired — the earliest "
                 "versions are unrecoverable (read a preserved snapshot "
                 "instead, or retain history on tables that need SCD2 reads)"
+            )
+        if self.rollback_in_range(0):
+            raise ValueError(
+                "history() is ambiguous across a rollback: merges the "
+                "rollback reverted are not versions of the CURRENT truth, "
+                "and re-applied epochs would double-count — time-travel to "
+                "a pre-rollback snapshot for forensics (key_history() stays "
+                "available for per-key write audits)"
             )
         keys = list(snap.key_cols)
         # changes() is at-least-once across a v1->v2 format upgrade (its
@@ -1779,6 +1794,16 @@ class LakeTable:
         for s in self.log.history():
             if s.snapshot_id <= base_sid or s.snapshot_id > parent.snapshot_id:
                 continue
+            if s.summary.get("operation") == "rollback":
+                # the compacted base folded rows the rollback just
+                # reverted — rebasing would resurrect them over the
+                # rolled-back state. Unrecoverable here by construction;
+                # the caller must recompute against the new current.
+                raise CommitConflictError(
+                    "table was rolled back while this replace commit was "
+                    "in flight — recompute the compaction against the "
+                    "rolled-back state"
+                )
             if s.summary.get("operation") != "merge":
                 continue  # a racing compaction folded rows we already have
             added = self.log.manifest_of(s.snapshot_id)
@@ -1798,6 +1823,7 @@ class LakeTable:
         replace_buckets: bool,
         base_snapshot_id: int | None = None,
         props_update: dict[str, Any] | None = None,
+        written_n_buckets: int | None = None,
     ) -> Snapshot | None:
         """Build and CAS-commit the next snapshot, retrying on commit
         conflicts (optimistic concurrency). Retries are metadata-only. On
@@ -1813,6 +1839,19 @@ class LakeTable:
             parent = self.current()
             if commit_key is not None and parent.has_commit_key(commit_key):
                 return None
+            if (
+                written_n_buckets is not None
+                and parent.n_buckets != written_n_buckets
+            ):
+                # the delta files were bucket-clustered under a layout the
+                # table no longer has (a rebucket or rollback raced this
+                # commit) — attaching them would misroute point lookups.
+                # Unrecoverable by rebasing: the batch must be rewritten.
+                raise CommitConflictError(
+                    f"bucket layout changed underneath this commit "
+                    f"(written against {written_n_buckets} buckets, table "
+                    f"now has {parent.n_buckets}) — recompute the batch"
+                )
             target_schema = evolve_schema(
                 parent.schema, schema,
                 retired={n.lower() for n in parent.retired_names},
@@ -1972,6 +2011,7 @@ class LakeTable:
         """
         if commit_key is not None and self.has_commit_key(commit_key):
             return None
+        write_layout = self.current().n_buckets
         new_files, summary = self._write_merge_delta(
             winners, schema, summary, summary_fn
         )
@@ -1982,6 +2022,7 @@ class LakeTable:
             commit_key,
             replace_buckets=False,
             props_update=props_update,
+            written_n_buckets=write_layout,
         )
 
     @property
@@ -2008,6 +2049,128 @@ class LakeTable:
             replace_buckets=False,
             props_update=updates,
         )
+
+    def rollback_in_range(
+        self, since_snapshot_id: int, until_snapshot_id: int | None = None
+    ) -> bool:
+        """True iff a rollback commit exists in ``(since, until-or-current]``
+        of the retained chain — the signal that an incremental window
+        spanning it is NOT expressible as a delta (state was rewound, not
+        advanced). ``changes()`` raises on it; the view refreshes fall back
+        to a full rebuild. A closed window entirely before the rollback
+        stays clean (reproducible audit replays keep working)."""
+        for s in self.log.history():
+            if s.snapshot_id <= since_snapshot_id:
+                continue
+            if (
+                until_snapshot_id is not None
+                and s.snapshot_id > until_snapshot_id
+            ):
+                continue
+            if s.summary.get("operation") == "rollback":
+                return True
+        return False
+
+    def rollback_to(
+        self, snapshot_id: int | None = None, tag: str | None = None
+    ) -> Snapshot:
+        """Iceberg-style rollback: commit a NEW snapshot whose entire table
+        descriptor — file map, schema, column ids, key columns, bucket
+        count, table properties AND ingestion frontier (epoch watermark +
+        commit keys) — equals the target snapshot's. O(metadata): no data
+        file is read, copied or deleted. History is preserved: the
+        rolled-back commits stay time-travelable until retention expires
+        them, and snapshot ids keep advancing, so pinned readers are
+        unaffected.
+
+        Rewinding the FRONTIER is the CDC-native half: epochs committed
+        after the target become un-applied again, so a corrected feed can
+        replay them through the normal idempotent ``apply_batch`` path and
+        the table reconverges exactly. ``next_column_id`` alone stays
+        monotone across both eras, so schema evolution after a rollback can
+        never re-mint a column id the abandoned era used.
+
+        Incremental consumers: a ``changes()`` window SPANNING the rollback
+        raises (the rolled-back merges' rows no longer describe state and
+        would LWW-poison a downstream consumer) and the view refreshes
+        detect it and rebuild fully; ``key_history()`` deliberately keeps
+        showing the physical write history across rollbacks — it is the
+        forensic tool for "what did the bad epoch write?".
+
+        Operator action: quiesce ingestion first. A writer racing the
+        rollback is still safe (its commit rebases or conflicts loudly via
+        the layout guard), but its epoch lands in whichever era wins —
+        rollback is for correcting history, not for concurrent use.
+
+        The target must still be retained — ``tag()`` restore points to pin
+        them against ``expire_snapshots``. Reference analog: the
+        reference's only recovery story is re-running the full
+        clear-and-reload (/root/reference/scripts/load_data.py:119-131);
+        rollback restores the same truth without moving data."""
+        if (snapshot_id is None) == (tag is None):
+            raise ValueError("pass exactly one of snapshot_id / tag")
+        if tag is not None:
+            tags = self.log.tags()
+            if tag not in tags:
+                raise KeyError(f"unknown tag {tag!r}")
+            snapshot_id = tags[tag]
+        try:
+            target = self.log.load(snapshot_id)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not retained (expired?) — "
+                "tag restore points to pin them against expire_snapshots"
+            ) from None
+        # validate the target's manifests still resolve BEFORE committing
+        # anything: a half-GC'd target must fail here, not at read time
+        try:
+            self.log.resolve_files(target.manifests)
+        except FileNotFoundError as exc:
+            raise ValueError(
+                f"snapshot {snapshot_id} is no longer reconstructible "
+                f"(manifest expired): {exc}"
+            ) from None
+        last_exc: CommitConflictError | None = None
+        for attempt in range(self.MAX_COMMIT_ATTEMPTS):
+            parent = self.current()
+            if parent.snapshot_id == snapshot_id:
+                return parent  # already the current state: no-op
+            snap = Snapshot(
+                snapshot_id=parent.snapshot_id + 1,
+                parent_id=parent.snapshot_id,
+                schema_json=target.schema_json,
+                n_buckets=target.n_buckets,
+                key_cols=list(target.key_cols),
+                manifests=[dict(m) for m in target.manifests],
+                summary={
+                    "operation": "rollback",
+                    "rollback_to": snapshot_id,
+                    "rolled_back_from": parent.snapshot_id,
+                    "committed_at_unix": time.time(),
+                },
+                commit_keys=list(target.commit_keys),
+                epoch_watermark=target.epoch_watermark,
+                epoch_base=target.epoch_base,
+                commit_count=target.commit_count,
+                column_ids=dict(target.column_ids),
+                prior_names={
+                    k: list(v) for k, v in target.prior_names.items()
+                },
+                retired_names=list(target.retired_names),
+                next_column_id=max(
+                    parent.next_column_id, target.next_column_id
+                ),
+                props=dict(target.props),
+            )
+            try:
+                self.log.commit(snap)
+                return snap
+            except CommitConflictError as exc:
+                last_exc = exc
+                time.sleep(0.002 * (attempt + 1))
+        raise CommitConflictError(
+            f"gave up after {self.MAX_COMMIT_ATTEMPTS} commit attempts"
+        ) from last_exc
 
     def _write_merge_delta(
         self,
@@ -2234,6 +2397,7 @@ class LakeTable:
             ),
             st["publish_key"],
             replace_buckets=False,
+            written_n_buckets=st["n_buckets"],
         )
         self.log.delete_staged(name)
         self.log.delete_manifest(st["manifest"])

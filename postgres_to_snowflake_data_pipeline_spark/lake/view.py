@@ -182,11 +182,16 @@ class IncrementalAggView:
             hint is not None
             and not hint.get("overflow")
             and int(hint["watermark"]) < self.last_source_snapshot()
-            and not self._history_covers(int(hint["watermark"]))
+            and (
+                not self._history_covers(int(hint["watermark"]))
+                or self.source.rollback_in_range(int(hint["watermark"]))
+            )
         ):
             # gap: the pairs between the hint's watermark and the view's
-            # position were expired from the changefeed — the incremental
-            # update can't close it, so re-bootstrap from a full scan below
+            # position were expired from the changefeed (or a rollback
+            # rewound state — changes() refuses to span it) — the
+            # incremental update can't close it, so re-bootstrap from a
+            # full scan below
             hint = None
         if hint is None:
             # bootstrap: one column-pruned scan of (groups + key) — the
@@ -300,7 +305,12 @@ class IncrementalAggView:
         gcol0 = self.group_cols[0]
         src_keys = set(src_snap.key_cols)
         non_key_grouping = not (set(self.group_cols) <= src_keys)
-        full_rebuild = not self._history_covers(last)
+        # a rollback between the view's position and now rewound source
+        # state — the changefeed cannot express it (changes() would raise);
+        # rebuild from the current truth
+        full_rebuild = not self._history_covers(last) or (
+            self.source.rollback_in_range(last)
+        )
         if non_key_grouping and not full_rebuild and last > 0:
             # the pre-image lookup below needs snapshot `last` itself to be
             # retained, not just the commits after it …

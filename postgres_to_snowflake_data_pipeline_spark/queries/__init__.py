@@ -86,6 +86,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # same epoch-collapse arithmetic replay_feed uses, then lead() over
     # per-(key, epoch) winners with delete versions dropped
     "c12_scd2_history": (cdcq.c12_scd2_history, cdcq.C12_SQL),
+    # NEW round 4g — rollback + corrected re-replay (rollback_to rewinds
+    # state AND the ingestion frontier as ONE metadata-only commit; the
+    # oracle is c01's clean-replay SQL: recovery must converge to the
+    # never-corrupted truth, sharp in both failure directions)
+    "c13_rollback_recovery": (cdcq.c13_rollback_recovery, cdcq.C13_SQL),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -117,7 +122,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         textops.T06_SQL,
     ),
     "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
-    "t13_levenshtein_pairs": (textops.t13_levenshtein_pairs, textops.T13_SQL),
     "t14_rolling_fingerprint": (
         textops.t14_rolling_fingerprint,
         textops.T14_SQL,
@@ -261,10 +265,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # exercised in-gate by t15/t16/t20/t21) demoted to admit the NEW
     # t22 PII redaction; t02 (3x driver-green; its quality composite is
     # the SAME _quality_exprs() expression exercised in-gate by t15 and
-    # the new t23) demoted to admit the NEW t23 mixture sampling
+    # the new t23) demoted to admit the NEW t23 mixture sampling; t13
+    # (3x driver-green; its blocked pair-join family rides in-gate t06)
+    # demoted to admit the NEW c13 rollback recovery
     "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
     "t01_token_count": (textops.t01_token_count, textops.T01_SQL),
     "t02_quality_score": (textops.t02_quality_score, textops.T02_SQL),
+    "t13_levenshtein_pairs": (textops.t13_levenshtein_pairs, textops.T13_SQL),
     "q11_multiformat_ts": (reference.q11_multiformat_ts, reference.Q11_SQL),
     "q06_left_join_counts": (reference.q06_left_join_counts, reference.Q06_SQL),
     "q04_data_summary": (reference.q04_data_summary, reference.Q04_SQL),

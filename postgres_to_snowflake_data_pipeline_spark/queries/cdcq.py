@@ -1027,3 +1027,59 @@ SELECT conv_id, turn_idx, role, text, ts,
        valid_to_lsn IS NULL AS is_current
 FROM v WHERE op <> 'delete'
 """
+
+
+# ---------------------------------------------------------------------------
+# c13 — rollback + corrected re-replay through the whole engine: epochs
+# 0-1 apply cleanly and are tagged; epoch 2 lands POISONED (every text
+# 'CORRUPTED'); `rollback_to(tag=...)` rewinds state AND the ingestion
+# frontier in one metadata-only commit; the corrected epoch 2 and epoch 3
+# then re-apply through the normal idempotent path. The oracle is C01's
+# clean-replay SQL verbatim: rollback + corrected replay must converge to
+# exactly the state a never-corrupted replay produces. The check is sharp
+# in both failure directions — if the rollback failed to drop the bad
+# files, the corrupted rows tie the corrected ones on LSN and poison the
+# value hash; if it failed to rewind the frontier, apply_batch SKIPS the
+# corrected epoch 2 and the CORRUPTED text survives.
+# ---------------------------------------------------------------------------
+def c13_rollback_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+
+    work = _work_dir("cdcrb", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    feed = spark.read.parquet(feed_path)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    step = max((hi - lo + 1) // 4, 1)
+
+    def epoch_slice(e: int) -> DataFrame:
+        a = lo + e * step
+        b = hi + 1 if e == 3 else lo + (e + 1) * step
+        return feed.filter((F.col("lsn") >= a) & (F.col("lsn") < b))
+
+    apply_batch(spark, table, epoch_slice(0), epoch=0)
+    apply_batch(spark, table, epoch_slice(1), epoch=1)
+    table.tag("pre-incident")
+    poisoned = epoch_slice(2).withColumn(
+        "text",
+        F.when(F.col("op") != "delete", F.lit("CORRUPTED")).otherwise(
+            F.col("text")
+        ),
+    )
+    apply_batch(spark, table, poisoned, epoch=2)
+    table.rollback_to(tag="pre-incident")
+    apply_batch(spark, table, epoch_slice(2), epoch=2)  # corrected
+    apply_batch(spark, table, epoch_slice(3), epoch=3)
+    return table.read().select("conv_id", "turn_idx", "role", "text", "ts")
+
+
+#: rollback + corrected replay ≡ a replay that was never corrupted
+C13_SQL = C01_SQL
