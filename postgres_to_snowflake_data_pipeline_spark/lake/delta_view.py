@@ -46,6 +46,17 @@ read of the view's dirty groups. min/max are additionally maintainable on
 APPEND-ONLY sources (an extremum can never be invalidated there; merged
 via least/greatest); over updating sources min/max/percentile have no
 retraction rule — use IncrementalAggView for those.
+
+count-distinct is the classic non-decomposable aggregate — exact distinct
+state per group is O(cardinality), so an exact incremental view degrades
+to a rescan. The ``approx_distinct`` measure makes it mergeable the way
+every large engine does: per-group DataSketches HLL state (a few KB,
+bounded by lgConfigK, NOT by cardinality) stored as a binary view column,
+built with ``hll_sketch_agg`` over each window's post-images and merged
+into the stored sketch with ``hll_union``; ``read()`` surfaces
+``hll_sketch_estimate`` (~1.6% std error at the default lgConfigK=12)
+under the measure name. Sketches cannot retract either, so the same
+append-only contract as min/max applies.
 """
 
 from __future__ import annotations
@@ -64,8 +75,12 @@ from postgres_to_snowflake_data_pipeline_spark.lake.table import (
 
 #: measure spec: view column ->
 #:   ("sum"|"avg"|"var"|"stddev", <sql expr>) | ("count", "*" | <sql expr>)
-#:   | ("min"|"max", <sql expr>)   [min/max: append-only sources only]
+#:   | ("min"|"max"|"approx_distinct", <sql expr>)   [append-only only]
 MeasureSpec = dict[str, tuple[str, str]]
+
+#: DataSketches HLL precision for approx_distinct state: 2^12 buckets,
+#: ~1.6% relative standard error, sketch <= ~4 KB per group
+HLL_LG_K = 12
 
 #: implicit live-row count per group — the group-death detector, always
 #: maintained and exposed as a view column
@@ -97,20 +112,27 @@ class DeltaAggView:
         bad = {
             name: op
             for name, (op, _) in measures.items()
-            if op not in ("sum", "count", "avg", "var", "stddev", "min", "max")
+            if op not in (
+                "sum", "count", "avg", "var", "stddev",
+                "min", "max", "approx_distinct",
+            )
         }
         if bad:
             raise ValueError(
                 f"unknown measure ops {bad}: sum/count/avg/var/stddev "
-                "always; min/max on append-only sources"
+                "always; min/max/approx_distinct on append-only sources"
             )
-        monotone = {n for n, (op, _) in measures.items() if op in ("min", "max")}
+        monotone = {
+            n for n, (op, _) in measures.items()
+            if op in ("min", "max", "approx_distinct")
+        }
         if monotone and not append_only:
             raise ValueError(
-                f"min/max measures {sorted(monotone)} have no retraction "
-                "rule — they are only maintainable on append_only sources "
-                "(old extrema can never be invalidated); use "
-                "IncrementalAggView for min/max over updating sources"
+                f"measures {sorted(monotone)} have no retraction rule — "
+                "min/max (old extrema can never be invalidated) and "
+                "approx_distinct (HLL sketches only union) are only "
+                "maintainable on append_only sources; use "
+                "IncrementalAggView over updating sources"
             )
         if N_ROWS in measures or N_ROWS in group_cols:
             raise ValueError(f"column name {N_ROWS!r} is reserved")
@@ -174,6 +196,13 @@ class DeltaAggView:
             else:
                 val, cond = F.col(name), nn > 0
             df = df.withColumn(name, F.when(cond, val))
+        for name in self._sketched():
+            # count(distinct x) over an all-NULL group is 0, and an empty
+            # sketch estimates 0 — coalesce only covers legacy NULL storage
+            df = df.withColumn(
+                name,
+                F.coalesce(F.hll_sketch_estimate(F.col(name)), F.lit(0)),
+            )
         return df.select(*self.group_cols, *[N_ROWS, *self.measures])
 
     # ------------------------------------------------------------------
@@ -230,6 +259,14 @@ class DeltaAggView:
             if op in ("var", "stddev")
         ]
 
+    def _sketched(self) -> list[str]:
+        """approx_distinct measures — stored as binary HLL sketches,
+        estimated at read time."""
+        return [
+            n for n, (op, _) in self.measures.items()
+            if op == "approx_distinct"
+        ]
+
     def _agg_exprs(self) -> list[F.Column]:
         """Signed adjustment aggregates over rows carrying the measures'
         source expressions as ``_v_{name}`` (see ``_payload_select``): each
@@ -270,6 +307,12 @@ class DeltaAggView:
                 # row carries sign +1, so the window extremum merges with
                 # the stored one via least/greatest in _apply_adjustment
                 out.append((F.min(v) if op == "min" else F.max(v)).alias(name))
+            elif op == "approx_distinct":
+                # append-only contract again: the window sketch unions into
+                # the stored sketch in _apply_adjustment. NULL inputs are
+                # skipped by the agg; an all-NULL window yields an EMPTY
+                # (non-NULL) sketch, a no-op under union.
+                out.append(F.hll_sketch_agg(v, HLL_LG_K).alias(name))
             elif expr == "*":
                 out.append(F.sum(sign).cast("long").alias(name))
             else:
@@ -572,6 +615,14 @@ class DeltaAggView:
                     return F.least(o, d)  # least/greatest skip NULLs
                 if op == "max":
                     return F.greatest(o, d)
+                if op == "approx_distinct":
+                    # hll_union(x, NULL) is NULL (probed on this Spark
+                    # build) — a brand-new group has no stored sketch
+                    return (
+                        F.when(o.isNull(), d)
+                        .when(d.isNull(), o)
+                        .otherwise(F.hll_union(o, d))
+                    )
                 # additive (sums/counts/_nn_ counters): d.c is never NULL
                 # for freshly-aggregated windows, but coalesce keeps stored
                 # totals 0-based even if an old stored row carried NULL

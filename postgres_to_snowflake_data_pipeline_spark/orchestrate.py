@@ -305,11 +305,12 @@ class ViewSpec:
     """A maintained aggregate view over one table.
 
     kind='delta'      -> DeltaAggView: ``measures`` maps view column ->
-                         ["sum"|"count"|"avg"|"var"|"stddev"|"min"|"max",
-                         expr] (count expr may be "*"); min/max require
-                         ``append_only: true`` (no retraction rule on
-                         updating sources); avg/var/stddev are moment-
-                         decomposed and work on updating sources.
+                         ["sum"|"count"|"avg"|"var"|"stddev"|"min"|"max"|
+                         "approx_distinct", expr] (count expr may be "*");
+                         min/max/approx_distinct require ``append_only:
+                         true`` (no retraction rule on updating sources);
+                         avg/var/stddev are moment-decomposed and work on
+                         updating sources.
     kind='incremental'-> IncrementalAggView: ``aggs`` maps view column ->
                          SQL aggregate expression (arbitrary aggregates,
                          dirty-group recompute).
@@ -336,19 +337,22 @@ class ViewSpec:
                 raise ValueError(f"delta view {self.name!r}: measures required")
             for col, m in self.measures.items():
                 if len(m) != 2 or m[0] not in (
-                    "sum", "count", "avg", "var", "stddev", "min", "max"
+                    "sum", "count", "avg", "var", "stddev", "min", "max",
+                    "approx_distinct",
                 ):
                     raise ValueError(
                         f"delta view {self.name!r}, measure {col!r}: want "
                         "[op, expr] with op in sum/count/avg/var/stddev/"
-                        f"min/max, got {m!r}"
+                        f"min/max/approx_distinct, got {m!r}"
                     )
-                if m[0] in ("min", "max") and not self.append_only:
+                if m[0] in ("min", "max", "approx_distinct") and (
+                    not self.append_only
+                ):
                     raise ValueError(
                         f"delta view {self.name!r}, measure {col!r}: "
                         f"{m[0]} is only maintainable with append_only=true "
-                        "(old extrema can never be retracted); use "
-                        "kind='incremental' over updating sources"
+                        "(extrema and HLL sketches cannot be retracted); "
+                        "use kind='incremental' over updating sources"
                     )
         if self.kind == "incremental" and not self.aggs:
             raise ValueError(f"incremental view {self.name!r}: aggs required")

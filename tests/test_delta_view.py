@@ -301,6 +301,71 @@ def test_append_only_min_max_measures(spark, tmp_path, source):
         )
 
 
+def test_append_only_approx_distinct_measure(spark, tmp_path, source):
+    """approx_distinct maintains a per-group HLL sketch unioned across
+    refreshes: the maintained estimate must stay within 5% of the exact
+    distinct count (lgK=12 gives ~1.6% std error; note the union path is
+    NOT register-identical to a one-shot sketch — DataSketches unions via
+    an HLL_8 accumulator, measured 987 vs 978 vs exact 980 — so accuracy,
+    not register equality, is the contract), read 0 for an all-NULL
+    group, and be rejected loudly on updating sources (sketches cannot
+    retract)."""
+    with pytest.raises(ValueError, match="append_only"):
+        DeltaAggView(
+            spark, str(tmp_path / "bad"), source, ("role",),
+            {"u": ("approx_distinct", "conv_id")},
+        )
+    measures = {
+        "n": ("count", "*"),
+        "uniq_convs": ("approx_distinct", "conv_id"),
+        "uniq_tools": ("approx_distinct", "tool"),
+    }
+    ev = change_events(spark, 6000, n_convs=6000).localCheckpoint()
+    ins = ev.filter(F.col("op") != "delete").dropDuplicates(
+        ["conv_id", "turn_idx"]
+    ).localCheckpoint()
+    view = DeltaAggView(
+        spark, str(tmp_path / "ad"), source, ("role",), measures,
+        payload_cols=["role", "conv_id", "tool"], append_only=True,
+        n_buckets=2,
+    )
+    for e in range(3):
+        apply_batch(spark, source, ins.filter(F.col("lsn") % 3 == e), epoch=e)
+        view.refresh()
+    got = {r["role"]: r.asDict() for r in view.read().collect()}
+    oneshot = {
+        r["role"]: r.asDict()
+        for r in source.read()
+        .filter(F.col("role").isNotNull())
+        .groupBy("role")
+        .agg(
+            F.count_distinct("conv_id").alias("exact_convs"),
+            F.count_distinct("tool").alias("exact_tools"),
+        )
+        .collect()
+    }
+    assert set(got) == set(oneshot) and got
+    for role, want in oneshot.items():
+        assert (
+            abs(got[role]["uniq_convs"] - want["exact_convs"])
+            <= max(1, 0.05 * want["exact_convs"])
+        ), (role, got[role], want)
+        assert (
+            abs(got[role]["uniq_tools"] - want["exact_tools"])
+            <= max(1, 0.05 * want["exact_tools"])
+        ), (role, got[role], want)
+    # an all-NULL contribution reads 0 (count distinct semantics), not NULL
+    nulls = spark.createDataFrame(
+        [(10_000_000, "insert", "zz0", 0, "zzrole", "t", None)],
+        "lsn long, op string, conv_id string, turn_idx int, "
+        "role string, text string, tool string",
+    ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+    apply_batch(spark, source, nulls, epoch=3)
+    view.refresh()
+    row = view.read().filter("role = 'zzrole'").first()
+    assert row["uniq_tools"] == 0 and row["uniq_convs"] == 1
+
+
 def test_avg_measure_tracks_updates_and_nulls(spark, tmp_path, source):
     """avg rides the sum machinery (total + non-null count): after CDC
     updates/deletes the maintained avg equals the full recompute's

@@ -304,10 +304,16 @@ def test_viewspec_validates_measures_at_load():
         PipelineSpec.from_dict(dict(base, views=[
             {"name": "v", "table": "ta", "group_cols": ["role"],
              "measures": {"lo": ["min", "lsn"]}}]))
+    with pytest.raises(ValueError, match="append_only"):
+        PipelineSpec.from_dict(dict(base, views=[
+            {"name": "v", "table": "ta", "group_cols": ["role"],
+             "measures": {"u": ["approx_distinct", "conv_id"]}}]))
     # with append_only: true it loads (round-trips too)
     spec = PipelineSpec.from_dict(dict(base, views=[
         {"name": "v", "table": "ta", "group_cols": ["role"],
-         "measures": {"lo": ["min", "lsn"]}, "append_only": True}]))
+         "measures": {"lo": ["min", "lsn"],
+                      "u": ["approx_distinct", "conv_id"]},
+         "append_only": True}]))
     assert PipelineSpec.from_dict(spec.to_dict()) == spec
 
 
