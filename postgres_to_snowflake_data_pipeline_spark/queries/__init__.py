@@ -91,6 +91,14 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # oracle is c01's clean-replay SQL: recovery must converge to the
     # never-corrupted truth, sharp in both failure directions)
     "c13_rollback_recovery": (cdcq.c13_rollback_recovery, cdcq.C13_SQL),
+    # NEW round 4h — incrementally-maintained fact⋈dim JOIN view
+    # (lake/join_view.py): dirty-join-key recompute over BOTH sources'
+    # changefeeds, dim-delete fan-out tombstones, bucket-pruned refresh
+    # reads; oracle = LWW state joined with the dim's final state
+    "c14_incremental_join_view": (
+        cdcq.c14_incremental_join_view,
+        cdcq.C14_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -117,10 +125,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # text analysis / dedup (training-data ops)
     "t03_lang_id": (textops.t03_lang_id, textops.T03_SQL),
     "t05_dedup_exact": (textops.t05_dedup_exact, textops.T05_SQL),
-    "t06_ngram_jaccard_pairs": (
-        textops.t06_ngram_jaccard_pairs,
-        textops.T06_SQL,
-    ),
     "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
     "t14_rolling_fingerprint": (
         textops.t14_rolling_fingerprint,
@@ -268,7 +272,15 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # the new t23) demoted to admit the NEW t23 mixture sampling; t13
     # (3x driver-green; its blocked pair-join family rides in-gate t06)
     # demoted to admit the NEW c13 rollback recovery
+    # round 4h: t06 (3x driver-green; its n-gram pair-join family stays
+    # in-gate via t21's 13-gram overlap join and t10's MinHash
+    # approximation of the same Jaccard) demoted to admit the NEW c14
+    # incremental join view
     "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
+    "t06_ngram_jaccard_pairs": (
+        textops.t06_ngram_jaccard_pairs,
+        textops.T06_SQL,
+    ),
     "t01_token_count": (textops.t01_token_count, textops.T01_SQL),
     "t02_quality_score": (textops.t02_quality_score, textops.T02_SQL),
     "t13_levenshtein_pairs": (textops.t13_levenshtein_pairs, textops.T13_SQL),

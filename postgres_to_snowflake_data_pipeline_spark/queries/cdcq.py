@@ -1083,3 +1083,141 @@ def c13_rollback_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: rollback + corrected replay ≡ a replay that was never corrupted
 C13_SQL = C01_SQL
+
+
+# ---------------------------------------------------------------------------
+# c14 — incrementally-maintained JOIN view through the whole engine: the
+# fact feed replays in 3 epochs while the customer dim ALSO changes (an
+# update epoch, then a delete epoch), and an IncrementalJoinView
+# (lake/join_view.py, dirty-join-key recompute over BOTH changefeeds)
+# refreshes after every step. The reference recomputes its silver report
+# by re-joining the full tables every run
+# (/root/reference/dags/silver_layer_dag.py:82-127 DELETE + re-INSERT);
+# here each refresh reads only the changed join keys' buckets. The oracle
+# joins the feed's LWW state with the dim's final state declaratively —
+# hash-green means 5 rounds of incremental maintenance (including the
+# dim-delete fan-out that must tombstone every fact row of the deleted
+# customers) converge to the exact full-recompute join.
+# ---------------------------------------------------------------------------
+def c14_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+    from postgres_to_snowflake_data_pipeline_spark.lake.join_view import (
+        IncrementalJoinView,
+    )
+
+    work = _work_dir("cdcjv", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    fact = LakeTable.create(
+        spark,
+        os.path.join(work, "fact"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    dim = LakeTable.create(
+        spark,
+        os.path.join(work, "dim"),
+        T.StructType(
+            [
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("segment", T.StringType(), True),
+                T.StructField("acctbal", T.DoubleType(), True),
+            ]
+        ),
+        key_cols=("conv_id",),
+        n_buckets=4,
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.concat(F.lit("u"), F.col("c_custkey").cast("string")).alias("conv_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_custkey"),
+    )
+    dim.merge(
+        cust.drop("c_custkey")
+        .withColumn("_lsn", F.lit(1).cast("long"))
+        .withColumn("_deleted", F.lit(False))
+    )
+    view = IncrementalJoinView(
+        spark,
+        os.path.join(work, "view"),
+        fact,
+        dim,
+        on_cols=("conv_id",),
+        how="inner",
+        left_cols=["role", "text"],
+        right_cols=["segment", "acctbal"],
+        n_buckets=4,
+    )
+    feed = spark.read.parquet(feed_path)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    step = max((hi - lo + 1) // 3, 1)
+    for e in range(3):
+        a = lo + e * step
+        b = hi + 1 if e == 2 else lo + (e + 1) * step
+        apply_batch(
+            spark, fact, feed.filter((F.col("lsn") >= a) & (F.col("lsn") < b)),
+            epoch=e,
+        )
+        view.refresh()
+        if e == 0:
+            # dim update epoch: every 10th customer changes segment
+            dim.merge(
+                cust.filter(F.col("c_custkey") % 10 == 0)
+                .drop("c_custkey")
+                .withColumn("segment", F.lit("UPGRADED"))
+                .withColumn("_lsn", F.lit(2).cast("long"))
+                .withColumn("_deleted", F.lit(False))
+            )
+            view.refresh()
+        elif e == 1:
+            # dim delete epoch: every 17th(+3) customer leaves — the view
+            # must drop ALL their fact rows (inner-join fan-out)
+            dim.merge(
+                cust.filter(F.col("c_custkey") % 17 == 3)
+                .select(
+                    "conv_id",
+                    F.lit(None).cast("string").alias("segment"),
+                    F.lit(None).cast("double").alias("acctbal"),
+                )
+                .withColumn("_lsn", F.lit(3).cast("long"))
+                .withColumn("_deleted", F.lit(True))
+            )
+            view.refresh()
+    return view.read().select(
+        "conv_id", "turn_idx", "role", "text", "segment", "acctbal"
+    )
+
+
+C14_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text
+  FROM events
+),
+w AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text
+  FROM feed GROUP BY 1, 2
+),
+state AS (SELECT conv_id, turn_idx, role, text FROM w WHERE op <> 'delete'),
+dim AS (
+  SELECT concat('u', CAST(c_custkey AS VARCHAR)) AS conv_id,
+         CASE WHEN c_custkey % 10 = 0 THEN 'UPGRADED'
+              ELSE c_mktsegment END AS segment,
+         c_acctbal AS acctbal
+  FROM customer
+  WHERE c_custkey % 17 <> 3
+)
+SELECT s.conv_id, s.turn_idx, s.role, s.text, d.segment, d.acctbal
+FROM state s JOIN dim d USING (conv_id)
+"""
