@@ -314,6 +314,14 @@ class ViewSpec:
     kind='incremental'-> IncrementalAggView: ``aggs`` maps view column ->
                          SQL aggregate expression (arbitrary aggregates,
                          dirty-group recompute).
+    kind='join'       -> IncrementalJoinView: ``table`` is the fact (left)
+                         side, ``right_table`` the dim side; ``on_cols``
+                         must be a subset of the left key and exactly the
+                         right key (lake/join_view.py's fact⋈dim
+                         contract); ``how`` 'inner'|'left'; ``left_cols``/
+                         ``right_cols`` select carried payload columns.
+                         ``group_cols`` must be empty (a join view is
+                         keyed by the left table's key).
 
     Measure ops are validated here — at spec LOAD — so a typo'd op or a
     min/max without append_only fails before any epoch runs, not after
@@ -321,17 +329,49 @@ class ViewSpec:
 
     name: str
     table: str
-    group_cols: tuple[str, ...]
+    group_cols: tuple[str, ...] = ()
     kind: str = "delta"
     measures: dict[str, tuple[str, str]] = field(default_factory=dict)
     aggs: dict[str, str] = field(default_factory=dict)
     payload_cols: tuple[str, ...] | None = None
     append_only: bool = False
     n_buckets: int = 8
+    right_table: str | None = None
+    on_cols: tuple[str, ...] = ()
+    how: str = "inner"
+    left_cols: tuple[str, ...] | None = None
+    right_cols: tuple[str, ...] | None = None
 
     def __post_init__(self) -> None:
-        if self.kind not in ("delta", "incremental"):
+        if self.kind not in ("delta", "incremental", "join"):
             raise ValueError(f"view {self.name!r}: unknown kind {self.kind!r}")
+        if self.kind == "join":
+            if not self.right_table or not self.on_cols:
+                raise ValueError(
+                    f"join view {self.name!r}: right_table and on_cols "
+                    "required"
+                )
+            if self.group_cols:
+                raise ValueError(
+                    f"join view {self.name!r}: group_cols must be empty "
+                    "(the view is keyed by the left table's key)"
+                )
+            if self.measures or self.aggs:
+                raise ValueError(
+                    f"join view {self.name!r}: measures/aggs do not apply"
+                )
+            if self.how not in ("inner", "left"):
+                raise ValueError(
+                    f"join view {self.name!r}: how must be 'inner' or "
+                    f"'left', got {self.how!r}"
+                )
+        elif self.right_table or self.on_cols:
+            raise ValueError(
+                f"view {self.name!r}: right_table/on_cols are join-view "
+                "fields (kind='join')"
+            )
+        if self.kind != "join" and not self.group_cols:
+            raise ValueError(f"view {self.name!r}: group_cols required")
         if self.kind == "delta":
             if not self.measures:
                 raise ValueError(f"delta view {self.name!r}: measures required")
@@ -613,6 +653,11 @@ class PipelineSpec:
         for v in self.views:
             if v.table not in known:
                 raise ValueError(f"view {v.name!r} over unknown table {v.table!r}")
+            if v.kind == "join" and v.right_table not in known:
+                raise ValueError(
+                    f"join view {v.name!r} over unknown right table "
+                    f"{v.right_table!r}"
+                )
         for e in self.exports:
             if e.table not in known:
                 raise ValueError(f"export targets unknown table {e.table!r}")
@@ -652,7 +697,7 @@ class PipelineSpec:
             views=tuple(
                 ViewSpec(
                     name=v["name"], table=v["table"],
-                    group_cols=tuple(v["group_cols"]),
+                    group_cols=tuple(v.get("group_cols") or ()),
                     kind=v.get("kind", "delta"),
                     measures={
                         k: (m[0], m[1]) for k, m in v.get("measures", {}).items()
@@ -663,6 +708,15 @@ class PipelineSpec:
                     ),
                     append_only=v.get("append_only", False),
                     n_buckets=v.get("n_buckets", 8),
+                    right_table=v.get("right_table"),
+                    on_cols=tuple(v.get("on_cols") or ()),
+                    how=v.get("how", "inner"),
+                    left_cols=(
+                        tuple(v["left_cols"]) if v.get("left_cols") else None
+                    ),
+                    right_cols=(
+                        tuple(v["right_cols"]) if v.get("right_cols") else None
+                    ),
                 )
                 for v in raw.get("views", [])
             ),
@@ -719,7 +773,12 @@ class PipelineSpec:
                      list(v.payload_cols) if v.payload_cols else None
                  ),
                  "append_only": v.append_only,
-                 "n_buckets": v.n_buckets}
+                 "n_buckets": v.n_buckets,
+                 "right_table": v.right_table,
+                 "on_cols": list(v.on_cols),
+                 "how": v.how,
+                 "left_cols": list(v.left_cols) if v.left_cols else None,
+                 "right_cols": list(v.right_cols) if v.right_cols else None}
                 for v in self.views
             ],
             "exports": [
@@ -874,6 +933,18 @@ class Pipeline:
                     list(v.payload_cols) if v.payload_cols is not None else None
                 ),
                 append_only=v.append_only,
+                n_buckets=v.n_buckets,
+            )
+        elif v.kind == "join":
+            from postgres_to_snowflake_data_pipeline_spark.lake.join_view import (
+                IncrementalJoinView,
+            )
+
+            h = IncrementalJoinView(
+                self.spark, root, src, self.tables[v.right_table],
+                on_cols=v.on_cols, how=v.how,
+                left_cols=list(v.left_cols) if v.left_cols else None,
+                right_cols=list(v.right_cols) if v.right_cols else None,
                 n_buckets=v.n_buckets,
             )
         else:

@@ -558,3 +558,92 @@ def test_spec_declared_content_indexes(spark, tmp_path):
         Pipeline(
             spark, spec_with({"indexes": {"tokens": "turn_idx"}})
         )
+
+
+def test_join_view_in_pipeline(spark, tmp_path):
+    """kind='join' views maintain a fact⋈dim join through the declarative
+    layer: both sides fed by routed epochs, refreshed per run_epoch, and
+    the spec round-trips through JSON with the join fields intact."""
+    ev = change_events(spark, 3000, n_convs=150).localCheckpoint()
+    convs = sorted(r[0] for r in ev.select("conv_id").distinct().collect())
+    lo, hi = ev.select(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    fact_epochs = {0: ev.filter(F.col("lsn") <= mid),
+                   1: ev.filter(F.col("lsn") > mid)}
+
+    def dim_feed(rows):
+        return spark.createDataFrame(
+            rows, "lsn long, op string, conv_id string, grp string"
+        ).withColumn("ts", F.to_timestamp(F.lit("2026-01-01 00:00:00")))
+
+    dim_epochs = {
+        0: dim_feed([(i + 1, "insert", c, f"g{i % 3}")
+                     for i, c in enumerate(convs)]),
+        # epoch 1: every 5th conv changes group, every 7th(+3) leaves
+        1: dim_feed(
+            [(10_000 + i, "update", c, "gX")
+             for i, c in enumerate(convs) if i % 5 == 0]
+            + [(20_000 + i, "delete", c, None)
+               for i, c in enumerate(convs) if i % 7 == 3]
+        ),
+    }
+
+    raw = {
+        "lake_root": str(tmp_path / "lake"),
+        "sources": [
+            {"name": "fw", "kind": "dataframe", "table": "fact"},
+            {"name": "dw", "kind": "dataframe", "table": "dim"},
+        ],
+        "tables": [
+            {"name": "fact", "key_cols": ["conv_id", "turn_idx"],
+             "n_buckets": 4},
+            {"name": "dim", "key_cols": ["conv_id"], "n_buckets": 2},
+        ],
+        "views": [
+            {"name": "fd", "table": "fact", "kind": "join",
+             "right_table": "dim", "on_cols": ["conv_id"],
+             "left_cols": ["role", "text"], "right_cols": ["grp"],
+             "n_buckets": 2},
+        ],
+    }
+    spec = PipelineSpec.from_dict(raw)
+    # JSON round-trip preserves the join-view fields
+    assert PipelineSpec.from_json(json.dumps(spec.to_dict())) == spec
+
+    pipe = Pipeline(spark, spec)
+    for e in (0, 1):
+        res = pipe.run_epoch(
+            e, feeds={"fw": fact_epochs[e], "dw": dim_epochs[e]}
+        )
+        assert res["views"]["fd"] is not None
+        got = pipe.view("fd")
+        want = pipe.tables["fact"].read(columns=["role", "text"]).join(
+            pipe.tables["dim"].read(), on=["conv_id"], how="inner"
+        ).select(*got.columns)
+        assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # the epoch-1 dim deletes actually fanned out of the view
+    victim = convs[3]
+    assert pipe.view("fd").filter(F.col("conv_id") == victim).isEmpty()
+
+    # spec-load validation is loud
+    with pytest.raises(ValueError, match="right_table and on_cols"):
+        PipelineSpec.from_dict(dict(raw, views=[
+            {"name": "v", "table": "fact", "kind": "join"}]))
+    with pytest.raises(ValueError, match="unknown right table"):
+        PipelineSpec.from_dict(dict(raw, views=[
+            {"name": "v", "table": "fact", "kind": "join",
+             "right_table": "nope", "on_cols": ["conv_id"]}]))
+    with pytest.raises(ValueError, match="group_cols must be empty"):
+        PipelineSpec.from_dict(dict(raw, views=[
+            {"name": "v", "table": "fact", "kind": "join",
+             "right_table": "dim", "on_cols": ["conv_id"],
+             "group_cols": ["role"]}]))
+    with pytest.raises(ValueError, match="how must be"):
+        PipelineSpec.from_dict(dict(raw, views=[
+            {"name": "v", "table": "fact", "kind": "join",
+             "right_table": "dim", "on_cols": ["conv_id"], "how": "full"}]))
+    with pytest.raises(ValueError, match="join-view fields"):
+        PipelineSpec.from_dict(dict(raw, views=[
+            {"name": "v", "table": "fact", "group_cols": ["role"],
+             "measures": {"n": ["count", "*"]},
+             "right_table": "dim"}]))
