@@ -1170,8 +1170,69 @@ class LakeTable:
         return self.read(snapshot_id=self.snapshot_as_of(ts_unix).snapshot_id,
                          **kwargs)
 
+    def dead_merge_ids(
+        self, until_snapshot_id: int | None = None
+    ) -> set[int]:
+        """Merge commits in the retained chain whose effects are NOT part
+        of the state at ``until`` (default: current) — i.e. merges rewound
+        by a rollback commit at or before it.
+
+        Computed by a ceiling walk newest→oldest: the live ceiling starts
+        at ``until``; a rollback commit at or under the ceiling lowers it
+        to its target (rollbacks inside an already-dead era are themselves
+        dead and do NOT move the ceiling, so nested and repeated rollbacks
+        resolve correctly); merges above the ceiling are dead. O(retained
+        history), metadata only."""
+        hist = self.log.history()
+        until = (
+            until_snapshot_id
+            if until_snapshot_id is not None
+            else (hist[-1].snapshot_id if hist else 0)
+        )
+        ceiling = until
+        dead: set[int] = set()
+        for s in reversed(hist):
+            if s.snapshot_id > until:
+                continue
+            if s.snapshot_id > ceiling:
+                if s.summary.get("operation") == "merge":
+                    dead.add(s.snapshot_id)
+                continue
+            if s.summary.get("operation") == "rollback":
+                ceiling = int(s.summary["rollback_to"])
+        return dead
+
+    def live_snapshots(
+        self, until_snapshot_id: int | None = None
+    ) -> list[Snapshot]:
+        """The retained snapshots that are part of the state-at-``until``'s
+        lineage (default: current), oldest first — ``snapshots()`` minus
+        eras rewound by rollback commits (same ceiling walk as
+        :meth:`dead_merge_ids`, applied to every operation). The rollback
+        commits themselves are kept (they ARE state transitions of the
+        live chain)."""
+        hist = self.log.history()
+        ceiling = (
+            until_snapshot_id
+            if until_snapshot_id is not None
+            else (hist[-1].snapshot_id if hist else 0)
+        )
+        out: list[Snapshot] = []
+        for s in reversed(hist):
+            if s.snapshot_id > ceiling:
+                continue
+            if s.summary.get("operation") == "rollback":
+                out.append(s)
+                ceiling = int(s.summary["rollback_to"])
+            else:
+                out.append(s)
+        return list(reversed(out))
+
     def changes(
-        self, since_snapshot_id: int, until_snapshot_id: int | None = None
+        self,
+        since_snapshot_id: int,
+        until_snapshot_id: int | None = None,
+        skip_rolled_back: bool = False,
     ) -> DataFrame:
         """Incremental read: the change rows committed AFTER the given
         snapshot — the lake table itself becomes a changefeed source for
@@ -1195,20 +1256,66 @@ class LakeTable:
         ``until_snapshot_id`` closes the window (inclusive) — a consumer
         can re-read EXACTLY the slice an earlier poll saw (reproducible
         incremental batches, audit replays) regardless of commits that
-        landed since."""
+        landed since.
+
+        ``skip_rolled_back=True`` makes a window spanning a ROLLBACK
+        commit consumable when that is sound: merges rewound by rollbacks
+        (``dead_merge_ids``) are skipped — state at ``until`` equals state
+        at the rollback targets plus the surviving merges, so the live
+        merges alone ARE the exact delta. It still raises when the
+        consumer's position itself includes a rolled-back merge (its state
+        holds rows no delta can retract — rebuild from ``read()``; a
+        mirror can instead rewind itself, cdc/mirror.py)."""
         snap = self.current()
-        if self.rollback_in_range(since_snapshot_id, until_snapshot_id):
-            raise ValueError(
-                "changes() window spans a rollback commit: the rolled-back "
-                "merges' rows no longer describe table state and would "
-                "LWW-poison an incremental consumer — rebuild from read(), "
-                "or close the window before the rollback snapshot"
-            )
+        if skip_rolled_back:
+            dead = self.dead_merge_ids(until_snapshot_id)
+            # poisoned = a merge the consumer INGESTED was later rewound:
+            # dead at `until` but not already dead at the consumer's own
+            # position (an honest consumer's state is the live chain at
+            # its position, so merges that were already dead there never
+            # entered it — a rollback the consumer synced PAST is benign)
+            dead_at_since = self.dead_merge_ids(since_snapshot_id)
+            if any(
+                d <= since_snapshot_id and d not in dead_at_since
+                for d in dead
+            ):
+                raise ValueError(
+                    "changes(): the consumer position includes merges that "
+                    "a later rollback rewound — its state cannot be "
+                    "advanced by any delta; rebuild from read() or rewind "
+                    "the consumer below the rollback target"
+                )
+            # an OVERWRITE on the live chain replaces state wholesale — no
+            # delta before it can be skipped or kept; only consumers
+            # positioned at/after it may proceed incrementally
+            for s in self.live_snapshots(until_snapshot_id):
+                if (
+                    s.summary.get("operation") == "overwrite"
+                    and s.snapshot_id > since_snapshot_id
+                ):
+                    raise ValueError(
+                        "changes(): the window spans an overwrite commit "
+                        f"(snapshot {s.snapshot_id}) — state was replaced "
+                        "wholesale; rebuild from read()"
+                    )
+        else:
+            dead = set()
+            if self.rollback_in_range(since_snapshot_id, until_snapshot_id):
+                raise ValueError(
+                    "changes() window spans a rollback commit: the rolled-back "
+                    "merges' rows no longer describe table state and would "
+                    "LWW-poison an incremental consumer — rebuild from read(), "
+                    "or close the window before the rollback snapshot "
+                    "(skip_rolled_back=True consumes across it when the "
+                    "consumer position predates the rollback target)"
+                )
         entries: list[dict[str, Any]] = []
         for s in self.log.history():
             if s.snapshot_id <= since_snapshot_id:
                 continue
             if until_snapshot_id is not None and s.snapshot_id > until_snapshot_id:
+                continue
+            if s.snapshot_id in dead:
                 continue
             if s.summary.get("operation") != "merge":
                 continue
@@ -2025,6 +2132,97 @@ class LakeTable:
             written_n_buckets=write_layout,
         )
 
+    def overwrite(
+        self,
+        state: DataFrame,
+        schema: T.StructType | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot:
+        """Replace the table's ENTIRE data state with ``state`` in one
+        atomic commit — the bootstrap/backfill/repair primitive (a mirror's
+        full rebuild, cdc/mirror.py, is the flagship caller). Reference
+        analog: the clear-and-reload the reference performs on every run
+        (/root/reference/scripts/load_data.py:119-131), here as ONE
+        snapshot-isolated commit instead of a destructive TRUNCATE window.
+
+        ``state`` must be resolved (at most one row per key) and carry
+        ``_lsn`` plus the payload columns of ``schema`` (defaults to the
+        current table schema — pass a different one to re-baseline it).
+        ``_deleted`` rows are carried as tombstones when present (keep them:
+        they guard late lower-LSN arrivals exactly as in ``compact``); the
+        patch internals (``_plsn_{c}``/``_dlsn``) are carried when present
+        and NULL-defaulted otherwise (a NULL per-column LSN reconstructs
+        from ``_lsn`` at read time — the same pre-declaration rule the
+        patch reads apply). ``read(include_internal=True,
+        include_tombstones=True)`` of another table produces exactly this
+        shape.
+
+        Unlike ``merge`` this REPLACES every bucket's file list: keys
+        absent from ``state`` are gone from the new snapshot. Pinned
+        readers and time travel keep seeing prior snapshots (history is
+        preserved, files expire via the normal GC). Because the new state
+        is not expressible as a delta of the old, incremental consumers
+        treat an overwrite like a rollback: ``changes()`` windows spanning
+        it raise (``rollback_in_range`` flags both) and view refreshes fall
+        back to a full rebuild. One full-row shuffle (the compaction
+        exchange), one write, one metadata commit."""
+        snap = self.current()
+        target_schema = schema or snap.schema
+        if "_lsn" not in state.columns:
+            raise ValueError(
+                "overwrite: state must carry _lsn (the per-row LWW "
+                "position) — read(include_internal=True) preserves it"
+            )
+        kcol = snap.key_cols[0]
+        df = state
+        if "_deleted" not in df.columns:
+            df = df.withColumn("_deleted", F.lit(False))
+        internal = self._internal_fields_for(snap)
+        for fld in internal:
+            if fld.name not in df.columns and fld.name != "_bucket":
+                df = df.withColumn(fld.name, F.lit(None).cast(fld.dataType))
+        # always re-bucket under THIS table's layout (an incoming _bucket
+        # column belongs to the source table's layout, which may differ)
+        df = df.drop("_bucket").withColumn(
+            "_bucket", bucket_expr(kcol, snap.n_buckets)
+        )
+        ordered = [f.name for f in target_schema.fields] + [
+            f.name for f in internal
+        ]
+        df = self._fold_shuffle(
+            df.select(*ordered), snap.n_buckets, tuple(snap.key_cols)
+        )
+        group = f"overwrite-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
+        commit_dir = os.path.join("data", group)
+        zcol = self._zone_ts_col(target_schema)
+        raw, _lineage = self._write_data(
+            df,
+            commit_dir,
+            key_col=kcol,
+            ts_col=zcol,
+            ts_col_id=snap.column_ids.get(zcol) if zcol else None,
+            content=self._content_spec(snap),
+        )
+        new_files = {
+            b: [
+                dict(e, kind="base", lww_group=group, ts_k=1, key_k=1)
+                for e in es
+            ]
+            for b, es in raw.items()
+        }
+        for b in range(snap.n_buckets):
+            new_files.setdefault(str(b), [])
+        out = self._next_commit(
+            new_files,
+            target_schema,
+            dict(summary or {}, operation="overwrite"),
+            commit_key=None,
+            replace_buckets=True,
+            base_snapshot_id=snap.snapshot_id,
+        )
+        assert out is not None  # no commit_key -> never the racer path
+        return out
+
     @property
     def props(self) -> dict[str, Any]:
         """Current table properties (read-only copy)."""
@@ -2053,11 +2251,12 @@ class LakeTable:
     def rollback_in_range(
         self, since_snapshot_id: int, until_snapshot_id: int | None = None
     ) -> bool:
-        """True iff a rollback commit exists in ``(since, until-or-current]``
-        of the retained chain — the signal that an incremental window
-        spanning it is NOT expressible as a delta (state was rewound, not
-        advanced). ``changes()`` raises on it; the view refreshes fall back
-        to a full rebuild. A closed window entirely before the rollback
+        """True iff a rollback or overwrite commit exists in
+        ``(since, until-or-current]`` of the retained chain — the signal
+        that an incremental window spanning it is NOT expressible as a
+        delta (state was rewound or wholesale replaced, not advanced).
+        ``changes()`` raises on it; the view refreshes fall back to a full
+        rebuild. A closed window entirely before the rollback/overwrite
         stays clean (reproducible audit replays keep working)."""
         for s in self.log.history():
             if s.snapshot_id <= since_snapshot_id:
@@ -2067,7 +2266,7 @@ class LakeTable:
                 and s.snapshot_id > until_snapshot_id
             ):
                 continue
-            if s.summary.get("operation") == "rollback":
+            if s.summary.get("operation") in ("rollback", "overwrite"):
                 return True
         return False
 

@@ -99,6 +99,14 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c14_incremental_join_view,
         cdcq.C14_SQL,
     ),
+    # NEW round 4i — changefeed-driven replication (cdc/mirror.py): a
+    # re-layout follower synced from the source's OWN changefeed through a
+    # poisoned epoch + source rollback (propagated as a follower rollback,
+    # metadata-only); oracle = c01's clean-replay SQL
+    "c15_changefeed_mirror": (
+        cdcq.c15_changefeed_mirror,
+        cdcq.C15_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -124,7 +132,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
     # text analysis / dedup (training-data ops)
     "t03_lang_id": (textops.t03_lang_id, textops.T03_SQL),
-    "t05_dedup_exact": (textops.t05_dedup_exact, textops.T05_SQL),
     "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
     "t14_rolling_fingerprint": (
         textops.t14_rolling_fingerprint,
@@ -276,6 +283,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # in-gate via t21's 13-gram overlap join and t10's MinHash
     # approximation of the same Jaccard) demoted to admit the NEW c14
     # incremental join view
+    # round 4i: t05 (driver-green r2+r3; its exact fingerprint-dedup is
+    # literally the first stage of the in-gate t15 curation pipeline, and
+    # the dedup family also rides in-gate t17/t18) demoted to admit the
+    # NEW c15 changefeed mirror
+    "t05_dedup_exact": (textops.t05_dedup_exact, textops.T05_SQL),
     "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
     "t06_ngram_jaccard_pairs": (
         textops.t06_ngram_jaccard_pairs,

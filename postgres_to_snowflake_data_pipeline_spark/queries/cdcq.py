@@ -1221,3 +1221,67 @@ dim AS (
 SELECT s.conv_id, s.turn_idx, s.role, s.text, d.segment, d.acctbal
 FROM state s JOIN dim d USING (conv_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# c15 — changefeed-driven replication (cdc/mirror.py) through an incident:
+# a TableMirror follows the source table from its OWN changefeed (the
+# engine's CDC-out closure — changes() replayed through the same LWW merge
+# reconverges a follower exactly), syncing after every epoch. The mirror is
+# a RE-LAYOUT replica (4 buckets vs the source's 8). Mid-run it ingests a
+# poisoned epoch; the source then rolls back and re-replays corrected —
+# the final sync must detect the rewind and PROPAGATE it as a follower
+# rollback (metadata-only) before resuming incrementally. The oracle is
+# c01's clean-replay SQL: a replica recovered through rollback propagation
+# must equal the state of a feed that was never corrupted. Reference
+# analog: the reference replicates by full clear-and-reload every run
+# (/root/reference/scripts/load_data.py:119-131); here only deltas move.
+# ---------------------------------------------------------------------------
+def c15_changefeed_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+    from postgres_to_snowflake_data_pipeline_spark.cdc.mirror import TableMirror
+
+    work = _work_dir("cdcmr", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    mirror = TableMirror(spark, os.path.join(work, "replica"), table, n_buckets=4)
+    feed = spark.read.parquet(feed_path)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    step = max((hi - lo + 1) // 4, 1)
+
+    def epoch_slice(e: int) -> DataFrame:
+        a = lo + e * step
+        b = hi + 1 if e == 3 else lo + (e + 1) * step
+        return feed.filter((F.col("lsn") >= a) & (F.col("lsn") < b))
+
+    apply_batch(spark, table, epoch_slice(0), epoch=0)
+    mirror.sync()
+    apply_batch(spark, table, epoch_slice(1), epoch=1)
+    mirror.sync()
+    table.tag("pre-incident")
+    poisoned = epoch_slice(2).withColumn(
+        "text",
+        F.when(F.col("op") != "delete", F.lit("CORRUPTED")).otherwise(
+            F.col("text")
+        ),
+    )
+    apply_batch(spark, table, poisoned, epoch=2)
+    mirror.sync()  # the replica ingests the incident too
+    table.rollback_to(tag="pre-incident")
+    apply_batch(spark, table, epoch_slice(2), epoch=2)  # corrected
+    apply_batch(spark, table, epoch_slice(3), epoch=3)
+    res = mirror.sync()
+    assert res is not None and res["mode"] == "rollback+incremental", res
+    return mirror.read().select("conv_id", "turn_idx", "role", "text", "ts")
+
+
+#: a replica recovered via rollback propagation ≡ a clean replay
+C15_SQL = C01_SQL
