@@ -57,6 +57,24 @@ into the stored sketch with ``hll_union``; ``read()`` surfaces
 ``hll_sketch_estimate`` (~1.6% std error at the default lgConfigK=12)
 under the measure name. Sketches cannot retract either, so the same
 append-only contract as min/max applies.
+
+PERCENTILES are non-decomposable too (the other O(table) refresh the
+round-3 verdict flagged), but unlike min/max a HISTOGRAM of them is fully
+retractable: the ``approx_p{N}`` measures (``approx_p50``, ``approx_p95``,
+1 ≤ N ≤ 99) maintain a per-group log-binned histogram as a sparse
+``map<bin,count>`` column — bin counts are plain signed sums, so updates
+AND deletes retract exactly and the measure works on general CDC sources
+(no append-only contract). ``read()`` walks the cumulative counts to the
+requested rank and surfaces the hit bin's midpoint: the answer is the true
+percentile to within one bin's width (bins subdivide each power-of-two
+octave in 8 linear steps — worst-case ±6.25% relative). Everything is
+EXACT integer/dyadic arithmetic (octave from the bit length of the value,
+sub-bin from an integer shift-divide, midpoint = 2^e·(17+2s)/16 — all
+exactly-representable doubles), so the maintained state, a from-scratch
+recompute, and a DuckDB oracle agree bit-for-bit; the contract is that the
+measure expression is INTEGER-VALUED (lengths, counts, micros, cents —
+enforced per row), the same money-in-cents discipline the oracle gate
+already taught us for sums.
 """
 
 from __future__ import annotations
@@ -81,6 +99,80 @@ MeasureSpec = dict[str, tuple[str, str]]
 #: DataSketches HLL precision for approx_distinct state: 2^12 buckets,
 #: ~1.6% relative standard error, sketch <= ~4 KB per group
 HLL_LG_K = 12
+
+#: approx_p{N} histogram geometry: each power-of-two octave splits into 8
+#: linear sub-bins -> worst-case relative half-width (2^{1/8}-ish) 6.25%;
+#: a 64-bit integer domain spans <= 63*8 = 504 positive bins and only
+#: NON-ZERO bins are stored (map<long,long> per group)
+HIST_SUB_BINS = 8
+#: bin id for exact zero — below every positive bin (those are >= 0)
+HIST_ZERO_BIN = -1_000_000_000
+#: negative values mirror below the zero bin, ordered so the bin id stays
+#: monotone in the value: bin = HIST_NEG_BASE - posbin(-v)
+HIST_NEG_BASE = -2_000_000_000
+
+
+def parse_hist_op(op: str) -> int | None:
+    """``approx_p{N}`` -> N (1..99), else None."""
+    if not op.startswith("approx_p"):
+        return None
+    tail = op[len("approx_p"):]
+    if not tail.isdigit():
+        return None
+    pct = int(tail)
+    return pct if 1 <= pct <= 99 else None
+
+
+def hist_bin(v: F.Column) -> F.Column:
+    """Histogram bin of an integer-valued column, in EXACT arithmetic:
+    octave e = bit_length(|v|) - 1 (via ``bin()``'s string length — no
+    floating log whose last ulp could disagree across engines), sub-bin
+    s = |v|*8 div 2^e - 8 ∈ [0, 8). Monotone in v across the negative /
+    zero / positive ranges. Non-integer or overflowing values raise (the
+    measure contract is integer-valued expressions; quantize upstream)."""
+    d = v.cast("double")
+    checked = F.when(
+        (d != F.floor(d)) | (F.abs(d) >= F.lit(float(2**53))),
+        F.raise_error(
+            F.lit(
+                "approx_p measures need integer-valued expressions "
+                "(|v| < 2^53): lengths, counts, micros, cents"
+            )
+        ).cast("double"),
+    ).otherwise(d)
+    a = F.abs(checked).cast("long")
+    e = (F.length(F.bin(a)) - 1).cast("long")
+    # a / 2^(e-3) ∈ [8, 16): a is < 2^53 so exact as a double, and scaling
+    # by a power of two only moves the exponent — the quotient is exact
+    sub = a.cast("double") / F.pow(F.lit(2.0), (e - 3).cast("double"))
+    posbin = e * 8 + F.floor(sub).cast("long") - 8
+    return (
+        F.when(v.isNull(), F.lit(None).cast("long"))
+        .when(checked == 0, F.lit(HIST_ZERO_BIN))
+        .when(checked > 0, posbin)
+        .otherwise(F.lit(HIST_NEG_BASE) - posbin)
+    )
+
+
+def hist_bin_value(b: F.Column) -> F.Column:
+    """Midpoint of a histogram bin — 2^e · (17 + 2s)/16, an EXACTLY
+    representable double (power of two × dyadic), so every engine
+    computing it from the same bin id gets the same bits."""
+
+    def mid(bb: F.Column) -> F.Column:
+        e = F.floor(bb / F.lit(8.0)).cast("long")
+        s = bb - e * 8
+        return (
+            F.pow(F.lit(2.0), e.cast("double"))
+            * (F.lit(17.0) + s.cast("double") * 2)
+            / F.lit(16.0)
+        )
+
+    return (
+        F.when(b == HIST_ZERO_BIN, F.lit(0.0))
+        .when(b > HIST_ZERO_BIN, mid(b))
+        .otherwise(-mid(F.lit(HIST_NEG_BASE) - b))
+    )
 
 #: implicit live-row count per group — the group-death detector, always
 #: maintained and exposed as a view column
@@ -116,11 +208,13 @@ class DeltaAggView:
                 "sum", "count", "avg", "var", "stddev",
                 "min", "max", "approx_distinct",
             )
+            and parse_hist_op(op) is None
         }
         if bad:
             raise ValueError(
-                f"unknown measure ops {bad}: sum/count/avg/var/stddev "
-                "always; min/max/approx_distinct on append-only sources"
+                f"unknown measure ops {bad}: sum/count/avg/var/stddev/"
+                "approx_p{1..99} always; min/max/approx_distinct on "
+                "append-only sources"
             )
         monotone = {
             n for n, (op, _) in measures.items()
@@ -203,6 +297,39 @@ class DeltaAggView:
                 name,
                 F.coalesce(F.hll_sketch_estimate(F.col(name)), F.lit(0)),
             )
+        for name, pct in self._hist_tracked().items():
+            # percentile from the stored histogram: walk the bins in order
+            # to rank ceil(n·pct/100) and surface the hit bin's midpoint.
+            # All arithmetic is exact (integer counts; the rank division is
+            # a multiple-of-100 divide; the midpoint is a dyadic double),
+            # so any engine recomputing from the same rows agrees exactly.
+            m = F.col(name)
+            entries = F.array_sort(m)  # key-sorted invariant, kept anyway
+            n = F.aggregate(
+                entries,
+                F.lit(0).cast("long"),
+                lambda acc, e: acc + e["count"],
+            )
+            num = n * pct + 99
+            rank = ((num - F.pmod(num, 100)) / 100).cast("long")
+            acc0 = F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("long").alias("bin"),
+            )
+            hit = F.aggregate(
+                entries,
+                acc0,
+                lambda acc, e: F.struct(
+                    (acc["cum"] + e["count"]).alias("cum"),
+                    F.when(acc["bin"].isNotNull(), acc["bin"])
+                    .when(acc["cum"] + e["count"] >= rank, e["bin"])
+                    .alias("bin"),
+                ),
+            )["bin"]
+            df = df.withColumn(
+                name,
+                F.when(m.isNotNull() & (n > 0), hist_bin_value(hit)),
+            )
         return df.select(*self.group_cols, *[N_ROWS, *self.measures])
 
     # ------------------------------------------------------------------
@@ -267,6 +394,18 @@ class DeltaAggView:
             if op == "approx_distinct"
         ]
 
+    def _hist_tracked(self) -> dict[str, int]:
+        """approx_p{N} measures -> percentile (1..99). Stored as sparse
+        ``map<bin,count>`` histograms (see module docstring): fully
+        retractable, so allowed on general CDC sources (stored as key-sorted
+        entry arrays — MapType is not orderable for the view table)."""
+        out: dict[str, int] = {}
+        for n, (op, _) in self.measures.items():
+            pct = parse_hist_op(op)
+            if pct is not None:
+                out[n] = pct
+        return out
+
     def _agg_exprs(self) -> list[F.Column]:
         """Signed adjustment aggregates over rows carrying the measures'
         source expressions as ``_v_{name}`` (see ``_payload_select``): each
@@ -276,8 +415,11 @@ class DeltaAggView:
         zero adjustment) and paired with a ``_nn_{name}`` contribution
         count so ``read`` can restore NULL semantics."""
         sign = F.col("_sign")
+        hist = self._hist_tracked()
         out = [F.sum(sign).cast("long").alias(N_ROWS)]
         for name, (op, expr) in self.measures.items():
+            if name in hist:
+                continue  # maps need a per-bin pre-agg: built in _signed_agg
             v = F.col(f"_v_{name}")
             if op in ("sum", "avg"):
                 # avg is maintained AS its sum; read() divides by _nn
@@ -333,10 +475,49 @@ class DeltaAggView:
     def _signed_agg(self, signed: DataFrame) -> DataFrame:
         """Aggregate signed rows to per-group adjustments (or, when every
         row has sign +1, absolute totals). NULL group values cannot be view
-        keys (equality joins + bucketing) and are excluded consistently."""
-        for g in self.group_cols:
+        keys (equality joins + bucketing) and are excluded consistently.
+
+        approx_p histograms aggregate separately — (group, bin) first,
+        then bins fold into one ``map<bin,count>`` row per group (the
+        collect_list is over the group's NON-ZERO bins, <= 504 per sign
+        by construction, not over its rows) — and join back on the group
+        key. Zero net counts are dropped so windows that merely MOVE a
+        value within a bin leave no entry."""
+        gcols = list(self.group_cols)
+        for g in gcols:
             signed = signed.filter(F.col(g).isNotNull())
-        return signed.groupBy(*self.group_cols).agg(*self._agg_exprs())
+        hist = self._hist_tracked()
+        if hist:
+            signed = signed.localCheckpoint()  # scanned once per agg below
+        base = signed.groupBy(*gcols).agg(*self._agg_exprs())
+        for name in hist:
+            m = (
+                signed.select(
+                    *gcols,
+                    hist_bin(F.col(f"_v_{name}")).alias("_b"),
+                    F.col("_sign"),
+                )
+                .filter(F.col("_b").isNotNull())
+                .groupBy(*gcols, "_b")
+                .agg(F.sum("_sign").cast("long").alias("_c"))
+                .filter(F.col("_c") != 0)
+                .groupBy(*gcols)
+                .agg(
+                    # stored as a key-sorted entry ARRAY, not a map: the
+                    # view table's LWW dedup orders rows by a struct of
+                    # every column and Spark cannot order MapType
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_b").alias("bin"),
+                                F.col("_c").alias("count"),
+                            )
+                        )
+                    ).alias(name)
+                )
+            )
+            base = base.join(m, on=gcols, how="left")
+        return base
 
     def _columns(self) -> list[str] | None:
         if self.payload_cols is None:
@@ -514,11 +695,27 @@ class DeltaAggView:
         mcols = self._measure_cols()
         chan = set(self._chan_tracked())
 
+        hist = set(self._hist_tracked())
+
         def storage_type(c: str) -> T.DataType:
             # Chan state columns (M2, mean) are not adj columns — adj
             # carries them inside the _add_/_rem_ structs
             if c in chan or (c.startswith("_mu_") and c[4:] in chan):
                 return T.DoubleType()
+            if c in hist:
+                # canonical FULLY-NULLABLE entry-array type: collect_list
+                # infers non-nullable struct fields, but the merged
+                # higher-order expression is nullable — casting nullable
+                # to non-nullable is rejected, so store nullable
+                return T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("bin", T.LongType(), True),
+                            T.StructField("count", T.LongType(), True),
+                        ]
+                    ),
+                    True,
+                )
             return adj.schema[c].dataType
 
         if self._table is None:
@@ -622,6 +819,34 @@ class DeltaAggView:
                         F.when(o.isNull(), d)
                         .when(d.isNull(), o)
                         .otherwise(F.hll_union(o, d))
+                    )
+                if op is not None and parse_hist_op(op) is not None:
+                    # histogram retraction: per-bin signed addition, bins
+                    # whose net count reaches 0 drop out (state stays
+                    # sparse). Stored as sorted entry arrays; zipped as
+                    # maps transiently (all built-in higher-order fns)
+                    zipped = F.map_filter(
+                        F.map_zip_with(
+                            F.map_from_entries(o),
+                            F.map_from_entries(d),
+                            lambda _k, a, b: F.coalesce(a, F.lit(0))
+                            + F.coalesce(b, F.lit(0)),
+                        ),
+                        lambda _k, c: c != 0,
+                    )
+                    summed = F.array_sort(
+                        F.transform(
+                            F.map_entries(zipped),
+                            lambda e: F.struct(
+                                e["key"].alias("bin"),
+                                e["value"].alias("count"),
+                            ),
+                        )
+                    )
+                    return (
+                        F.when(o.isNull(), d)
+                        .when(d.isNull(), o)
+                        .otherwise(summed)
                     )
                 # additive (sums/counts/_nn_ counters): d.c is never NULL
                 # for freshly-aggregated windows, but coalesce keeps stored

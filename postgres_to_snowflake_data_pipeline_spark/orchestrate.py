@@ -306,7 +306,10 @@ class ViewSpec:
 
     kind='delta'      -> DeltaAggView: ``measures`` maps view column ->
                          ["sum"|"count"|"avg"|"var"|"stddev"|"min"|"max"|
-                         "approx_distinct", expr] (count expr may be "*");
+                         "approx_distinct"|"approx_p{1..99}", expr]
+                         (count expr may be "*"); approx_p{N} maintains a
+                         retractable log-binned histogram (integer-valued
+                         expressions, ±6.25% — lake/delta_view.py);
                          min/max/approx_distinct require ``append_only:
                          true`` (no retraction rule on updating sources);
                          avg/var/stddev are moment-decomposed and work on
@@ -375,15 +378,23 @@ class ViewSpec:
         if self.kind == "delta":
             if not self.measures:
                 raise ValueError(f"delta view {self.name!r}: measures required")
+            from postgres_to_snowflake_data_pipeline_spark.lake.delta_view import (
+                parse_hist_op,
+            )
+
             for col, m in self.measures.items():
-                if len(m) != 2 or m[0] not in (
-                    "sum", "count", "avg", "var", "stddev", "min", "max",
-                    "approx_distinct",
+                if len(m) != 2 or (
+                    m[0] not in (
+                        "sum", "count", "avg", "var", "stddev", "min",
+                        "max", "approx_distinct",
+                    )
+                    and parse_hist_op(m[0]) is None
                 ):
                     raise ValueError(
                         f"delta view {self.name!r}, measure {col!r}: want "
                         "[op, expr] with op in sum/count/avg/var/stddev/"
-                        f"min/max/approx_distinct, got {m!r}"
+                        "min/max/approx_distinct/approx_p{1..99}, got "
+                        f"{m!r}"
                     )
                 if m[0] in ("min", "max", "approx_distinct") and (
                     not self.append_only

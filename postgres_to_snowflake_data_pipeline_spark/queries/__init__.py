@@ -107,6 +107,13 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c15_changefeed_mirror,
         cdcq.C15_SQL,
     ),
+    # NEW round 4i — O(delta) percentile view: retractable log-binned
+    # histogram measures (approx_p50/p95) on a fully UPDATING source,
+    # exact integer/dyadic binning so the DuckDB recompute hash-matches
+    "c16_quantile_delta_view": (
+        cdcq.c16_quantile_delta_view,
+        cdcq.C16_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -140,10 +147,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "t15_curation_pipeline": (
         textops.t15_curation_pipeline,
         textops.T15_SQL,
-    ),
-    "t16_stratified_sample": (
-        textops.t16_stratified_sample,
-        textops.T16_SQL,
     ),
     # NEW round 4f — Gopher-style repetition/boilerplate scoring, computed
     # entirely in-row (higher-order array fns, no token shuffle)
@@ -286,8 +289,15 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # round 4i: t05 (driver-green r2+r3; its exact fingerprint-dedup is
     # literally the first stage of the in-gate t15 curation pipeline, and
     # the dedup family also rides in-gate t17/t18) demoted to admit the
-    # NEW c15 changefeed mirror
+    # NEW c15 changefeed mirror; t16 (driver-green r2+r3; its
+    # WindowGroupLimit stratified sampling rides in-gate via t23's
+    # budgeted mixture sampling and the q10/q15 window-top-k family)
+    # demoted to admit the NEW c16 quantile delta view
     "t05_dedup_exact": (textops.t05_dedup_exact, textops.T05_SQL),
+    "t16_stratified_sample": (
+        textops.t16_stratified_sample,
+        textops.T16_SQL,
+    ),
     "q14_semi_anti": (reference.q14_semi_anti, reference.Q14_SQL),
     "t06_ngram_jaccard_pairs": (
         textops.t06_ngram_jaccard_pairs,

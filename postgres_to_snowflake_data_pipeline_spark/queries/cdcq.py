@@ -1285,3 +1285,129 @@ def c15_changefeed_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: a replica recovered via rollback propagation ≡ a clean replay
 C15_SQL = C01_SQL
+
+
+# ---------------------------------------------------------------------------
+# c16 — O(delta) PERCENTILE view: the round-3 verdict's "non-decomposable
+# aggregates still rescan" residual, closed by a retractable histogram.
+# The feed replays in 4 epochs (updates, deletes, group moves) while a
+# DeltaAggView maintains approx_p50/approx_p95 of length(text) per role as
+# sparse log-binned histograms — bin counts retract exactly, so the
+# refresh stays changefeed-only on a fully UPDATING source (no append-only
+# contract, unlike min/max/HLL). The binning is exact integer/dyadic
+# arithmetic (octave = bit length, midpoint = 2^e·(17+2s)/16), so the
+# DuckDB oracle recomputing the same binned quantile from the LWW state
+# hash-matches BIT-FOR-BIT — an approximate sketch under an exact gate.
+# Reference analog: the data_summary stats CTAS recomputed per run
+# (/root/reference/dags/s3_to_snowflake_dag.py:209-255).
+# ---------------------------------------------------------------------------
+def c16_quantile_delta_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+    from postgres_to_snowflake_data_pipeline_spark.lake.delta_view import DeltaAggView
+
+    work = _work_dir("cdchq", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    view = DeltaAggView(
+        spark,
+        os.path.join(work, "view"),
+        table,
+        group_cols=("role",),
+        measures={
+            "p50_chars": ("approx_p50", "length(text)"),
+            "p95_chars": ("approx_p95", "length(text)"),
+        },
+        payload_cols=["role", "text"],
+        n_buckets=4,
+    )
+    feed = spark.read.parquet(feed_path)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    step = max((hi - lo + 1) // 4, 1)
+    for e in range(4):
+        a = lo + e * step
+        b = hi + 1 if e == 3 else lo + (e + 1) * step
+        apply_batch(
+            spark, table, feed.filter((F.col("lsn") >= a) & (F.col("lsn") < b)),
+            epoch=e,
+        )
+        view.refresh()
+    return view.read().select("role", "n_rows", "p50_chars", "p95_chars")
+
+
+#: the identical exact-arithmetic binning + rank walk, declaratively over
+#: the LWW state (octave via bin()'s string length in BOTH engines — never
+#: a floating log, whose last ulp flips at powers of two)
+_HQ_BIN = (
+    "(length(bin(abs(v)))-1)*8 + CAST(floor(CAST(abs(v) AS DOUBLE) / "
+    "pow(2.0, (length(bin(abs(v)))-1) - 3)) AS BIGINT) - 8"
+)
+def _hq_mid(bb: str) -> str:
+    """Midpoint SQL for a non-negative log bin expression ``bb`` —
+    2^e·(17+2s)/16 in exactly-representable doubles."""
+    return (
+        f"pow(2.0, CAST(floor(({bb}) / 8.0) AS BIGINT)) * "
+        f"(17.0 + (({bb}) - CAST(floor(({bb}) / 8.0) AS BIGINT)*8) * 2) "
+        "/ 16.0"
+    )
+
+
+def _hq_decode(col: str) -> str:
+    """Bin-id -> value SQL across the zero/positive/negative ranges."""
+    return (
+        f"CASE WHEN {col} = -1000000000 THEN 0.0 "
+        f"WHEN {col} > -1000000000 THEN {_hq_mid(col)} "
+        f"ELSE -({_hq_mid(f'(-2000000000 - {col})')}) END"
+    )
+
+
+C16_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL ELSE event_type END AS role,
+         CASE WHEN value < {DELETE_BELOW} THEN NULL ELSE props END AS text
+  FROM events
+),
+w AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text
+  FROM feed GROUP BY 1, 2
+),
+state AS (SELECT role, text FROM w WHERE op <> 'delete'),
+tot AS (SELECT role, CAST(count(*) AS BIGINT) AS n_rows FROM state GROUP BY role),
+binned AS (
+  SELECT role,
+         CASE WHEN v = 0 THEN -1000000000
+              WHEN v > 0 THEN {_HQ_BIN}
+              ELSE -2000000000 - ({_HQ_BIN}) END AS b
+  FROM (SELECT role, CAST(length(text) AS BIGINT) AS v FROM state)
+  WHERE v IS NOT NULL
+),
+cnt AS (SELECT role, b, count(*) AS c FROM binned GROUP BY 1, 2),
+n AS (SELECT role, count(*) AS n FROM binned GROUP BY 1),
+cum AS (
+  SELECT role, b, sum(c) OVER (PARTITION BY role ORDER BY b) AS cum FROM cnt
+),
+hit AS (
+  SELECT c.role,
+         min(CASE WHEN c.cum >= (n.n*50+99)//100 THEN c.b END) AS b50,
+         min(CASE WHEN c.cum >= (n.n*95+99)//100 THEN c.b END) AS b95
+  FROM cum c JOIN n USING (role) GROUP BY c.role
+)
+SELECT t.role, t.n_rows,
+       {_hq_decode("h.b50")} AS p50_chars,
+       {_hq_decode("h.b95")} AS p95_chars
+FROM tot t JOIN hit h ON t.role = h.role
+"""
