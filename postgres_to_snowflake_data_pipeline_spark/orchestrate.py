@@ -641,6 +641,19 @@ class ExportSpec:
 
 
 @dataclass(frozen=True)
+class MirrorSpec:
+    """A changefeed-synced replica of a spec table (cdc/mirror.py's
+    TableMirror under the declarative layer): synced after every epoch,
+    exactly-once from the follower's own commit log, source rollbacks
+    propagated. ``n_buckets`` re-layouts the replica (None = source's) —
+    the declarative form of a read-optimized copy."""
+
+    name: str
+    table: str
+    n_buckets: int | None = None
+
+
+@dataclass(frozen=True)
 class PipelineSpec:
     lake_root: str
     sources: tuple[SourceSpec, ...]
@@ -648,6 +661,7 @@ class PipelineSpec:
     views: tuple[ViewSpec, ...] = ()
     exports: tuple[ExportSpec, ...] = ()
     audits: tuple[AuditSpec, ...] = ()
+    mirrors: tuple[MirrorSpec, ...] = ()
     frontier: bool = True
     salt_buckets: int | None = None
 
@@ -656,6 +670,18 @@ class PipelineSpec:
         if len(set(names)) != len(names):
             raise ValueError(f"duplicate table names: {names}")
         known = set(names)
+        mnames = [m.name for m in self.mirrors]
+        if len(set(mnames)) != len(mnames):
+            raise ValueError(f"duplicate mirror names: {mnames}")
+        for m in self.mirrors:
+            if m.table not in known:
+                raise ValueError(
+                    f"mirror {m.name!r} of unknown table {m.table!r}"
+                )
+            if m.name in known:
+                raise ValueError(
+                    f"mirror {m.name!r} collides with a table name"
+                )
         for s in self.sources:
             if s.table is not None and s.table not in known:
                 raise ValueError(
@@ -746,6 +772,13 @@ class PipelineSpec:
                 )
                 for a in raw.get("audits", [])
             ),
+            mirrors=tuple(
+                MirrorSpec(
+                    name=m["name"], table=m["table"],
+                    n_buckets=m.get("n_buckets"),
+                )
+                for m in raw.get("mirrors", [])
+            ),
             frontier=raw.get("frontier", True),
             salt_buckets=raw.get("salt_buckets"),
         )
@@ -801,6 +834,10 @@ class PipelineSpec:
                  "on_fail": a.on_fail}
                 for a in self.audits
             ],
+            "mirrors": [
+                {"name": m.name, "table": m.table, "n_buckets": m.n_buckets}
+                for m in self.mirrors
+            ],
             "frontier": self.frontier,
             "salt_buckets": self.salt_buckets,
         }
@@ -826,6 +863,7 @@ class Pipeline:
         self.spec = spec
         self.tables: dict[str, LakeTable] = {}
         self._views: dict[str, Any] = {}
+        self._mirrors: dict[str, Any] = {}
         self._layout_validated: set[str] = set()
         self._audits = {
             a.table: StagedAudit(compile_audit(a), a.on_fail)
@@ -984,6 +1022,30 @@ class Pipeline:
             f"{[v.name for v in self.spec.views]})"
         )
 
+    def _mirror_handle(self, m: MirrorSpec) -> Any:
+        if m.name in self._mirrors:
+            return self._mirrors[m.name]
+        from postgres_to_snowflake_data_pipeline_spark.cdc.mirror import TableMirror
+
+        h = TableMirror(
+            self.spark,
+            os.path.join(self.spec.lake_root, "_mirrors", m.name),
+            self.tables[m.table],
+            n_buckets=m.n_buckets,
+        )
+        self._mirrors[m.name] = h
+        return h
+
+    def mirror(self, name: str) -> DataFrame:
+        """Read a maintained replica by spec name."""
+        for m in self.spec.mirrors:
+            if m.name == name:
+                return self._mirror_handle(m).read()
+        raise ValueError(
+            f"unknown mirror {name!r} (spec mirrors: "
+            f"{[m.name for m in self.spec.mirrors]})"
+        )
+
     # -- the epoch ----------------------------------------------------------
     def run_epoch(
         self,
@@ -1077,6 +1139,9 @@ class Pipeline:
         views = {
             v.name: self._view_handle(v).refresh() for v in self.spec.views
         }
+        mirrors = {
+            m.name: self._mirror_handle(m).sync() for m in self.spec.mirrors
+        }
         exports = []
         for e in self.spec.exports:
             path = e.path.format(epoch=epoch)
@@ -1090,6 +1155,7 @@ class Pipeline:
             "unknown_rows": applied.unknown_rows,
             "maintenance": maintenance,
             "views": views,
+            "mirrors": mirrors,
             "exports": exports,
             "audits": {
                 name: r.audit

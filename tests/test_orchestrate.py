@@ -647,3 +647,49 @@ def test_join_view_in_pipeline(spark, tmp_path):
             {"name": "v", "table": "fact", "group_cols": ["role"],
              "measures": {"n": ["count", "*"]},
              "right_table": "dim"}]))
+
+
+def test_mirror_in_pipeline(spark, tmp_path):
+    """Spec-declared mirrors: a re-layout replica synced from its source
+    table's changefeed after every routed epoch — exactly-once, resumable
+    by a fresh Pipeline instance, JSON round-trip intact."""
+    ev = change_events(spark, 3000, n_convs=150).localCheckpoint()
+    lo, hi = ev.select(F.min("lsn"), F.max("lsn")).first()
+    mid = (lo + hi) // 2
+    epochs = {0: ev.filter(F.col("lsn") <= mid),
+              1: ev.filter(F.col("lsn") > mid)}
+    raw = {
+        "lake_root": str(tmp_path / "lake"),
+        "sources": [{"name": "w", "kind": "dataframe", "table": "t"}],
+        "tables": [{"name": "t", "key_cols": ["conv_id", "turn_idx"],
+                    "n_buckets": 4}],
+        "mirrors": [{"name": "t_replica", "table": "t", "n_buckets": 8}],
+    }
+    spec = PipelineSpec.from_dict(raw)
+    assert PipelineSpec.from_json(json.dumps(spec.to_dict())) == spec
+
+    pipe = Pipeline(spark, spec)
+    for e in (0, 1):
+        res = pipe.run_epoch(e, feeds={"w": epochs[e]})
+        assert res["mirrors"]["t_replica"]["mode"] == "incremental"
+    got, want = pipe.mirror("t_replica"), pipe.tables["t"].read()
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+    # the replica took its own layout
+    assert pipe._mirror_handle(spec.mirrors[0]).follower.current().n_buckets == 8
+
+    # a fresh Pipeline resumes the mirror position from the follower alone
+    pipe2 = Pipeline(spark, spec)
+    res = pipe2.run_epoch(1, feeds={"w": epochs[1]})  # re-delivered epoch
+    assert res["tables"]["t"].skipped
+    assert res["mirrors"]["t_replica"] is None  # already current
+
+    # validation is loud
+    with pytest.raises(ValueError, match="unknown table"):
+        PipelineSpec.from_dict(dict(raw, mirrors=[
+            {"name": "m", "table": "nope"}]))
+    with pytest.raises(ValueError, match="collides"):
+        PipelineSpec.from_dict(dict(raw, mirrors=[
+            {"name": "t", "table": "t"}]))
+    with pytest.raises(ValueError, match="duplicate mirror"):
+        PipelineSpec.from_dict(dict(raw, mirrors=[
+            {"name": "m", "table": "t"}, {"name": "m", "table": "t"}]))
