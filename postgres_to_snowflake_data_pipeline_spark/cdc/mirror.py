@@ -68,7 +68,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, functions as F, types as T
 
 from postgres_to_snowflake_data_pipeline_spark.cdc.apply import (
     _dedup_storage,
@@ -88,16 +88,76 @@ class TableMirror:
         root: str,
         source: LakeTable,
         n_buckets: int | None = None,
+        filter_expr: str | None = None,
+        columns: list[str] | None = None,
     ):
+        """``filter_expr`` (deterministic SQL over the source columns)
+        makes this a PARTIAL replica — only rows satisfying it live in the
+        follower. Two regimes, chosen automatically:
+
+        - **Key-only predicate** (analyzes against the key columns alone —
+          hash shards, tenant prefixes): rows failing it are DROPPED from
+          both the feed and rebuilds. Sound because a key's subset
+          membership never changes, so the follower can hold no pre-image
+          to evict and no late arrival for a foreign key can ever pass.
+          The follower contains NOTHING for foreign keys — the scale-out
+          shard shape.
+        - **Payload predicate**: an update moving a row OUT of the subset
+          becomes a synthesized delete at the same LSN (the predicate sees
+          the full pre-projection row image); one moving IN is a plain
+          upsert; source deletes pass through. Rebuilds tombstone
+          out-of-subset live rows at their own LSN rather than dropping
+          them: the changefeed emits BATCH winners, so a later window can
+          legally deliver a lower-LSN row for a key whose winner is
+          out-of-subset, and only the tombstone makes it lose (the same
+          late-arrival guard that makes ``overwrite`` carry source
+          tombstones). Consequence: payload-predicate followers hold a
+          (narrow) tombstone per out-of-subset key.
+
+        ``columns`` restricts the carried payload (keys always ride) —
+        a THIN replica; the projection is applied after the predicate.
+
+        Both are rejected on partial-update (patch) sources: a patch
+        feed's sentinel values would be evaluated/projected as data."""
         self.spark = spark
         self.root = root
         self.source = source
         self.n_buckets = n_buckets
+        self.filter_expr = filter_expr
+        self.columns = list(columns) if columns is not None else None
+        self._key_only: bool | None = None
+        if (filter_expr or columns) and LakeTable._patch_spec(
+            source.current()
+        ) is not None:
+            raise ValueError(
+                "filter_expr/columns are not supported on partial-update "
+                "(patch) sources — the patch feed's sentinel values are "
+                "not data; mirror the table fully"
+            )
         self._follower: LakeTable | None = None
         try:
             self._follower = LakeTable.load(spark, root)
         except FileNotFoundError:
             pass  # created on first sync
+        if self._follower is not None:
+            # a replica's subset definition is part of its identity: a
+            # resumed mirror with a DIFFERENT predicate/projection would
+            # silently diverge — the follower records them in props.
+            # Exception: a follower CREATED but crashed before its first
+            # commit (position 0, no mirror.* keys yet) may adopt the
+            # definition — the first sync pins it before any data lands.
+            have_f = self._follower.props.get("mirror.filter")
+            have_c = self._follower.props.get("mirror.columns")
+            if (have_f, have_c) != (self.filter_expr, self.columns) and not (
+                have_f is None and have_c is None and self.position() == 0
+            ):
+                raise ValueError(
+                    f"mirror at {root} was built with filter="
+                    f"{have_f!r}, columns={have_c!r}; this instance asks "
+                    f"for filter={self.filter_expr!r}, columns="
+                    f"{self.columns!r} — a changed subset definition "
+                    "needs a new replica root (or a manual rebuild)"
+                )
 
     # ------------------------------------------------------------------
     @property
@@ -139,11 +199,144 @@ class TableMirror:
                 return snap
         return None
 
+    def _replica_schema(self, src_snap: Snapshot):
+        """The follower's payload schema: the source's, restricted to
+        keys + ``columns`` when projecting (source field order kept)."""
+        if self.columns is None:
+            return src_snap.schema
+        keep = set(src_snap.key_cols) | set(self.columns)
+        missing = keep - {f.name for f in src_snap.schema.fields}
+        if missing:
+            raise ValueError(
+                f"mirror columns {sorted(missing)} not in the source "
+                f"schema {[f.name for f in src_snap.schema.fields]}"
+            )
+        return T.StructType(
+            [f for f in src_snap.schema.fields if f.name in keep]
+        )
+
+    def _key_only_predicate(self, src_snap: Snapshot) -> bool:
+        """True iff ``filter_expr`` references key columns only — probed
+        by analyzing it against a keys-only schema (resolution fails on
+        any payload reference). Key membership is immutable per key, so
+        the drop regime applies (see __init__)."""
+        if self._key_only is None:
+            key_schema = T.StructType(
+                [
+                    f
+                    for f in src_snap.schema.fields
+                    if f.name in src_snap.key_cols
+                ]
+            )
+            try:
+                self.spark.createDataFrame([], key_schema).filter(
+                    self.filter_expr
+                )
+                self._key_only = True
+            except Exception:
+                self._key_only = False
+        return self._key_only
+
+    def _transform_feed(self, feed, src_snap: Snapshot):
+        """Apply the replica's predicate and projection to a changefeed
+        window. Key-only predicate: failing rows (any op) are dropped.
+        Payload predicate: the full pre-projection row image is evaluated;
+        an upsert that fails becomes a delete at the same LSN with NULLed
+        payload (the row left — or was never in — the subset); deletes
+        pass through (their NULL payload can never pass the predicate
+        anyway, and the follower may hold the pre-image)."""
+        if self.filter_expr is not None:
+            if self._key_only_predicate(src_snap):
+                feed = feed.filter(
+                    F.coalesce(F.expr(self.filter_expr), F.lit(False))
+                )
+            else:
+                out = (F.col("op") == "delete") | ~F.coalesce(
+                    F.expr(self.filter_expr), F.lit(False)
+                )
+                feed = feed.select(
+                    F.col("lsn"),
+                    F.when(out, "delete")
+                    .otherwise(F.col("op"))
+                    .alias("op"),
+                    *src_snap.key_cols,
+                    *[
+                        F.when(out, F.lit(None).cast(f.dataType))
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                        for f in src_snap.schema.fields
+                        if f.name not in src_snap.key_cols
+                    ],
+                )
+        if self.columns is not None:
+            keep = [f.name for f in self._replica_schema(src_snap).fields]
+            feed = feed.select("lsn", "op", *keep)
+        return feed
+
+    def _transform_state(self, state, src_snap: Snapshot):
+        """Rebuild-path form of the subset. Key-only predicate: failing
+        rows (incl. foreign-key tombstones) are dropped — a shard rebuild
+        costs exactly its shard. Payload predicate: out-of-subset LIVE
+        rows become tombstones at their own ``_lsn`` (NOT dropped: the
+        changefeed emits batch winners, so a later window can deliver a
+        lower-LSN in-subset version of a key whose current winner is
+        out-of-subset — only the tombstone makes it lose). Source
+        tombstones ride through; projection last."""
+        if self.filter_expr is not None:
+            if self._key_only_predicate(src_snap):
+                state = state.filter(
+                    F.coalesce(F.expr(self.filter_expr), F.lit(False))
+                )
+            else:
+                out = (~F.col("_deleted")) & ~F.coalesce(
+                    F.expr(self.filter_expr), F.lit(False)
+                )
+                state = state.withColumn("_out", out)
+                for f in src_snap.schema.fields:
+                    if f.name in src_snap.key_cols:
+                        continue
+                    state = state.withColumn(
+                        f.name,
+                        F.when(
+                            F.col("_out"), F.lit(None).cast(f.dataType)
+                        ).otherwise(F.col(f.name)),
+                    )
+                state = state.withColumn(
+                    "_deleted", F.col("_deleted") | F.col("_out")
+                ).drop("_out")
+        if self.columns is not None:
+            keep = [f.name for f in self._replica_schema(src_snap).fields]
+            state = state.select(*keep, "_lsn", "_deleted")
+        return state
+
     def _sync_props(self, src_snap: Snapshot) -> None:
         """Fold the source snapshot's table properties onto the follower
-        (additions, changes, deletions) ahead of the data commit."""
+        (additions, changes, deletions) ahead of the data commit. A thin
+        replica drops content-index declarations for columns it does not
+        carry; the replica's own subset definition (``mirror.*``) is
+        pinned alongside."""
         assert self._follower is not None
         src_props = dict(src_snap.props)
+        if self.columns is not None:
+            carried = set(
+                f.name for f in self._replica_schema(src_snap).fields
+            )
+            sets = [
+                c for c in (src_props.get("index.sets") or []) if c in carried
+            ]
+            if sets:
+                src_props["index.sets"] = sets
+            else:
+                src_props.pop("index.sets", None)
+            if src_props.get("index.tokens") not in carried:
+                src_props.pop("index.tokens", None)
+            ann = src_props.get("ann")
+            if ann is not None and ann.get("vec_col") not in carried:
+                src_props.pop("ann", None)
+        if self.filter_expr is not None:
+            src_props["mirror.filter"] = self.filter_expr
+        if self.columns is not None:
+            src_props["mirror.columns"] = list(self.columns)
         cur = self._follower.props
         if cur == src_props:
             return
@@ -160,11 +353,22 @@ class TableMirror:
         cadence; resumable after any crash (see module docstring)."""
         src_snap = self.source.current()
         until = src_snap.snapshot_id
+        if (
+            (self.filter_expr or self.columns)
+            and LakeTable._patch_spec(src_snap) is not None
+        ):
+            # a patch declaration arriving AFTER the mirror was created:
+            # same rejection as __init__ (sentinel values are not data)
+            raise ValueError(
+                "source declared patch.columns after this partial/thin "
+                "mirror was created — rebuild it as a full mirror"
+            )
+        replica_schema = self._replica_schema(src_snap)
         if self._follower is None:
             self._follower = LakeTable.create(
                 self.spark,
                 self.root,
-                src_snap.schema,
+                replica_schema,
                 key_cols=list(src_snap.key_cols),
                 n_buckets=self.n_buckets or src_snap.n_buckets,
             )
@@ -175,7 +379,7 @@ class TableMirror:
         mode = "incremental"
         rebuild = False
         fol_names = {f.name for f in self._follower.schema().fields}
-        src_names = {f.name for f in src_snap.schema.fields}
+        src_names = {f.name for f in replica_schema.fields}
         if not fol_names <= src_names:
             # source rename/drop: the follower holds columns the source no
             # longer has — re-baseline instead of guessing the mapping
@@ -229,14 +433,16 @@ class TableMirror:
                 include_internal=True,
                 include_tombstones=True,
             )
+            state = self._transform_state(state, src_snap)
             snap = self._follower.overwrite(
-                state, schema=src_snap.schema, summary=pos_summary
+                state, schema=replica_schema, summary=pos_summary
             )
             rows_in = None
         else:
             feed = self.source.changes(
                 pos, until_snapshot_id=until, skip_rolled_back=True
             )
+            feed = self._transform_feed(feed, src_snap)
             table_schema, events, obs_fn = _normalize_batch(
                 self._follower, feed, f"mirror-{until}"
             )

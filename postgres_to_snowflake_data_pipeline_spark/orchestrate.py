@@ -646,11 +646,16 @@ class MirrorSpec:
     TableMirror under the declarative layer): synced after every epoch,
     exactly-once from the follower's own commit log, source rollbacks
     propagated. ``n_buckets`` re-layouts the replica (None = source's) —
-    the declarative form of a read-optimized copy."""
+    the declarative form of a read-optimized copy. ``filter`` (SQL over
+    the source columns) declares a PARTIAL replica — the shard/subset
+    shape; ``columns`` a THIN one (keys always ride). See
+    TableMirror.__init__ for the exact subset semantics."""
 
     name: str
     table: str
     n_buckets: int | None = None
+    filter: str | None = None
+    columns: tuple[str, ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -776,6 +781,8 @@ class PipelineSpec:
                 MirrorSpec(
                     name=m["name"], table=m["table"],
                     n_buckets=m.get("n_buckets"),
+                    filter=m.get("filter"),
+                    columns=tuple(m["columns"]) if m.get("columns") else None,
                 )
                 for m in raw.get("mirrors", [])
             ),
@@ -835,7 +842,9 @@ class PipelineSpec:
                 for a in self.audits
             ],
             "mirrors": [
-                {"name": m.name, "table": m.table, "n_buckets": m.n_buckets}
+                {"name": m.name, "table": m.table, "n_buckets": m.n_buckets,
+                 "filter": m.filter,
+                 "columns": list(m.columns) if m.columns else None}
                 for m in self.mirrors
             ],
             "frontier": self.frontier,
@@ -1032,6 +1041,8 @@ class Pipeline:
             os.path.join(self.spec.lake_root, "_mirrors", m.name),
             self.tables[m.table],
             n_buckets=m.n_buckets,
+            filter_expr=m.filter,
+            columns=list(m.columns) if m.columns else None,
         )
         self._mirrors[m.name] = h
         return h

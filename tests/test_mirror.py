@@ -262,6 +262,200 @@ def test_mirror_relayout_and_additive_evolution(spark, tmp_path):
     assert {"tool_meta", "latency_ms"} <= set(m.read().columns)
 
 
+# ------------------------------------------------------------ partial/thin
+def test_mirror_partial_key_shards_union_to_source(spark, tmp_path):
+    """Key-predicate shards: each follower holds exactly its shard and the
+    shards' union is the source — the scale-out replica shape (the
+    predicate is a pure key function, so rows never move between shards
+    and no out-of-subset tombstones accumulate for live keys)."""
+    src = _table(spark, tmp_path, "src")
+    pred = "pmod(cast(substr(conv_id, 6) as int), 2) = {r}"
+    shards = [
+        TableMirror(
+            spark, str(tmp_path / f"shard{r}"), src,
+            filter_expr=pred.format(r=r),
+        )
+        for r in (0, 1)
+    ]
+    for e in range(2):
+        _epoch(spark, src, e, seed=e + 1)
+        for s in shards:
+            assert s.sync()["mode"] == "incremental"
+    full = src.read()
+    for r, s in enumerate(shards):
+        assert _same(s.read(), full.filter(F.expr(pred.format(r=r))))
+        assert s.follower.props["mirror.filter"] == pred.format(r=r)
+        # key-only regime: the follower holds NOTHING for foreign keys —
+        # not even tombstones (the drop regime, not synthesized deletes)
+        internal = s.follower.read(
+            include_internal=True, include_tombstones=True
+        )
+        assert internal.filter(~F.expr(pred.format(r=r))).isEmpty()
+    assert _same(shards[0].read().unionByName(shards[1].read()), full)
+    # a shard REBUILD also costs (and contains) exactly its shard
+    for e in (2, 3):
+        _epoch(spark, src, e, seed=e + 1)
+    src.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    for r, s in enumerate(shards):
+        assert s.sync()["mode"] == "rebuild-expired"
+        assert _same(s.read(), src.read().filter(F.expr(pred.format(r=r))))
+        internal = s.follower.read(
+            include_internal=True, include_tombstones=True
+        )
+        assert internal.filter(~F.expr(pred.format(r=r))).isEmpty()
+
+
+def test_mirror_partial_subset_movement(spark, tmp_path):
+    """A payload predicate: updates move rows in and out of the subset;
+    an out-move is evicted from the follower (synthesized delete), an
+    in-move lands, source deletes pass through."""
+    src = _table(spark, tmp_path, "src")
+    m = TableMirror(
+        spark, str(tmp_path / "rep"), src, filter_expr="role = 'user'"
+    )
+    apply_batch(
+        spark, src,
+        _feed(spark, [(1, "insert", "c1", 0, "user", "in", None),
+                      (2, "insert", "c2", 0, "assistant", "out", None)]),
+        epoch=0,
+    )
+    m.sync()
+    assert _same(m.read(), src.read().filter("role = 'user'"))
+    assert m.read().count() == 1
+    apply_batch(
+        spark, src,
+        _feed(spark, [(5, "update", "c1", 0, "assistant", "left", None),
+                      (6, "update", "c2", 0, "user", "joined", None)]),
+        epoch=1,
+    )
+    m.sync()
+    assert _same(m.read(), src.read().filter("role = 'user'"))
+    assert m.read().filter("conv_id = 'c1'").isEmpty()
+    assert m.read().filter("conv_id = 'c2'").count() == 1
+    # a source delete of an in-subset row passes through
+    apply_batch(
+        spark, src,
+        _feed(spark, [(9, "delete", "c2", 0, None, None, None)]),
+        epoch=2,
+    )
+    m.sync()
+    assert m.read().isEmpty()
+
+
+def test_mirror_thin_projection(spark, tmp_path):
+    """columns= restricts the carried payload (keys always ride); content
+    index declarations are scoped to carried columns; the predicate may
+    reference a column the replica does not carry (full pre-image)."""
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "src"),
+        TRANSCRIPT_SCHEMA,
+        ("conv_id", "turn_idx"),
+        n_buckets=4,
+        props={"index.sets": ["role"], "index.tokens": "text"},
+    )
+    m = TableMirror(
+        spark, str(tmp_path / "rep"), src,
+        filter_expr="role in ('user', 'assistant')",
+        columns=["role", "ts"],
+    )
+    _epoch(spark, src, 0, seed=1)
+    _epoch(spark, src, 1, seed=2)
+    m.sync()
+    assert set(m.read().columns) == {"conv_id", "turn_idx", "role", "ts"}
+    assert _same(
+        m.read(),
+        src.read()
+        .filter("role in ('user', 'assistant')")
+        .select("conv_id", "turn_idx", "role", "ts"),
+    )
+    # index declarations scoped: role's set index rides, text's token
+    # index (uncarried column) is dropped; the subset definition is pinned
+    props = m.follower.props
+    assert props.get("index.sets") == ["role"]
+    assert "index.tokens" not in props
+    assert props["mirror.columns"] == ["role", "ts"]
+    # fresh instance with the same definition resumes; changed ones refuse
+    m2 = TableMirror(
+        spark, str(tmp_path / "rep"), src,
+        filter_expr="role in ('user', 'assistant')",
+        columns=["role", "ts"],
+    )
+    assert m2.sync() is None
+    with pytest.raises(ValueError, match="subset definition"):
+        TableMirror(spark, str(tmp_path / "rep"), src)
+    with pytest.raises(ValueError, match="subset definition"):
+        TableMirror(
+            spark, str(tmp_path / "rep"), src, filter_expr="role = 'user'",
+            columns=["role", "ts"],
+        )
+    with pytest.raises(ValueError, match="not in the source schema"):
+        TableMirror(
+            spark, str(tmp_path / "x"), src, columns=["nope"]
+        ).sync()
+
+
+def test_mirror_partial_rebuild_on_expiry(spark, tmp_path):
+    """Payload-predicate rebuild: out-of-subset live rows become
+    tombstones at their own LSN — the guard that makes a LATER window's
+    lower-LSN batch winner (the changefeed emits batch winners, not
+    global winners) still lose. The epochs here have overlapping LSN
+    ranges, so the post-rebuild incremental window genuinely exercises
+    that late-arrival path."""
+    src = _table(spark, tmp_path, "src")
+    m = TableMirror(
+        spark, str(tmp_path / "rep"), src, filter_expr="role = 'user'"
+    )
+    _epoch(spark, src, 0, seed=1)
+    m.sync()
+    for e in (1, 2, 3):
+        _epoch(spark, src, e, seed=e + 1)
+    src.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    r = m.sync()
+    assert r["mode"] == "rebuild-expired"
+    assert _same(m.read(), src.read().filter("role = 'user'"))
+    # out-of-subset keys are tombstoned (payload NULLed), never live
+    internal = m.follower.read(
+        include_internal=True, include_tombstones=True
+    )
+    foreign = internal.filter(~F.coalesce(F.expr("role = 'user'"), F.lit(False)))
+    assert not foreign.isEmpty()
+    assert foreign.filter(~F.col("_deleted")).isEmpty()
+    assert foreign.filter(F.col("text").isNotNull()).isEmpty()
+    # back to incremental afterwards, still subset-correct (this window
+    # delivers lower-LSN batch winners for out-of-subset keys)
+    _epoch(spark, src, 4, seed=9)
+    assert m.sync()["mode"] == "incremental"
+    assert _same(m.read(), src.read().filter("role = 'user'"))
+
+
+def test_mirror_partial_rejects_patch_sources(spark, tmp_path):
+    src = LakeTable.create(
+        spark,
+        str(tmp_path / "src"),
+        TRANSCRIPT_SCHEMA,
+        ("conv_id", "turn_idx"),
+        n_buckets=4,
+        props={"patch.columns": ["text"]},
+    )
+    with pytest.raises(ValueError, match="patch"):
+        TableMirror(
+            spark, str(tmp_path / "r1"), src, filter_expr="role = 'user'"
+        )
+    with pytest.raises(ValueError, match="patch"):
+        TableMirror(spark, str(tmp_path / "r2"), src, columns=["text"])
+    # a patch declaration arriving AFTER the mirror exists is caught too
+    src2 = _table(spark, tmp_path, "src2")
+    m = TableMirror(
+        spark, str(tmp_path / "r3"), src2, filter_expr="role = 'user'"
+    )
+    _epoch(spark, src2, 0, seed=1)
+    m.sync()
+    src2.update_props({"patch.columns": ["text"]})
+    with pytest.raises(ValueError, match="patch"):
+        m.sync()
+
+
 def test_mirror_patch_source(spark, tmp_path):
     src = LakeTable.create(
         spark,

@@ -663,7 +663,11 @@ def test_mirror_in_pipeline(spark, tmp_path):
         "sources": [{"name": "w", "kind": "dataframe", "table": "t"}],
         "tables": [{"name": "t", "key_cols": ["conv_id", "turn_idx"],
                     "n_buckets": 4}],
-        "mirrors": [{"name": "t_replica", "table": "t", "n_buckets": 8}],
+        "mirrors": [
+            {"name": "t_replica", "table": "t", "n_buckets": 8},
+            {"name": "t_users", "table": "t",
+             "filter": "role = 'user'", "columns": ["role", "text"]},
+        ],
     }
     spec = PipelineSpec.from_dict(raw)
     assert PipelineSpec.from_json(json.dumps(spec.to_dict())) == spec
@@ -676,6 +680,13 @@ def test_mirror_in_pipeline(spark, tmp_path):
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
     # the replica took its own layout
     assert pipe._mirror_handle(spec.mirrors[0]).follower.current().n_buckets == 8
+    # the partial/thin replica carries exactly its declared subset
+    gotp = pipe.mirror("t_users")
+    wantp = want.filter("role = 'user'").select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    assert set(gotp.columns) == {"conv_id", "turn_idx", "role", "text"}
+    assert gotp.exceptAll(wantp).isEmpty() and wantp.exceptAll(gotp).isEmpty()
 
     # a fresh Pipeline resumes the mirror position from the follower alone
     pipe2 = Pipeline(spark, spec)
