@@ -114,6 +114,15 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c16_quantile_delta_view,
         cdcq.C16_SQL,
     ),
+    # NEW round 4j — subset replicas, both regimes in one entry: a
+    # key-predicate SHARD (drop regime, re-laid-out) and a payload-
+    # predicate THIN replica (synthesized-delete eviction), through an
+    # expiry-forced rebuild and back to incremental; oracle = declarative
+    # subset algebra over the LWW state
+    "c17_sharded_mirror": (
+        cdcq.c17_sharded_mirror,
+        cdcq.C17_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -182,10 +191,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "q23_moving_avg": (reference.q23_moving_avg, reference.Q23_SQL),
     # corpus assembly: iterative dup-graph closure, survivor pick, packing
     "t17_dup_clusters": (corpusops.t17_dup_clusters, corpusops.T17_SQL),
-    "t18_dedup_survivors": (
-        corpusops.t18_dedup_survivors,
-        corpusops.T18_SQL,
-    ),
     "t19_sequence_pack": (corpusops.t19_sequence_pack, corpusops.T19_SQL),
     # scale-path twins (multiply-mod hash family — 1 md5/shingle, full oracle)
     "t10_minhash_bands_fast": (textops.t10_minhash_bands_fast, textops.T10_SQL),
@@ -293,6 +298,14 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # WindowGroupLimit stratified sampling rides in-gate via t23's
     # budgeted mixture sampling and the q10/q15 window-top-k family)
     # demoted to admit the NEW c16 quantile delta view
+    # round 4j: t18 (driver-green r1+r2+r3; its survivor anti-join is the
+    # strict downstream stage of the in-gate t17 cluster computation, and
+    # the dedup family also rides in-gate t15) demoted to admit the NEW
+    # c17 subset-replica mirror
+    "t18_dedup_survivors": (
+        corpusops.t18_dedup_survivors,
+        corpusops.T18_SQL,
+    ),
     "t05_dedup_exact": (textops.t05_dedup_exact, textops.T05_SQL),
     "t16_stratified_sample": (
         textops.t16_stratified_sample,

@@ -1288,6 +1288,117 @@ C15_SQL = C01_SQL
 
 
 # ---------------------------------------------------------------------------
+# c17 — subset replicas (cdc/mirror.py partial/thin mirrors) through their
+# full lifecycle, both regimes at once:
+#  - a KEY-predicate shard (auto-detected, drop regime: the follower
+#    stores nothing for foreign keys, rebuilds at shard cost), re-laid-out
+#    to 4 buckets;
+#  - a PAYLOAD-predicate THIN replica (role subset, carrying only
+#    role/text beyond the keys): updates move rows in and out of the
+#    subset across epochs — exits are synthesized same-LSN deletes, and a
+#    mid-run history expiry forces the tombstoning REBUILD path before
+#    incremental syncs resume over it.
+# The oracle is declarative subset algebra over the same LWW state: any
+# missed eviction, dropped entry, wrong rebuild or wrong projection
+# surfaces as a value-hash mismatch. Reference analog: the reference's
+# per-table full reloads (/root/reference/scripts/load_data.py:119-131)
+# cannot express a subset replica at all — sharding there means a second
+# full pipeline.
+# ---------------------------------------------------------------------------
+C17_SHARD_PRED = "pmod(cast(substr(conv_id, 2) as int), 2) = 1"
+C17_ROLE_PRED = "role IN ('click', 'view')"
+
+
+def c17_sharded_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+    from postgres_to_snowflake_data_pipeline_spark.cdc.mirror import TableMirror
+
+    work = _work_dir("cdcsh", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    shard = TableMirror(
+        spark,
+        os.path.join(work, "shard"),
+        table,
+        n_buckets=4,
+        filter_expr=C17_SHARD_PRED,
+    )
+    thin = TableMirror(
+        spark,
+        os.path.join(work, "thin"),
+        table,
+        filter_expr=C17_ROLE_PRED,
+        columns=["role", "text"],
+    )
+    feed = spark.read.parquet(feed_path)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    step = max((hi - lo + 1) // 5, 1)
+
+    def epoch_slice(e: int) -> DataFrame:
+        a = lo + e * step
+        b = hi + 1 if e == 4 else lo + (e + 1) * step
+        return feed.filter((F.col("lsn") >= a) & (F.col("lsn") < b))
+
+    for e in (0, 1):
+        apply_batch(spark, table, epoch_slice(e), epoch=e)
+        assert shard.sync()["mode"] == "incremental"
+        assert thin.sync()["mode"] == "incremental"
+    # both replicas fall 2 commits behind, then the source expires history
+    # past their positions: the next sync must take the rebuild path (the
+    # shard's costs its shard; the thin one tombstones out-of-subset keys)
+    apply_batch(spark, table, epoch_slice(2), epoch=2)
+    apply_batch(spark, table, epoch_slice(3), epoch=3)
+    table.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    assert shard.sync()["mode"] == "rebuild-expired"
+    assert thin.sync()["mode"] == "rebuild-expired"
+    # back to incremental over the rebuilt states (subset movement rides
+    # the changefeed transform: exits become same-LSN deletes)
+    apply_batch(spark, table, epoch_slice(4), epoch=4)
+    assert shard.sync()["mode"] == "incremental"
+    assert thin.sync()["mode"] == "incremental"
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    return (
+        shard.read().select(F.lit("shard").alias("part"), *cols)
+        .unionAll(thin.read().select(F.lit("subset").alias("part"), *cols))
+    )
+
+
+C17_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text
+  FROM events
+),
+w AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text
+  FROM feed GROUP BY 1, 2
+),
+state AS (
+  SELECT conv_id, turn_idx, role, text FROM w WHERE op <> 'delete'
+)
+SELECT 'shard' AS part, conv_id, turn_idx, role, text
+FROM state WHERE CAST(substr(conv_id, 2) AS INTEGER) % 2 = 1
+UNION ALL
+SELECT 'subset' AS part, conv_id, turn_idx, role, text
+FROM state WHERE role IN ('click', 'view')
+"""
+
+
+# ---------------------------------------------------------------------------
 # c16 — O(delta) PERCENTILE view: the round-3 verdict's "non-decomposable
 # aggregates still rescan" residual, closed by a retractable histogram.
 # The feed replays in 4 epochs (updates, deletes, group moves) while a
