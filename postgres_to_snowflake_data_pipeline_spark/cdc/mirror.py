@@ -78,9 +78,43 @@ from postgres_to_snowflake_data_pipeline_spark.lake.metadata import Snapshot
 from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
 
 
+class _GroupWindow:
+    """Shared changefeed windows for a fan-out sync (``sync_group``): one
+    pinned source snapshot and one cached ``changes()`` DataFrame per
+    distinct (pos, until) window, so N replicas of one source read the
+    window's delta files ONCE instead of N times. The cache holds a
+    window-sized (O(change volume per cycle), never O(table)) persist
+    that spills to disk; ``release()`` drops it."""
+
+    def __init__(self, source: LakeTable, src_snap: Snapshot):
+        self.source = source
+        self.src_snap = src_snap
+        self._cache: dict[tuple[int, int], Any] = {}
+
+    def feed_for(self, pos: int, until: int):
+        key = (pos, until)
+        if key not in self._cache:
+            from pyspark import StorageLevel
+
+            df = self.source.changes(
+                pos, until_snapshot_id=until, skip_rolled_back=True
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            self._cache[key] = df
+        return self._cache[key]
+
+    def release(self) -> None:
+        for df in self._cache.values():
+            df.unpersist()
+        self._cache.clear()
+
+
 class TableMirror:
     """Maintain ``follower`` (a LakeTable at ``root``) as a replica of
-    ``source``, synced from the source changefeed. See module docstring."""
+    ``source``, synced from the source changefeed. See module docstring.
+
+    For FAN-OUT deployments (many shards/replicas of one source), use
+    :meth:`sync_group` instead of N ``sync()`` calls: it reads each
+    changefeed window once and shares it across the group."""
 
     def __init__(
         self,
@@ -347,11 +381,43 @@ class TableMirror:
         self._follower.update_props(updates)
 
     # ------------------------------------------------------------------
-    def sync(self) -> dict[str, Any] | None:
+    @staticmethod
+    def sync_group(
+        mirrors: list["TableMirror"],
+    ) -> list[dict[str, Any] | None]:
+        """Sync several mirrors, sharing one changefeed window read per
+        (source, position) instead of one per mirror — the fan-out shape
+        (N shards of one source): the window's delta files are scanned
+        and cached ONCE, each follower then applies only its own
+        transform + merge. Mirrors of different sources group
+        independently; rebuild/rollback paths ignore the shared window
+        and proceed exactly as a solo ``sync()``. Returns per-mirror
+        stats in input order. The source snapshot is pinned per group, so
+        a source commit racing the fan-out lands in every member's next
+        window (no shard can run ahead of its siblings)."""
+        out: list[dict[str, Any] | None] = [None] * len(mirrors)
+        by_src: dict[str, list[int]] = {}
+        for i, m in enumerate(mirrors):
+            by_src.setdefault(m.source.root, []).append(i)
+        for idxs in by_src.values():
+            src = mirrors[idxs[0]].source
+            ctx = _GroupWindow(src, src.current())
+            try:
+                for i in idxs:
+                    out[i] = mirrors[i].sync(_group=ctx)
+            finally:
+                ctx.release()
+        return out
+
+    def sync(
+        self, _group: _GroupWindow | None = None
+    ) -> dict[str, Any] | None:
         """Bring the follower up to the source's current snapshot. Returns
         a stats dict, or None when already current. Safe to call on any
         cadence; resumable after any crash (see module docstring)."""
-        src_snap = self.source.current()
+        src_snap = (
+            _group.src_snap if _group is not None else self.source.current()
+        )
         until = src_snap.snapshot_id
         if (
             (self.filter_expr or self.columns)
@@ -439,9 +505,14 @@ class TableMirror:
             )
             rows_in = None
         else:
-            feed = self.source.changes(
-                pos, until_snapshot_id=until, skip_rolled_back=True
-            )
+            # both incremental modes issue the same changes(pos, until)
+            # call — share it through the group cache when present
+            if _group is not None:
+                feed = _group.feed_for(pos, until)
+            else:
+                feed = self.source.changes(
+                    pos, until_snapshot_id=until, skip_rolled_back=True
+                )
             feed = self._transform_feed(feed, src_snap)
             table_schema, events, obs_fn = _normalize_batch(
                 self._follower, feed, f"mirror-{until}"

@@ -1150,9 +1150,17 @@ class Pipeline:
         views = {
             v.name: self._view_handle(v).refresh() for v in self.spec.views
         }
-        mirrors = {
-            m.name: self._mirror_handle(m).sync() for m in self.spec.mirrors
-        }
+        mirrors: dict[str, Any] = {}
+        if self.spec.mirrors:
+            # fan-out: replicas of the same source share one changefeed
+            # window read per position instead of re-scanning it each
+            from postgres_to_snowflake_data_pipeline_spark.cdc.mirror import TableMirror
+
+            handles = [self._mirror_handle(m) for m in self.spec.mirrors]
+            stats = TableMirror.sync_group(handles)
+            mirrors = {
+                m.name: s for m, s in zip(self.spec.mirrors, stats)
+            }
         exports = []
         for e in self.spec.exports:
             path = e.path.format(epoch=epoch)

@@ -305,6 +305,46 @@ def test_mirror_partial_key_shards_union_to_source(spark, tmp_path):
         assert internal.filter(~F.expr(pred.format(r=r))).isEmpty()
 
 
+def test_sync_group_shares_one_window_read(spark, tmp_path, monkeypatch):
+    """Fan-out sync: N replicas of one source at the same position read
+    the changefeed window ONCE (cached + shared), yet each converges to
+    its own subset; a lagging member gets its own window without
+    disturbing the group."""
+    src = _table(spark, tmp_path, "src")
+    pred = "pmod(cast(substr(conv_id, 6) as int), 2) = {r}"
+    reps = [
+        TableMirror(
+            spark, str(tmp_path / f"g{r}"), src, filter_expr=pred.format(r=r)
+        )
+        for r in (0, 1)
+    ] + [TableMirror(spark, str(tmp_path / "gfull"), src)]
+    _epoch(spark, src, 0, seed=1)
+    assert all(
+        s["mode"] == "incremental" for s in TableMirror.sync_group(reps)
+    )
+    _epoch(spark, src, 1, seed=2)
+    reps[2].sync()  # the full replica runs ahead...
+    _epoch(spark, src, 2, seed=3)  # ...and now lags differently
+    calls = 0
+    orig = LakeTable.changes
+
+    def counting(self, *a, **kw):
+        nonlocal calls
+        calls += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "changes", counting)
+    stats = TableMirror.sync_group(reps)
+    # two shards share one window; the differently-positioned full
+    # replica needs its own — 2 reads for 3 syncs, not 3
+    assert calls == 2
+    assert all(s is not None and s["mode"] == "incremental" for s in stats)
+    full = src.read()
+    for r in (0, 1):
+        assert _same(reps[r].read(), full.filter(F.expr(pred.format(r=r))))
+    assert _same(reps[2].read(), full)
+
+
 def test_mirror_partial_subset_movement(spark, tmp_path):
     """A payload predicate: updates move rows in and out of the subset;
     an out-move is evicted from the follower (synthesized delete), an

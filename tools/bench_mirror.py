@@ -11,12 +11,17 @@ in sync three ways over the SAME data:
 - rebuild: ``LakeTable.overwrite(source.read(...))`` — the
   clear-and-reload the reference performs EVERY run
   (/root/reference/scripts/load_data.py:119-131), here the rare repair
-  path.
+  path;
+- fan-out: 4 key-predicate SHARDS of the source synced per epoch, both
+  as 4 independent ``sync()`` calls (4 window reads) and as ONE
+  ``sync_group`` (the window read+cached once, shared) — the read
+  de-amplification claim behind the scale-out replica shape.
 
-The scale claim under test: steady-state sync cost tracks the DELTA, not
-the table — as the table grows epoch over epoch, per-sync wall stays
-flat while a rebuild grows with the table. The follower is verified
-row-equal to the source at the end (gate ``ok``).
+The scale claims under test: steady-state sync cost tracks the DELTA,
+not the table — as the table grows epoch over epoch, per-sync wall stays
+flat while a rebuild grows with the table; and group-sync cost stays
+~flat in shard count where independent syncs grow linearly. All
+followers are verified row-equal to their subset at the end (``ok``).
 
     python tools/bench_mirror.py [n_epochs] [rows_per_epoch]
 """
@@ -92,13 +97,67 @@ def main() -> None:
     )
     rebuild_s = time.monotonic() - t0
 
+    # fan-out: 4 key shards, independent syncs vs one grouped sync. The
+    # two shard sets consume DIFFERENT epochs of the same source (solo
+    # gets the odd windows, group the even) so each measures a genuine
+    # window apply, interleaved to face the same table-growth curve.
+    pred = "pmod(conv(substr(md5(conv_id), 1, 15), 16, 10), 4) = {r}"
+    solo = [
+        TableMirror(
+            spark, os.path.join(work, f"sh_solo{r}"), src,
+            filter_expr=pred.format(r=r),
+        )
+        for r in range(4)
+    ]
+    grp = [
+        TableMirror(
+            spark, os.path.join(work, f"sh_grp{r}"), src,
+            filter_expr=pred.format(r=r),
+        )
+        for r in range(4)
+    ]
+    TableMirror.sync_group(grp)  # align both sets to current
+    for s in solo:
+        s.sync()
+    solo_s: list[float] = []
+    group_s: list[float] = []
+    for e in range(4):
+        apply_batch(
+            spark, src,
+            change_events(
+                spark, rows_per_epoch, n_convs=n_convs, seed=100 + e
+            ),
+            epoch=n_epochs + e,
+        )
+        if e % 2 == 0:
+            t0 = time.monotonic()
+            TableMirror.sync_group(grp)
+            group_s.append(time.monotonic() - t0)
+            for s in solo:
+                s.sync()
+        else:
+            t0 = time.monotonic()
+            for s in solo:
+                s.sync()
+            solo_s.append(time.monotonic() - t0)
+            TableMirror.sync_group(grp)
+
     src_state = src.read()
     rows = src_state.count()
+    shard_mism = 0
+    for r in range(4):
+        want = src_state.filter(pred.format(r=r))
+        for m in (solo[r], grp[r]):
+            shard_mism += (
+                m.read().exceptAll(want).count()
+                + want.exceptAll(m.read()).count()
+            )
     mism = (
         live.read().exceptAll(src_state).count()
         + src_state.exceptAll(live.read()).count()
         + boot.read().exceptAll(src_state).count()
         + dst.read().exceptAll(src_state).count()
+        + shard_mism
     )
 
     # flatness evidence: last-epoch sync vs first-epoch sync (the table is
@@ -113,6 +172,10 @@ def main() -> None:
         "sync_last_s": round(sync_s[-1], 2),
         "bootstrap_full_chain_s": round(bootstrap_s, 2),
         "rebuild_overwrite_s": round(rebuild_s, 2),
+        "fanout_4shards_solo_s": [round(s, 2) for s in solo_s],
+        "fanout_4shards_group_s": [round(s, 2) for s in group_s],
+        "fanout_solo_median_s": round(statistics.median(solo_s), 2),
+        "fanout_group_median_s": round(statistics.median(group_s), 2),
         "mismatch_rows": mism,
         "ok": mism == 0,
     }))
