@@ -3017,6 +3017,18 @@ class LakeTable:
             "freed_bytes": freed,
         }
 
+    def fsck(
+        self, deep: bool = False, snapshot_id: int | None = None
+    ) -> dict[str, Any]:
+        """Offline invariant check (``lake/fsck.py``): snapshot chain,
+        manifest-vs-filesystem, property declarations; ``deep=True`` adds
+        footer-vs-manifest stat drift (pruning soundness), per-row bucket
+        honesty and LSN-tie scans — all without collecting row data.
+        Returns a report dict; ``ok`` is False on any error."""
+        from postgres_to_snowflake_data_pipeline_spark.lake.fsck import fsck as _fsck
+
+        return _fsck(self, deep=deep, snapshot_id=snapshot_id)
+
     def bucket_file_counts(self) -> dict[int, int]:
         """Per-bucket FILE-EQUIVALENT counts — the read-amplification
         measure. O(metadata): consults the in-memory file map only, no
@@ -3234,6 +3246,15 @@ class LakeTable:
         if not todo:
             return snap
         df = self.read(include_internal=True, include_tombstones=True, buckets=todo)
+        # _bucket is DERIVED state — recompute it from the key instead of
+        # trusting what the files carry, so a row misplaced by a caller
+        # lying to merge()'s trusted ``_bucket`` fast path (the documented
+        # foot-gun; lake/fsck.py detects it) folds back to its honest
+        # bucket. For honest tables this is a no-op on the same column
+        # the shuffle hashes anyway.
+        df = df.withColumn(
+            "_bucket", bucket_expr(snap.key_cols[0], snap.n_buckets)
+        )
         df = self._fold_shuffle(df, len(todo), snap.key_cols)
         group = f"compact-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
         commit_dir = os.path.join("data", group)
@@ -3308,6 +3329,28 @@ class LakeTable:
         }
         for b in todo:  # buckets whose rows were all... always rewritten
             new_files.setdefault(str(b), [])
+        # bucket repair can re-home rows into buckets OUTSIDE this pass's
+        # rewrite set; those APPEND to the destination's existing list as
+        # DELTA entries (replacing the list would drop rows this pass
+        # never read, and a second base file would skip read-time LWW —
+        # the `has_delta` gate is what makes the destination resolve the
+        # old-vs-rehomed versions; the next maintenance compact folds the
+        # bucket into one base because the delta puts it in `todo`)
+        todo_set = {str(b) for b in todo}
+        for b in list(new_files):
+            if b not in todo_set:
+                rehomed = [
+                    dict(
+                        {
+                            k: v
+                            for k, v in e.items()
+                            if k not in ("lww_group", "ts_k", "key_k")
+                        },
+                        kind="delta",
+                    )
+                    for e in new_files[b]
+                ]
+                new_files[b] = list(snap.files.get(b, ())) + rehomed
         out = self._next_commit(
             new_files,
             snap.schema,
