@@ -66,6 +66,7 @@ re-baseline).
 
 from __future__ import annotations
 
+from datetime import datetime, timedelta, timezone
 from typing import Any
 
 from pyspark.sql import SparkSession, functions as F, types as T
@@ -462,10 +463,24 @@ class TableMirror:
             newly_dead = {
                 d for d in dead if d <= pos and d not in dead_at_pos
             }
+            # expire_rows changes state without deltas (a barrier like
+            # overwrite) — but it is a DETERMINISTIC logical filter
+            # (winner ts >= cutoff, event-time-uniform), so a follower
+            # that still carries the event-time column replays it
+            # LOCALLY (the "expire passthrough" below) and replication
+            # stays O(delta) through retention. Only a follower that
+            # cannot re-apply the rule (thin mirror without the ts
+            # column) re-baselines.
+            can_expire = (
+                LakeTable._zone_ts_col(replica_schema) is not None
+            )
+            barrier_ops = (
+                ("overwrite",) if can_expire else ("overwrite", "expire_rows")
+            )
             live_overwrites = [
                 s.snapshot_id
                 for s in self.source.live_snapshots(until)
-                if s.summary.get("operation") == "overwrite"
+                if s.summary.get("operation") in barrier_ops
                 and pos < s.snapshot_id <= until
             ]
             if live_overwrites:
@@ -505,28 +520,71 @@ class TableMirror:
             )
             rows_in = None
         else:
-            # both incremental modes issue the same changes(pos, until)
-            # call — share it through the group cache when present
-            if _group is not None:
-                feed = _group.feed_for(pos, until)
-            else:
-                feed = self.source.changes(
-                    pos, until_snapshot_id=until, skip_rolled_back=True
+            # expire passthrough: split the window at the source's expire
+            # commits, consuming each delta segment then re-running the
+            # SAME retention rule on the follower (idempotent; a crash
+            # anywhere re-runs value-idempotent merges + a no-op expiry).
+            # Computed after rollback propagation so `pos` is final.
+            expire_barriers = sorted(
+                (
+                    s
+                    for s in self.source.live_snapshots(until)
+                    if s.summary.get("operation") == "expire_rows"
+                    and pos < s.snapshot_id <= until
+                ),
+                key=lambda s: s.snapshot_id,
+            )
+
+            def _merge_window(since: int, upto: int, summary: dict) -> Any:
+                if _group is not None and not expire_barriers:
+                    feed = _group.feed_for(since, upto)
+                else:
+                    feed = self.source.changes(
+                        since, until_snapshot_id=upto, skip_rolled_back=True
+                    )
+                feed = self._transform_feed(feed, src_snap)
+                table_schema, events, obs_fn = _normalize_batch(
+                    self._follower, feed, f"mirror-{upto}"
                 )
-            feed = self._transform_feed(feed, src_snap)
-            table_schema, events, obs_fn = _normalize_batch(
-                self._follower, feed, f"mirror-{until}"
-            )
-            storage = _dedup_storage(
-                events, table_schema, self._follower.current(), 0
-            )
-            snap = self._follower.merge(
-                storage,
-                schema=table_schema,
-                summary=pos_summary,
-                summary_fn=obs_fn,
-            )
-            assert snap is not None  # no commit_key -> always commits
+                storage = _dedup_storage(
+                    events, table_schema, self._follower.current(), 0
+                )
+                s = self._follower.merge(
+                    storage,
+                    schema=table_schema,
+                    summary=summary,
+                    summary_fn=obs_fn,
+                )
+                assert s is not None  # no commit_key -> always commits
+                return s
+
+            seg_start = pos
+            for sb in expire_barriers:
+                mode = "expire+incremental"
+                _merge_window(
+                    seg_start,
+                    sb.snapshot_id - 1,
+                    {
+                        "mirror_src_snapshot": sb.snapshot_id - 1,
+                        "mirror_since": seg_start,
+                        "mirror_mode": "incremental",
+                    },
+                )
+                cut_us = int(sb.summary["cutoff_us"])
+                cutoff = datetime.fromtimestamp(
+                    cut_us // 1_000_000, tz=timezone.utc
+                ) + timedelta(microseconds=cut_us % 1_000_000)
+                self._follower.expire_rows(
+                    cutoff,
+                    summary={
+                        "mirror_src_snapshot": sb.snapshot_id,
+                        "mirror_since": sb.snapshot_id - 1,
+                        "mirror_mode": "expire-passthrough",
+                    },
+                )
+                seg_start = sb.snapshot_id
+            pos_summary["mirror_mode"] = mode
+            snap = _merge_window(seg_start, until, pos_summary)
             rows_in = snap.summary.get("rows_in")
         return {
             "mode": mode,

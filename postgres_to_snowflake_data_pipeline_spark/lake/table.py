@@ -1285,29 +1285,32 @@ class LakeTable:
                     "advanced by any delta; rebuild from read() or rewind "
                     "the consumer below the rollback target"
                 )
-            # an OVERWRITE on the live chain replaces state wholesale — no
-            # delta before it can be skipped or kept; only consumers
-            # positioned at/after it may proceed incrementally
+            # an OVERWRITE replaces state wholesale and an EXPIRE_ROWS
+            # removes state without emitting deltas — no delta before
+            # either can be skipped or kept; only consumers positioned
+            # at/after it may proceed incrementally
             for s in self.live_snapshots(until_snapshot_id):
                 if (
-                    s.summary.get("operation") == "overwrite"
+                    s.summary.get("operation") in ("overwrite", "expire_rows")
                     and s.snapshot_id > since_snapshot_id
                 ):
                     raise ValueError(
-                        "changes(): the window spans an overwrite commit "
-                        f"(snapshot {s.snapshot_id}) — state was replaced "
-                        "wholesale; rebuild from read()"
+                        "changes(): the window spans an "
+                        f"{s.summary.get('operation')} commit (snapshot "
+                        f"{s.snapshot_id}) — state was changed without a "
+                        "delta; rebuild from read()"
                     )
         else:
             dead = set()
             if self.rollback_in_range(since_snapshot_id, until_snapshot_id):
                 raise ValueError(
-                    "changes() window spans a rollback commit: the rolled-back "
-                    "merges' rows no longer describe table state and would "
-                    "LWW-poison an incremental consumer — rebuild from read(), "
-                    "or close the window before the rollback snapshot "
-                    "(skip_rolled_back=True consumes across it when the "
-                    "consumer position predates the rollback target)"
+                    "changes() window spans a rollback/overwrite/"
+                    "expire_rows commit: state was rewound, replaced or "
+                    "expired without deltas and would LWW-poison an "
+                    "incremental consumer — rebuild from read(), or close "
+                    "the window before the barrier snapshot "
+                    "(skip_rolled_back=True consumes across a rollback "
+                    "when the consumer position predates its target)"
                 )
         entries: list[dict[str, Any]] = []
         for s in self.log.history():
@@ -1574,10 +1577,20 @@ class LakeTable:
                     e["lsn_max"] = int(st["lsn_max"])
                     lmins.append(e["lsn_min"])
                     lmaxs.append(e["lsn_max"])
+                e["rows"] = int(st["rows"])
                 if st.get("ts_min") is not None and ts_col_id is not None:
                     e["ts_min"] = int(st["ts_min"])
                     e["ts_max"] = int(st["ts_max"])
                     e["ts_id"] = ts_col_id  # column identity of the stats
+                if ts_col_id is not None and st.get("ts_nulls") is not None:
+                    # null-ts row count (tombstones ride as ts NULL):
+                    # expire_rows may drop a file wholesale ONLY when this
+                    # is recorded AND zero, and a ts_nulls == rows file
+                    # (tombstone-only) is provably expiry-clean. Stamped
+                    # even when min/max are absent (all-null files), under
+                    # the same column-identity rule.
+                    e["ts_nulls"] = int(st["ts_nulls"])
+                    e.setdefault("ts_id", ts_col_id)
                 sets = {
                     str(cid): st["set_" + c]
                     for c, cid in set_ids.items()
@@ -1633,6 +1646,26 @@ class LakeTable:
                 mins.append(lo)
                 maxs.append(hi)
         return (min(mins) if mins else None, max(maxs) if maxs else None)
+
+    @staticmethod
+    def _footer_nulls(md, col: str) -> int | None:
+        """Total null count of one column across a parquet file's row
+        groups from footer statistics; None when the column is absent or
+        any row group lacks a null count (consumers must then assume
+        nulls MAY exist — ``expire_rows`` treats such files as
+        non-droppable)."""
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            idx = names.index(col)
+        except ValueError:
+            return None
+        total = 0
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_null_count:
+                return None
+            total += st.null_count
+        return total
 
     @staticmethod
     def _ts_micros(v: Any) -> int | None:
@@ -1755,6 +1788,11 @@ class LakeTable:
                     "key_max": khi,
                     "ts_min": self._ts_micros(tlo),
                     "ts_max": self._ts_micros(thi),
+                    "ts_nulls": (
+                        self._footer_nulls(md, ts_col)
+                        if ts_col is not None
+                        else None
+                    ),
                     **self._content_stats(pf, set_cols, tok_col),
                 }
             return out
@@ -1846,6 +1884,23 @@ class LakeTable:
                         maxs.append(hi)
                 return (min(mins) if mins else None, max(maxs) if maxs else None)
 
+            def nn(md, col):
+                # mirrors LakeTable._footer_nulls (closure must stay
+                # self-contained): None unless every row group reports
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                if col not in names:
+                    return None
+                idx = names.index(col)
+                total = 0
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_null_count:
+                        return None
+                    total += st.null_count
+                return total
+
             def us(v):
                 if v is None or isinstance(v, int):
                     return v
@@ -1859,7 +1914,11 @@ class LakeTable:
                 lo, hi = mm(md, "_lsn")
                 klo, khi = mm(md, kc) if kc is not None else (None, None)
                 tlo, thi = mm(md, tc) if tc is not None else (None, None)
-                yield p, md.num_rows, lo, hi, klo, khi, us(tlo), us(thi), cstats(pf)
+                tnul = nn(md, tc) if tc is not None else None
+                yield (
+                    p, md.num_rows, lo, hi, klo, khi,
+                    us(tlo), us(thi), tnul, cstats(pf),
+                )
 
         sc = self.spark.sparkContext
         n_slices = min(len(paths), sc.defaultParallelism * 4)
@@ -1872,9 +1931,10 @@ class LakeTable:
                 "key_max": khi,
                 "ts_min": tlo,
                 "ts_max": thi,
+                "ts_nulls": tnul,
                 **cs,
             }
-            for p, rows, lo, hi, klo, khi, tlo, thi, cs in (
+            for p, rows, lo, hi, klo, khi, tlo, thi, tnul, cs in (
                 sc.parallelize(paths, n_slices).mapPartitions(footers).collect()
             )
         }
@@ -2266,7 +2326,11 @@ class LakeTable:
                 and s.snapshot_id > until_snapshot_id
             ):
                 continue
-            if s.summary.get("operation") in ("rollback", "overwrite"):
+            if s.summary.get("operation") in (
+                "rollback",
+                "overwrite",
+                "expire_rows",
+            ):
                 return True
         return False
 
@@ -2899,6 +2963,246 @@ class LakeTable:
             except CommitConflictError:
                 continue
         raise CommitConflictError("could not adopt key state")
+
+    def expire_rows(
+        self,
+        before: datetime,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot | None:
+        """Event-time retention: remove from the CURRENT state every live
+        row whose zone timestamp is older than ``before`` — the data-expiry
+        half of a retention policy (``expire_snapshots`` is the metadata/
+        history half; run it after to reclaim the dropped files' bytes).
+
+        Cost model (the reason this is not ``read().filter().overwrite()``):
+        keys are bucket-local and compaction slices are key-disjoint within
+        a pass, so expiry decides PER FILE from manifest zone stats —
+
+        - a bucket whose every file has ``ts_max < before`` drops
+          METADATA-ONLY (any layout: every version of every key is
+          pre-cutoff, so every winner is too);
+        - in a fully-folded single-pass bucket (ts/grid-clustered layouts),
+          individual slices with ``ts_max < before`` drop metadata-only —
+          each key lives in exactly one slice, so a dropped slice holds
+          the dropped keys' winners and nothing else;
+        - only buckets with a file actually STRADDLING the cutoff (or
+          unfolded deltas, or files without usable stats) are rewritten:
+          one clustered fold per such bucket, keeping rows with
+          ``ts >= before`` or ``ts IS NULL``.
+
+        Expiry is EVENT-TIME-UNIFORM: every row — live version or
+        tombstone (tombstones carry their delete event's ts) — ages out
+        by its event time, and null-event-time rows never expire. So a
+        delete newer than the cutoff keeps guarding late lower-LSN
+        arrivals, while a pre-cutoff delete retires with its era — the
+        same contract as Kafka compaction's ``delete.retention.ms``.
+
+        On a time-clustered table with retention ≫ expiry cadence, almost
+        all expired bytes leave without being read — at 100 TB that is
+        the difference between a metadata commit and a table-sized job.
+        A file drop is only taken when its manifest entry records
+        ``ts_nulls == 0`` (null-ts rows — e.g. tombstones from feeds
+        that null the payload, or ``delete_keys`` erasures — cannot be
+        aged by a zone map and must survive via the rewrite path);
+        entries from before the ``ts_nulls`` stat conservatively
+        rewrite. Rewritten buckets land as a plain unsliced base — an
+        explicit ``compact(ts_slices=...)`` restores their clustering;
+        untouched siblings keep theirs (layout preservation is per
+        bucket).
+
+        CONSUMER CONTRACT: expiry changes state without a changefeed
+        delta, so the commit is a BARRIER like ``overwrite`` —
+        ``changes()`` windows spanning it raise, incremental views detect
+        it and rebuild, mirrors re-baseline. The retention caveat is the
+        standard one (Kafka compaction's ``delete.retention.ms``,
+        Iceberg's data expiry): events older than ``before`` delivered
+        AFTER the expiry re-enter until the next cadence run; within-
+        window late arrivals and deletes keep exact LWW semantics.
+
+        Rejected on partial-update tables: per-column patch resolution
+        needs every storage row of a key, and the winner-timestamp rule
+        itself is ambiguous when ``ts`` is a patch column.
+
+        Returns the committed snapshot, or None when nothing expired.
+        Reference analog: the reference keeps only the latest full reload
+        per table (scripts/load_data.py truncate) — all-or-nothing
+        retention; this is the row-level version with the same end state.
+        """
+        snap = self.current()
+        if self._patch_spec(snap) is not None:
+            raise ValueError(
+                "expire_rows is unsound on partial-update tables "
+                "(patch.columns declared): winner-timestamp expiry needs "
+                "whole-row LWW resolution"
+            )
+        zcol = self._zone_ts_col(snap.schema)
+        if zcol is None:
+            raise ValueError("expire_rows: schema has no timestamp column")
+        zid = snap.column_ids.get(zcol)
+        cutoff_us = self._ts_micros(before)
+
+        def usable(e: dict[str, Any]) -> bool:
+            return (
+                e.get("ts_min") is not None
+                and zid is not None
+                and e.get("ts_id") == zid
+            )
+
+        def dead(e: dict[str, Any]) -> bool:
+            return (
+                usable(e)
+                and e["ts_max"] < cutoff_us
+                and e.get("ts_nulls") == 0
+            )
+
+        def clean(e: dict[str, Any]) -> bool:
+            # no pre-cutoff LIVE rows; null-ts rows (tombstones, or live
+            # rows with no event time — which never expire) are fine. A
+            # file with NO ts min/max is clean iff it is provably all
+            # null-ts (ts_nulls == rows under the current column
+            # identity); otherwise it must take the rewrite path.
+            if usable(e):
+                return e["ts_min"] >= cutoff_us
+            return (
+                zid is not None
+                and e.get("ts_id") == zid
+                and e.get("ts_nulls") is not None
+                and e.get("rows") is not None
+                and e["ts_nulls"] == e["rows"]
+            )
+
+        new_files: dict[str, list[dict[str, Any]]] = {}
+        rewrite: list[int] = []
+        files_dropped = 0
+        buckets_dropped = 0
+        for b, fs in snap.files.items():
+            if not fs:
+                continue
+            if all(dead(e) for e in fs):
+                new_files[b] = []
+                buckets_dropped += 1
+                files_dropped += len(fs)
+                continue
+            if all(clean(e) or dead(e) for e in fs):
+                groups = {e.get("lww_group") for e in fs}
+                one_pass = all(e.get("kind") == "base" for e in fs) and (
+                    len(fs) == 1 or (len(groups) == 1 and None not in groups)
+                )
+                kept = [e for e in fs if not dead(e)]
+                if one_pass and len(kept) < len(fs):
+                    # slice-level metadata drop: keys are slice-local
+                    new_files[b] = kept
+                    files_dropped += len(fs) - len(kept)
+                    continue
+                if len(kept) == len(fs):
+                    continue  # nothing pre-cutoff in this bucket
+            rewrite.append(int(b))
+        if rewrite:
+            df = self.read(
+                include_internal=True,
+                include_tombstones=True,
+                buckets=rewrite,
+            )
+            df = df.filter(
+                F.col(zcol).isNull()
+                | (
+                    F.unix_micros(F.col(zcol).cast("timestamp"))
+                    >= F.lit(cutoff_us)
+                )
+            )
+            df = self._fold_shuffle(df, len(rewrite), snap.key_cols)
+            group = f"expire-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
+            commit_dir = os.path.join("data", group)
+            raw, _stats = self._write_data(
+                df,
+                commit_dir,
+                key_col=snap.key_cols[0],
+                ts_col=zcol,
+                ts_col_id=zid,
+                content=self._content_spec(snap),
+            )
+            for b, es in raw.items():
+                new_files[b] = [
+                    dict(e, kind="base", lww_group=group) for e in es
+                ]
+            for b in rewrite:  # a fully-expired rewrite bucket empties
+                new_files.setdefault(str(b), [])
+        if not new_files:
+            return None
+        out = self._next_commit(
+            new_files,
+            snap.schema,
+            dict(
+                summary or {},
+                operation="expire_rows",
+                cutoff_us=cutoff_us,
+                buckets_dropped=buckets_dropped,
+                files_dropped=files_dropped,
+                buckets_rewritten=len(rewrite),
+            ),
+            commit_key=None,
+            replace_buckets=True,
+            base_snapshot_id=snap.snapshot_id,
+        )
+        assert out is not None  # no commit_key -> never the racer-applied path
+        return out
+
+    def delete_keys(
+        self,
+        keys: DataFrame,
+        summary: dict[str, Any] | None = None,
+    ) -> Snapshot | None:
+        """Targeted key erasure ("right to be forgotten"): tombstone every
+        live row whose key appears in ``keys`` (a DataFrame carrying the
+        table's key columns; extra columns ignored). Each delete is minted
+        at ``winner_lsn + 1``, so it beats the current version and any
+        late re-delivery of it, while genuinely-newer feed events still
+        win — CDC semantics preserved. The read is bucket/key-pruned
+        (``semi_keys``), so cost is O(probed keys' buckets), not O(table).
+
+        Physical erasure is the documented three-step:
+        ``delete_keys`` (logical, immediate) → ``compact()`` (drops the
+        dead versions from current files) → ``expire_snapshots`` (drops
+        the historical files). Patch tables are supported — the tombstone
+        carries ``_dlsn = lsn`` with NULL per-column set-LSNs, killing
+        every older patch value without resurrection.
+
+        Naturally idempotent: keys already deleted (or never present) have
+        no live winner, so a re-run is a no-op returning None. Emits
+        ordinary changefeed deletes — incremental views, mirrors and SCD2
+        history stay exact (unlike ``expire_rows``, which is a barrier)."""
+        snap = self.current()
+        missing = set(snap.key_cols) - set(keys.columns)
+        if missing:
+            raise ValueError(
+                f"delete_keys: keys frame lacks key columns {sorted(missing)}"
+            )
+        keys_only = keys.select(*snap.key_cols).dropDuplicates(
+            list(snap.key_cols)
+        )
+        cur = self.read(semi_keys=keys_only, include_internal=True)
+        sel: list[F.Column] = [F.col(c) for c in snap.key_cols]
+        for f in snap.schema.fields:
+            if f.name not in snap.key_cols:
+                sel.append(F.lit(None).cast(f.dataType).alias(f.name))
+        winners = cur.select(
+            *sel,
+            (F.col("_lsn") + 1).alias("_lsn"),
+            F.lit(True).alias("_deleted"),
+        )
+        patch = self._patch_spec(snap)
+        if patch is not None:
+            for c in patch[0]:
+                winners = winners.withColumn(
+                    f"_plsn_{c}", F.lit(None).cast("long")
+                )
+            winners = winners.withColumn("_dlsn", F.col("_lsn"))
+        if winners.isEmpty():
+            return None
+        return self.merge(
+            winners,
+            summary=dict(summary or {}, operation_detail="delete_keys"),
+        )
 
     def expire_snapshots(
         self,

@@ -123,6 +123,15 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c17_sharded_mirror,
         cdcq.C17_SQL,
     ),
+    # NEW round 4k — event-time row retention (LakeTable.expire_rows):
+    # zone-stat metadata drops for dead buckets/slices, boundary-bucket
+    # rewrite, event-time-uniform tombstone aging; in-query asserts pin
+    # the metadata path + idempotent re-run; oracle = LWW state filtered
+    # by the identical integer-µs cutoff
+    "c18_row_expiry": (
+        cdcq.c18_row_expiry,
+        cdcq.C18_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -147,7 +156,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     "j01_asof_join": (temporal.j01_asof_join, temporal.J01_SQL),
     "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
     # text analysis / dedup (training-data ops)
-    "t03_lang_id": (textops.t03_lang_id, textops.T03_SQL),
     "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
     "t14_rolling_fingerprint": (
         textops.t14_rolling_fingerprint,
@@ -302,6 +310,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # strict downstream stage of the in-gate t17 cluster computation, and
     # the dedup family also rides in-gate t15) demoted to admit the NEW
     # c17 subset-replica mirror
+    # round 4k: t03 (driver-green r1+r2+r3; its language-argmax
+    # expressions are exercised in-gate by the t15 curation composite)
+    # demoted to admit the NEW c18 row-expiry entry — m03, changed to a
+    # real resample in 4c, must keep its in-gate slot to earn the fresh
+    # driver-green row the rotation rule requires
+    "t03_lang_id": (textops.t03_lang_id, textops.T03_SQL),
     "t18_dedup_survivors": (
         corpusops.t18_dedup_survivors,
         corpusops.T18_SQL,

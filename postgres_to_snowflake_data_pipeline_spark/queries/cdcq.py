@@ -1522,3 +1522,74 @@ SELECT t.role, t.n_rows,
        {_hq_decode("h.b95")} AS p95_chars
 FROM tot t JOIN hit h ON t.role = h.role
 """
+
+
+# ---------------------------------------------------------------------------
+# c18 — event-time row retention proven end-to-end: replay the feed,
+# time-cluster the layout (compact(ts_slices=4)), expire everything below
+# a deterministic cutoff, and return the surviving state. The query
+# asserts in-line (a driver-green row certifies it) that the expiry
+# actually took the METADATA path for at least one file — zone-stat
+# slice/bucket drops, not a table rewrite — and that a re-run at the same
+# cutoff is a no-op. The oracle is the LWW state filtered by the same
+# integer-µs cutoff arithmetic, so the value-hash check proves retention
+# removed exactly the pre-cutoff winners and nothing else.
+#
+# Cutoff = the RESOLVED state's exact ts median, floored to the second
+# plus half a second. The ts_slices=4 band boundaries are (approximate)
+# quantiles of the same resolved rows, so a median cut is guaranteed to
+# sit at/above the second boundary — the lowest band's ``ts_max`` is
+# below it and drops metadata-only — while ~half the state survives.
+# The half-second offset keeps the cutoff strictly between whole-second
+# event times (boundary rows can't straddle an engine-rounding ulp),
+# and the median itself is EXACT in both engines: µs values < 2^53, so
+# the two-point interpolation is exact double arithmetic (Spark
+# ``percentile`` ≡ DuckDB ``quantile_cont``).
+# Reference analog: the reference's retention is the full clear-and-
+# reload (scripts/load_data.py); this is the row-level version.
+# ---------------------------------------------------------------------------
+def c18_row_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datetime import datetime, timedelta, timezone
+
+    work = _work_dir("cdce18", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    replay_feed(spark, table, feed_path, epochs=2)
+    table.compact(ts_slices=4)
+
+    med = table.read().select(
+        F.expr("percentile(unix_micros(ts), 0.5D)")
+    ).first()[0]
+    cut_us = int(med // 1_000_000) * 1_000_000 + 500_000
+    cutoff = datetime.fromtimestamp(
+        cut_us // 1_000_000, tz=timezone.utc
+    ).replace(tzinfo=None) + timedelta(microseconds=cut_us % 1_000_000)
+
+    out = table.expire_rows(cutoff)
+    assert out is not None, "expiry removed nothing"
+    assert out.summary["files_dropped"] >= 1, (
+        "no metadata-only drop happened — the zone-stat path is dead"
+    )
+    assert table.expire_rows(cutoff) is None, "expiry re-run not a no-op"
+    return table.read().select("conv_id", "turn_idx", "role", "text", "ts")
+
+
+C18_SQL = f"""
+WITH state AS ({C01_SQL}),
+b AS (
+  SELECT CAST(floor(quantile_cont(epoch_us(ts), 0.5) / 1000000) AS BIGINT)
+         * 1000000 + 500000 AS cut
+  FROM state
+)
+SELECT conv_id, turn_idx, role, text, ts
+FROM state, b
+WHERE epoch_us(ts) >= cut
+"""
