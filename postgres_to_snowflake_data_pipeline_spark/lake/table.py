@@ -2985,10 +2985,13 @@ class LakeTable:
           individual slices with ``ts_max < before`` drop metadata-only —
           each key lives in exactly one slice, so a dropped slice holds
           the dropped keys' winners and nothing else;
-        - only buckets with a file actually STRADDLING the cutoff (or
-          unfolded deltas, or files without usable stats) are rewritten:
-          one clustered fold per such bucket, keeping rows with
-          ``ts >= before`` or ``ts IS NULL``.
+        - only files actually STRADDLING the cutoff are read: in a
+          single-pass bucket the straddling slices alone are re-filtered
+          (dead siblings still drop metadata-only, clean siblings are
+          kept untouched — keys are slice-local, so no cross-slice LWW
+          exists); a bucket with unfolded deltas or mixed passes takes a
+          full LWW fold. Both paths keep rows with ``ts >= before`` or
+          ``ts IS NULL`` and share one write job.
 
         Expiry is EVENT-TIME-UNIFORM: every row — live version or
         tombstone (tombstones carry their delete event's ts) — ages out
@@ -3072,9 +3075,16 @@ class LakeTable:
             )
 
         new_files: dict[str, list[dict[str, Any]]] = {}
-        rewrite: list[int] = []
+        #: one-pass buckets: bucket -> (clean entries kept as-is,
+        #: straddling entries to read+filter — keys are slice-local, so
+        #: the clean/dead siblings never need opening and no LWW
+        #: resolution is required across them
+        slice_rw: dict[str, tuple[list, list]] = {}
+        #: multi-group / delta-bearing buckets: full fold + LWW resolve
+        full_rw: list[int] = []
         files_dropped = 0
         buckets_dropped = 0
+        slices_rewritten = 0
         for b, fs in snap.files.items():
             if not fs:
                 continue
@@ -3083,34 +3093,57 @@ class LakeTable:
                 buckets_dropped += 1
                 files_dropped += len(fs)
                 continue
-            if all(clean(e) or dead(e) for e in fs):
-                groups = {e.get("lww_group") for e in fs}
-                one_pass = all(e.get("kind") == "base" for e in fs) and (
-                    len(fs) == 1 or (len(groups) == 1 and None not in groups)
-                )
-                kept = [e for e in fs if not dead(e)]
-                if one_pass and len(kept) < len(fs):
-                    # slice-level metadata drop: keys are slice-local
-                    new_files[b] = kept
-                    files_dropped += len(fs) - len(kept)
-                    continue
-                if len(kept) == len(fs):
-                    continue  # nothing pre-cutoff in this bucket
-            rewrite.append(int(b))
-        if rewrite:
-            df = self.read(
-                include_internal=True,
-                include_tombstones=True,
-                buckets=rewrite,
+            groups = {e.get("lww_group") for e in fs}
+            one_pass = all(e.get("kind") == "base" for e in fs) and (
+                len(fs) == 1 or (len(groups) == 1 and None not in groups)
             )
-            df = df.filter(
+            if one_pass:
+                kept = [e for e in fs if not dead(e)]
+                strad = [e for e in kept if not clean(e)]
+                files_dropped += len(fs) - len(kept)
+                if not strad:
+                    if len(kept) < len(fs):
+                        # pure slice-level metadata drop
+                        new_files[b] = kept
+                    continue
+                slices_rewritten += len(strad)
+                slice_rw[b] = (
+                    [e for e in kept if clean(e)],
+                    strad,
+                )
+            else:
+                if all(clean(e) for e in fs):
+                    continue  # nothing pre-cutoff in this bucket
+                full_rw.append(int(b))
+        if slice_rw or full_rw:
+            keep = (
                 F.col(zcol).isNull()
                 | (
                     F.unix_micros(F.col(zcol).cast("timestamp"))
                     >= F.lit(cutoff_us)
                 )
             )
-            df = self._fold_shuffle(df, len(rewrite), snap.key_cols)
+            frames = []
+            if full_rw:
+                frames.append(
+                    self.read(
+                        include_internal=True,
+                        include_tombstones=True,
+                        buckets=full_rw,
+                    ).filter(keep)
+                )
+            if slice_rw:
+                raw_df = self._read_files(
+                    snap,
+                    [e for _kept, strad in slice_rw.values() for e in strad],
+                )
+                assert raw_df is not None
+                frames.append(raw_df.filter(keep))
+            df = frames[0]
+            for f2 in frames[1:]:
+                df = df.unionByName(f2)
+            n_rw = len(full_rw) + len(slice_rw)
+            df = self._fold_shuffle(df, n_rw, snap.key_cols)
             group = f"expire-{snap.snapshot_id + 1}-{uuid.uuid4().hex[:8]}"
             commit_dir = os.path.join("data", group)
             raw, _stats = self._write_data(
@@ -3122,11 +3155,15 @@ class LakeTable:
                 content=self._content_spec(snap),
             )
             for b, es in raw.items():
-                new_files[b] = [
-                    dict(e, kind="base", lww_group=group) for e in es
-                ]
-            for b in rewrite:  # a fully-expired rewrite bucket empties
+                fresh = [dict(e, kind="base", lww_group=group) for e in es]
+                if b in slice_rw:
+                    new_files[b] = slice_rw[b][0] + fresh
+                else:
+                    new_files[b] = fresh
+            for b in full_rw:  # a fully-expired rewrite bucket empties
                 new_files.setdefault(str(b), [])
+            for b, (kept_clean, _strad) in slice_rw.items():
+                new_files.setdefault(b, kept_clean)
         if not new_files:
             return None
         out = self._next_commit(
@@ -3138,7 +3175,8 @@ class LakeTable:
                 cutoff_us=cutoff_us,
                 buckets_dropped=buckets_dropped,
                 files_dropped=files_dropped,
-                buckets_rewritten=len(rewrite),
+                buckets_rewritten=len(full_rw) + len(slice_rw),
+                slices_rewritten=slices_rewritten,
             ),
             commit_key=None,
             replace_buckets=True,
