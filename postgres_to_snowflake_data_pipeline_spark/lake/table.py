@@ -868,6 +868,103 @@ class LakeTable:
             snapshot_id=snapshot_id, buckets=[bucket], key_prune=conv_id
         ).filter(F.col(snap.key_cols[0]) == conv_id)
 
+    def state_counts(self, snapshot_id: int | None = None) -> dict[str, Any]:
+        """Live/tombstoned key counts of the current (or time-travel)
+        state, answered from MANIFEST STATS ALONE wherever that is sound
+        — the Iceberg-style "count(*) without a scan". At 100 TB the
+        difference is a metadata fold on the driver vs a table-sized
+        job; on a table under maintenance cadence (compact every k
+        epochs) only the buckets touched since their last fold pay a
+        scan, so the steady-state cost is O(delta), not O(table).
+
+        Soundness per bucket: ``sum(rows) - sum(del_rows)`` equals the
+        live LWW state iff every key holds exactly ONE storage row in
+        the bucket. That holds when (a) the bucket is one folded
+        compaction pass (all entries ``kind='base'`` sharing one
+        ``lww_group`` — the fold's max-struct aggregate emits one row
+        per key, and slices are key-disjoint), or (b) the bucket is a
+        single delta file (batch dedup emits one row per key per
+        commit). Anything else — unfolded deltas over a base, mixed
+        rewrite passes, entries predating the ``del_rows`` stat — falls
+        back to ONE Spark read over just those buckets (`read` with
+        bucket pruning). Partial-update tables always scan: per-column
+        patch resolution can merge several storage rows into one key.
+
+        Returns ``{"live", "deleted", "stats_buckets",
+        "scanned_buckets", "buckets": {bucket: {"live", "deleted",
+        "via"}}}`` — ``via`` says which path answered each bucket, so
+        tests and operators can pin the read amplification.
+
+        Reference analog: the verification COUNT(*) checks the reference
+        runs against Snowflake after each load
+        (/root/reference/dags/s3_to_snowflake_dag.py:167-192); here the
+        same answer is a manifest fold instead of a warehouse query."""
+        snap = (
+            self.current() if snapshot_id is None else self.log.load(snapshot_id)
+        )
+        patch = self._patch_spec(snap) is not None
+        buckets: dict[int, dict[str, Any]] = {}
+        dirty: list[int] = []
+        for b, fs in snap.files.items():
+            bi = int(b)
+            if not fs:
+                buckets[bi] = {"live": 0, "deleted": 0, "via": "stats"}
+                continue
+            groups = {e.get("lww_group") for e in fs}
+            one_pass = all(e.get("kind") == "base" for e in fs) and (
+                len(fs) == 1 or (len(groups) == 1 and None not in groups)
+            )
+            countable = (
+                not patch
+                and (one_pass or len(fs) == 1)
+                and all(e.get("del_rows") is not None for e in fs)
+            )
+            if countable:
+                rows = sum(e["rows"] for e in fs)
+                dels = sum(e["del_rows"] for e in fs)
+                buckets[bi] = {
+                    "live": rows - dels,
+                    "deleted": dels,
+                    "via": "stats",
+                }
+            else:
+                dirty.append(bi)
+        if dirty:
+            df = self.read(
+                snapshot_id=snapshot_id,
+                buckets=dirty,
+                columns=[],
+                include_internal=True,
+                include_tombstones=True,
+            )
+            for r in (
+                df.groupBy("_bucket")
+                .agg(
+                    F.sum(F.col("_deleted").cast("long")).alias("d"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+                .collect()  # bounded: <= n_buckets rows
+            ):
+                d = r.asDict()
+                buckets[int(d["_bucket"])] = {
+                    "live": int(d["n"]) - int(d["d"]),
+                    "deleted": int(d["d"]),
+                    "via": "scan",
+                }
+            for bi in dirty:  # scanned bucket with zero surviving rows
+                buckets.setdefault(bi, {"live": 0, "deleted": 0, "via": "scan"})
+        return {
+            "live": sum(v["live"] for v in buckets.values()),
+            "deleted": sum(v["deleted"] for v in buckets.values()),
+            "stats_buckets": sum(
+                1 for v in buckets.values() if v["via"] == "stats"
+            ),
+            "scanned_buckets": sum(
+                1 for v in buckets.values() if v["via"] == "scan"
+            ),
+            "buckets": buckets,
+        }
+
     #: point-read key sets up to this size are broadcast into the pre-LWW
     #: semi-join (a few MB of keys); larger sets shuffle
     BROADCAST_KEYS_MAX = 500_000
@@ -1578,6 +1675,12 @@ class LakeTable:
                     lmins.append(e["lsn_min"])
                     lmaxs.append(e["lsn_max"])
                 e["rows"] = int(st["rows"])
+                if st.get("del_rows") is not None:
+                    # tombstone-row count: with per-key row uniqueness
+                    # (folded base pass / single delta), rows - del_rows
+                    # is the file's LIVE state contribution — the stat
+                    # behind metadata-only state_counts()
+                    e["del_rows"] = int(st["del_rows"])
                 if st.get("ts_min") is not None and ts_col_id is not None:
                     e["ts_min"] = int(st["ts_min"])
                     e["ts_max"] = int(st["ts_max"])
@@ -1665,6 +1768,47 @@ class LakeTable:
             if st is None or not st.has_null_count:
                 return None
             total += st.null_count
+        return total
+
+    @staticmethod
+    def _footer_dels(pf) -> int | None:
+        """Exact tombstone count (``_deleted = true`` rows) of one data
+        file; None when the column is absent (foreign parquet). Answered
+        from footer boolean min/max wherever a row group is provably
+        all-live (``max = false``) or all-tombstone (``min = true``);
+        only MIXED row groups read the ``_deleted`` column itself — a
+        boolean RLE column, ~rows/8 bytes before compression, riding the
+        already-open file handle. This is what lets ``state_counts``
+        answer live-row counts from the manifest alone on folded
+        buckets: ``rows - del_rows`` is the bucket's live state when
+        each key holds exactly one storage row."""
+        md = pf.metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        try:
+            idx = names.index("_deleted")
+        except ValueError:
+            return None
+        total = 0
+        mixed: list[int] = []
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            st = g.column(idx).statistics
+            if st is not None and st.has_min_max:
+                if st.max is False:
+                    continue
+                if st.min is True:
+                    total += g.num_rows
+                    continue
+            mixed.append(rg)
+        if mixed:
+            import pyarrow.compute as pc
+
+            for rg in mixed:
+                col = pf.read_row_group(rg, columns=["_deleted"]).column(
+                    "_deleted"
+                )
+                s = pc.sum(col.cast("int64")).as_py()
+                total += int(s or 0)
         return total
 
     @staticmethod
@@ -1793,6 +1937,7 @@ class LakeTable:
                         if ts_col is not None
                         else None
                     ),
+                    "del_rows": self._footer_dels(pf),
                     **self._content_stats(pf, set_cols, tok_col),
                 }
             return out
@@ -1908,6 +2053,34 @@ class LakeTable:
                     v = v.replace(tzinfo=timezone.utc)
                 return int(v.timestamp() * 1_000_000)
 
+            def dels(pf):
+                # mirrors LakeTable._footer_dels (self-contained closure)
+                md = pf.metadata
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                if "_deleted" not in names:
+                    return None
+                idx = names.index("_deleted")
+                total, mixed = 0, []
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    st = g.column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        if st.max is False:
+                            continue
+                        if st.min is True:
+                            total += g.num_rows
+                            continue
+                    mixed.append(rg)
+                for rg in mixed:
+                    col = pf.read_row_group(
+                        rg, columns=["_deleted"]
+                    ).column("_deleted")
+                    s = pc.sum(col.cast("int64")).as_py()
+                    total += int(s or 0)
+                return total
+
             for p in it:
                 pf = pq.ParquetFile(p)
                 md = pf.metadata
@@ -1917,7 +2090,7 @@ class LakeTable:
                 tnul = nn(md, tc) if tc is not None else None
                 yield (
                     p, md.num_rows, lo, hi, klo, khi,
-                    us(tlo), us(thi), tnul, cstats(pf),
+                    us(tlo), us(thi), tnul, dels(pf), cstats(pf),
                 )
 
         sc = self.spark.sparkContext
@@ -1932,9 +2105,10 @@ class LakeTable:
                 "ts_min": tlo,
                 "ts_max": thi,
                 "ts_nulls": tnul,
+                "del_rows": dl,
                 **cs,
             }
-            for p, rows, lo, hi, klo, khi, tlo, thi, tnul, cs in (
+            for p, rows, lo, hi, klo, khi, tlo, thi, tnul, dl, cs in (
                 sc.parallelize(paths, n_slices).mapPartitions(footers).collect()
             )
         }

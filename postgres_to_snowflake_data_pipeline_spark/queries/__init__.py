@@ -132,6 +132,16 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c18_row_expiry,
         cdcq.C18_SQL,
     ),
+    # NEW round 4l — metadata-only state counting (LakeTable.state_counts):
+    # live/tombstone counts from manifest stats (rows - del_rows over
+    # folded passes / single deltas) with a bucket-pruned scan fallback;
+    # in-query asserts pin BOTH paths live; oracle recomputes live/
+    # deleted (LWW winners) and the storage-row total (per-slice distinct
+    # keys) from the raw feed
+    "c19_metadata_count": (
+        cdcq.c19_metadata_count,
+        cdcq.C19_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
@@ -154,7 +164,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         reference.Q19_SQL,
     ),
     "j01_asof_join": (temporal.j01_asof_join, temporal.J01_SQL),
-    "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
     # text analysis / dedup (training-data ops)
     "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
     "t14_rolling_fingerprint": (
@@ -315,6 +324,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # demoted to admit the NEW c18 row-expiry entry — m03, changed to a
     # real resample in 4c, must keep its in-gate slot to earn the fresh
     # driver-green row the rotation rule requires
+    # round 4l: j02 (driver-green r1+r2+r3; the time-banded join family
+    # stays in-gate via j01's as-of join, and the banded equi-join shape
+    # also rides t21's 13-gram overlap join) demoted to admit the NEW
+    # c19 metadata-only state count
+    "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
     "t03_lang_id": (textops.t03_lang_id, textops.T03_SQL),
     "t18_dedup_survivors": (
         corpusops.t18_dedup_survivors,

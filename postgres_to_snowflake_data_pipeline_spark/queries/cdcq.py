@@ -1593,3 +1593,102 @@ SELECT conv_id, turn_idx, role, text, ts
 FROM state, b
 WHERE epoch_us(ts) >= cut
 """
+
+
+# ---------------------------------------------------------------------------
+# c19 — metadata-only state counting: replay the first 3/4 of the feed,
+# fold every bucket (compact), then apply the last quarter FILTERED to
+# three conversations — only their hash buckets take a delta. The
+# engine's state_counts() must answer every untouched bucket from
+# manifest stats alone (sum(rows - del_rows) over the folded pass; zero
+# data files opened) and scan only the dirtied buckets; the asserts pin
+# BOTH paths live. The oracle recomputes all three numbers from the raw
+# feed (LWW winners for live/deleted, per-slice distinct keys for the
+# storage-row total), so the value-hash check proves the manifest
+# arithmetic against real data — an Iceberg-style "COUNT(*) without a
+# scan", which at 100 TB is a driver-side metadata fold instead of a
+# table-sized job. Reference analog: the row-count verification the
+# reference runs against Snowflake after each load
+# (/root/reference/dags/s3_to_snowflake_dag.py:167-192).
+# ---------------------------------------------------------------------------
+C19_CONVS = ("u1", "u2", "u3")
+
+
+def c19_metadata_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+
+    work = _work_dir("cdce19", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    table = LakeTable.create(
+        spark,
+        os.path.join(work, "table"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    feed = spark.read.parquet(feed_path)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    cut = lo + 3 * max((hi - lo + 1) // 4, 1)
+    head_path = os.path.join(work, "head")
+    feed.filter(F.col("lsn") < cut).write.mode("overwrite").parquet(head_path)
+    replay_feed(spark, table, head_path, epochs=3)
+    table.compact()
+    tail = feed.filter(
+        (F.col("lsn") >= cut) & F.col("conv_id").isin(*C19_CONVS)
+    )
+    apply_batch(spark, table, tail, epoch=3)
+
+    sc = table.state_counts()
+    assert sc["stats_buckets"] >= 1, "metadata-only path unused"
+    assert sc["scanned_buckets"] >= 1, "scan fallback unused"
+    assert sc["scanned_buckets"] <= len(C19_CONVS), sc
+    storage = sum(
+        e["rows"] for fs in table.current().files.values() for e in fs
+    )
+    return spark.createDataFrame(
+        [(sc["live"], sc["deleted"], storage)],
+        "live_rows long, deleted_keys long, storage_rows long",
+    )
+
+
+C19_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx
+  FROM events
+),
+b AS (
+  SELECT min(lsn) + 3 * greatest((max(lsn) - min(lsn) + 1) // 4, 1) AS cut
+  FROM feed
+),
+kept AS (
+  SELECT f.* FROM feed f, b
+  WHERE f.lsn < b.cut
+     OR (f.lsn >= b.cut AND f.conv_id IN ('u1', 'u2', 'u3'))
+),
+w AS (
+  SELECT conv_id, turn_idx, arg_max(op, lsn) AS op
+  FROM kept GROUP BY 1, 2
+),
+head_keys AS (
+  SELECT count(*) AS n FROM (
+    SELECT DISTINCT conv_id, turn_idx FROM feed, b WHERE lsn < b.cut
+  )
+),
+tail_keys AS (
+  SELECT count(*) AS n FROM (
+    SELECT DISTINCT conv_id, turn_idx FROM feed, b
+    WHERE lsn >= b.cut AND conv_id IN ('u1', 'u2', 'u3')
+  )
+)
+SELECT
+  CAST(sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS live_rows,
+  CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS deleted_keys,
+  (SELECT CAST(head_keys.n + tail_keys.n AS BIGINT)
+   FROM head_keys, tail_keys) AS storage_rows
+FROM w
+"""
