@@ -143,7 +143,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.C19_SQL,
     ),
     # reference-parity relational operators (SURVEY.md §2)
-    "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
     # rotated back in-gate for round 4 (driver-green in r2, absent from r3's
     # 50-slot window): CDC final state, CSV round-trip, given-cell IVF
@@ -159,6 +158,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         reference.q24_unpivot_measures,
         reference.Q24_SQL,
     ),
+    # NEW round 4l — time-RANGE window frame (frame bounded by the
+    # ORDER-BY value, not a row count): per-user preceding-hour event
+    # counts in exact integer microseconds; one user_id exchange + one
+    # WindowExec pass, order-independent measures only
+    "q25_range_frame": (reference.q25_range_frame, reference.Q25_SQL),
     "q19_percentile_stats": (
         reference.q19_percentile_stats,
         reference.Q19_SQL,
@@ -327,8 +331,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # round 4l: j02 (driver-green r1+r2+r3; the time-banded join family
     # stays in-gate via j01's as-of join, and the banded equi-join shape
     # also rides t21's 13-gram overlap join) demoted to admit the NEW
-    # c19 metadata-only state count
+    # c19 metadata-only state count; q01 (driver-green r1+r2+r3; its
+    # groupBy multi-agg family stays in-gate via q02's silver report and
+    # q21's grouping sets) demoted to admit the NEW q25 range frame
     "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
+    "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "t03_lang_id": (textops.t03_lang_id, textops.T03_SQL),
     "t18_dedup_survivors": (
         corpusops.t18_dedup_survivors,

@@ -982,3 +982,53 @@ FROM long
 GROUP BY 1, 2
 ORDER BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# q25 — time-RANGE window frame: for every event, how many events (and the
+# min/max value) the SAME user produced in the PRECEDING HOUR, inclusive.
+# This is the frame kind the rest of the window family doesn't cover —
+# q10/q15 rank whole partitions, q23's moving average is a ROWS frame
+# (fixed row count); a RANGE frame is bounded by the ORDER-BY VALUE, so
+# frame membership follows event-time density and ties share one frame
+# regardless of physical row order (which is why min/max/count — exact,
+# order-independent — are the measures; no float accumulation rides the
+# frame). Ordering on epoch MICROSECONDS keeps both engines' boundary
+# arithmetic in exact integers. Plan: one hash exchange on user_id, one
+# sort, one Window — the same single-shuffle shape as q10 (WindowExec
+# handles the running frame in one pass over each sorted partition; at
+# 10^10 rows the cost is the user_id exchange, and a hot user salts the
+# same way the CDC path does). Reference analog: the silver report's
+# per-card running aggregates (silver_layer_dag.py) restated as a
+# sliding event-time window.
+# ---------------------------------------------------------------------------
+def q25_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ in the driver parquet; the session TZ is pinned
+    # UTC (session.py), so the cast is the identity on the stored micros
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)  # preceding hour, inclusive
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.min("value").over(w).alias("v_min_1h"),
+        F.max("value").over(w).alias("v_max_1h"),
+    )
+
+
+Q25_SQL = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       min(value) OVER w AS v_min_1h,
+       max(value) OVER w AS v_max_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""

@@ -401,3 +401,18 @@ def test_t23_mixture_sample_shuffles_only_narrow_columns(spark, sf_dir):
     window_at = plan.index("Window [")
     exchange_at = plan.index("Exchange hashpartitioning")
     assert "text#" not in plan[window_at:exchange_at], plan
+
+
+def test_q25_range_frame_single_exchange_range_window(spark, sf_dir):
+    """The time-RANGE frame runs as ONE user_id exchange + ONE WindowExec
+    pass (RangeFrame in the spec — frame membership follows the ORDER-BY
+    value); the scan stays pruned to the four referenced columns and no
+    self-join or second exchange sneaks in."""
+    df = reference.q25_range_frame(spark, sf_dir)
+    (scan,) = read_schema_columns(df)
+    assert set(scan) == {"event_id", "user_id", "ts", "value"}, scan
+    plan = explain_str(df, "simple")
+    assert n_exchanges(df) == 1, plan
+    assert "RANGE BETWEEN" in plan or "specifiedwindowframe(RangeFrame" in plan, plan
+    assert plan.count("Window") >= 1, plan
+    assert "Join" not in plan, plan
