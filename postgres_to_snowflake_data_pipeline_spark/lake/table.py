@@ -1246,6 +1246,167 @@ class LakeTable:
             raise ValueError(f"no such tag: {name}")
         return self.read(snapshot_id=tags[name], **kwargs)
 
+    # ------------------------------------------------------------------
+    # zero-copy branching (Iceberg register_table / Delta shallow clone)
+    # ------------------------------------------------------------------
+    def clone_to(
+        self, dest_root: str, snapshot_id: int | None = None
+    ) -> "LakeTable":
+        """Zero-copy branch: create an independent table at ``dest_root``
+        whose first snapshot references THIS table's data files in place
+        (by absolute path) — no byte of data is copied, so branching a
+        100 TB table is one manifest write + one snapshot CAS, O(metadata).
+        The Delta "shallow clone" / Iceberg register-and-diverge shape:
+        dev branches, what-if reprocessing, release freezes.
+
+        Independence: commits on either side never touch the other — the
+        clone's writes/compactions land under ITS root, and both sides'
+        ``expire_snapshots`` only ever delete files under their own root
+        (foreign absolute paths are unreachable by the GC walk, by
+        construction). A ``compact()`` on the clone folds foreign
+        references into local files bucket by bucket.
+
+        Source-retention safety: the source snapshot is pinned with a
+        ``clone-{token}`` tag, so source-side retention keeps every
+        referenced file alive. Once the clone has no foreign references
+        left (``foreign_file_count() == 0`` — e.g. after a full compact)
+        or is discarded, ``detach_clone()`` / ``drop_tag`` releases the
+        pin. Cloning a clone re-pins only its immediate source: the
+        grandparent's pin must outlive the whole descent, since foreign
+        paths are inherited verbatim.
+
+        The clone inherits the full schema ERA (stable column ids,
+        prior/retired names — old files keep reading correctly through
+        renames), the table props, and the CDC frontier (epoch watermark
+        + residual commit keys): replaying an epoch the source already
+        applied is a no-op on the branch too, so a branch-then-reprocess
+        run has the same exactly-once contract as the trunk.
+
+        Reference analog: the reference clones by re-exporting the whole
+        table to S3 and re-loading it (scripts/export_to_s3.py +
+        load_data.py full reload); this is the same operation at
+        metadata cost."""
+        import hashlib
+
+        src = (
+            self.current() if snapshot_id is None else self.log.load(snapshot_id)
+        )
+        dest = LakeTable(self.spark, dest_root)
+        if dest.log.exists():
+            raise ValueError(f"table already exists at {dest_root}")
+        src_root = os.path.abspath(self.root)
+        token = hashlib.md5(
+            os.path.abspath(dest_root).encode("utf-8")
+        ).hexdigest()[:12]
+        pin = f"clone-{token}"
+        try:
+            self.log.create_tag(pin, src.snapshot_id)
+        except ValueError:
+            # stale pin from a clone that crashed before its commit (the
+            # dest-exists check above rules out a LIVE clone of this dest)
+            self.log.drop_tag(pin)
+            self.log.create_tag(pin, src.snapshot_id)
+        files = {
+            b: [
+                dict(
+                    e,
+                    path=e["path"]
+                    if os.path.isabs(e["path"])
+                    else os.path.join(src_root, e["path"]),
+                )
+                for e in es
+            ]
+            for b, es in src.files.items()
+        }
+        os.makedirs(dest_root, exist_ok=True)
+        name = self._manifest_name(0)
+        snap = Snapshot(
+            snapshot_id=0,
+            parent_id=None,
+            schema_json=src.schema_json,
+            n_buckets=src.n_buckets,
+            key_cols=list(src.key_cols),
+            manifests=(
+                [{"path": name, "op": "replace", "buckets": sorted(files)}]
+                if files
+                else []
+            ),
+            summary={
+                "operation": "clone",
+                "committed_at_unix": time.time(),
+                "clone_source": src_root,
+                "clone_source_snapshot": src.snapshot_id,
+            },
+            commit_keys=list(src.commit_keys),
+            epoch_watermark=src.epoch_watermark,
+            epoch_base=src.epoch_base,
+            commit_count=src.commit_count,
+            column_ids=dict(src.column_ids),
+            prior_names={k: list(v) for k, v in src.prior_names.items()},
+            retired_names=list(src.retired_names),
+            next_column_id=src.next_column_id,
+            props=dict(
+                src.props,
+                **{
+                    "clone.source": src_root,
+                    "clone.source_snapshot": src.snapshot_id,
+                    "clone.source_tag": pin,
+                },
+            ),
+        )
+        snap._files = files
+        try:
+            dest.log.commit(
+                snap, new_manifest=(name, files) if files else None
+            )
+        except CommitConflictError:
+            dest.log.repair_hint()
+            self.log.drop_tag(pin)
+            raise ValueError(
+                f"table already exists at {dest_root}"
+            ) from None
+        return dest
+
+    def foreign_file_count(self, snapshot_id: int | None = None) -> int:
+        """Data files this table references OUTSIDE its own root (clone
+        inheritance). 0 means the table is self-contained and any clone
+        pin on its source can be released."""
+        snap = (
+            self.current() if snapshot_id is None else self.log.load(snapshot_id)
+        )
+        return sum(
+            1
+            for es in snap.files.values()
+            for e in es
+            if os.path.isabs(e["path"])
+        )
+
+    def detach_clone(self) -> None:
+        """Release the source pin once this clone is self-contained: drops
+        the ``clone-*`` tag on the source table and removes the clone
+        props (metadata-only commit). Refuses while foreign references
+        remain — dropping the pin then would let source retention delete
+        files this table still reads."""
+        src_root = self.current().props.get("clone.source")
+        if src_root is None:
+            raise ValueError("not a clone (no clone.source prop)")
+        n = self.foreign_file_count()
+        if n:
+            raise ValueError(
+                f"clone still references {n} source files — compact() "
+                "first, then detach"
+            )
+        pin = self.current().props["clone.source_tag"]
+        try:
+            source = LakeTable.load(self.spark, src_root)
+            source.drop_tag(pin)
+        except (FileNotFoundError, ValueError):
+            pass  # source dropped, or pin already released
+        self.update_props(
+            {"clone.source": None, "clone.source_snapshot": None,
+             "clone.source_tag": None}
+        )
+
     def snapshot_as_of(self, ts_unix: float) -> Snapshot:
         """Time travel by wall clock: the last snapshot committed at or
         before ``ts_unix`` (Iceberg's TIMESTAMP AS OF). Raises if the

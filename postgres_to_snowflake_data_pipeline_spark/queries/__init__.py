@@ -142,6 +142,15 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c19_metadata_count,
         cdcq.C19_SQL,
     ),
+    # NEW round 4l — zero-copy branch (LakeTable.clone_to): O(metadata)
+    # shallow clone referencing the trunk's files in place, source pinned
+    # by a clone tag, divergent writes isolated; the union of both sides'
+    # final states under a branch marker hash-checks foreign-reference
+    # reads AND real divergence in one oracle
+    "c20_zero_copy_branch": (
+        cdcq.c20_zero_copy_branch,
+        cdcq.C20_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
     # rotated back in-gate for round 4 (driver-green in r2, absent from r3's
@@ -242,8 +251,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # ahead of the O(cands x queries) cosine stage; at scale the filter is
     # the content-index/inverted-index path (read(token_prune/eq_prune))
     "v11_hybrid_search": (simops.v11_hybrid_search, simops.V11_SQL),
-    # multimodal binary plumbing (Arrow-batched decode, ALL codecs REAL)
-    "m01_multimodal_decode": (multimodal.m01_multimodal_decode, multimodal.M01_SQL),
+    # multimodal binary plumbing (Arrow-batched decode, ALL codecs REAL;
+    # m01's PNG decode rides in-gate m02/m03 — rotated to overflow 4l)
     # audio feature extraction over REAL decoded PCM (round 4): exact
     # integer features (energy/peak/zero-crossings), oracle re-derives
     # every sample arithmetically from the generator's cycled-text PCM
@@ -333,9 +342,16 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # also rides t21's 13-gram overlap join) demoted to admit the NEW
     # c19 metadata-only state count; q01 (driver-green r1+r2+r3; its
     # groupBy multi-agg family stays in-gate via q02's silver report and
-    # q21's grouping sets) demoted to admit the NEW q25 range frame
+    # q21's grouping sets) demoted to admit the NEW q25 range frame;
+    # m01 (driver-green r1+r2+r3; its PNG decode is the literal first
+    # stage of the in-gate m02 APNG frame sampler and m03 resample)
+    # demoted to admit the NEW c20 zero-copy branch
     "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
+    "m01_multimodal_decode": (
+        multimodal.m01_multimodal_decode,
+        multimodal.M01_SQL,
+    ),
     "t03_lang_id": (textops.t03_lang_id, textops.T03_SQL),
     "t18_dedup_survivors": (
         corpusops.t18_dedup_survivors,

@@ -1692,3 +1692,99 @@ SELECT
    FROM head_keys, tail_keys) AS storage_rows
 FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# c20 — zero-copy branch (clone_to): replay the first 3/4 of the feed into
+# the TRUNK table and fold it; branch with clone_to (asserted zero-copy:
+# not one parquet byte lands under the branch root at clone time); apply
+# the remaining quarter to the BRANCH only. Returned rows are the union of
+# both sides' final states under a `branch` marker, so the value hash
+# proves (a) the clone read path resolves foreign file references to the
+# exact trunk state and (b) divergence is real — the trunk still equals
+# the head-only LWW state while the branch equals the full-feed state.
+# At 100 TB the branch costs one manifest write + one snapshot CAS.
+# Reference analog: the reference "branches" by re-exporting the whole
+# table to S3 and re-loading it (scripts/export_to_s3.py + load_data.py
+# full reload) — the same operation here is O(metadata).
+# ---------------------------------------------------------------------------
+def c20_zero_copy_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+
+    work = _work_dir("cdce20", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    trunk = LakeTable.create(
+        spark,
+        os.path.join(work, "trunk"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    feed = spark.read.parquet(feed_path)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    cut = lo + 3 * max((hi - lo + 1) // 4, 1)
+    head_path = os.path.join(work, "head")
+    feed.filter(F.col("lsn") < cut).write.mode("overwrite").parquet(head_path)
+    replay_feed(spark, trunk, head_path, epochs=3)
+    trunk.compact()
+    n_trunk = trunk.read().count()
+
+    branch = trunk.clone_to(os.path.join(work, "branch"))
+    local = glob.glob(
+        os.path.join(work, "branch", "data", "**", "*.parquet"),
+        recursive=True,
+    )
+    assert local == [], f"clone copied {len(local)} data files"
+    assert branch.foreign_file_count() > 0
+
+    apply_batch(spark, branch, feed.filter(F.col("lsn") >= cut), epoch=3)
+    assert trunk.read().count() == n_trunk, "branch write leaked to trunk"
+
+    cols = ["conv_id", "turn_idx", "role", "text", "ts"]
+    return (
+        trunk.read().select(F.lit("trunk").alias("branch"), *cols)
+        .unionByName(
+            branch.read().select(F.lit("branch").alias("branch"), *cols)
+        )
+    )
+
+
+C20_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text, ts
+  FROM events
+),
+b AS (
+  SELECT min(lsn) + 3 * greatest((max(lsn) - min(lsn) + 1) // 4, 1) AS cut
+  FROM feed
+),
+w_head AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text,
+         arg_max(ts, lsn) AS ts
+  FROM feed, b WHERE lsn < b.cut GROUP BY 1, 2
+),
+w_full AS (
+  SELECT conv_id, turn_idx,
+         arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role,
+         arg_max(text, lsn) AS text,
+         arg_max(ts, lsn) AS ts
+  FROM feed GROUP BY 1, 2
+)
+SELECT 'trunk' AS branch, conv_id, turn_idx, role, text, ts
+FROM w_head WHERE op <> 'delete'
+UNION ALL
+SELECT 'branch' AS branch, conv_id, turn_idx, role, text, ts
+FROM w_full WHERE op <> 'delete'
+"""

