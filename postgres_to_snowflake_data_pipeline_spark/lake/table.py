@@ -1407,6 +1407,123 @@ class LakeTable:
              "clone.source_tag": None}
         )
 
+    def fast_forward_from(self, branch: "LakeTable") -> Snapshot:
+        """Publish a branch back to this table — the WAP-at-table-scale
+        counterpart of ``clone_to``: audit/repair/backfill on a zero-copy
+        branch, then adopt its state here in ONE metadata commit (no data
+        movement; the trunk references the branch's local files in place,
+        exactly the reverse of the clone).
+
+        Fast-forward only: valid iff this table has NOT advanced since
+        the branch was cut (current head == the branch's recorded
+        ``clone.source_snapshot``). A diverged trunk raises — the caller
+        must rebase (replay trunk's new epochs onto the branch; the
+        inherited CDC frontier makes that idempotent) and retry. A racer
+        committing between the check and the CAS surfaces as the same
+        divergence error, so the precondition is atomic in effect.
+
+        The adopted snapshot carries the branch's schema ERA, CDC
+        frontier and props wholesale (all legal descendants of the shared
+        base, by the precondition). Branch-local files enter by absolute
+        path with the branch snapshot tag-pinned — the trunk becomes a
+        "clone" of the branch (``clone.*`` props point at it), so the
+        standard lifecycle finishes the job: ``compact()`` localizes,
+        ``detach_clone()`` releases the branch pin. Entries pointing back
+        INTO this root (the branch's inherited references to trunk
+        files) are re-relativized so retention accounting stays exact."""
+        import hashlib
+
+        bsnap = branch.current()
+        src_root = bsnap.props.get("clone.source")
+        if src_root is None or os.path.abspath(src_root) != os.path.abspath(
+            self.root
+        ):
+            raise ValueError("branch is not a clone of this table")
+        base_sid = bsnap.props["clone.source_snapshot"]
+        parent = self.current()
+        if parent.snapshot_id != base_sid:
+            raise ValueError(
+                f"trunk advanced since the branch was cut (head "
+                f"{parent.snapshot_id}, branch base {base_sid}) — replay "
+                "the trunk's new epochs onto the branch, then fast-forward"
+            )
+        root_abs = os.path.abspath(self.root)
+        b_root = os.path.abspath(branch.root)
+        token = hashlib.md5(root_abs.encode("utf-8")).hexdigest()[:12]
+        pin = f"publish-{token}"
+        try:
+            branch.log.create_tag(pin, bsnap.snapshot_id)
+        except ValueError:
+            branch.log.drop_tag(pin)
+            branch.log.create_tag(pin, bsnap.snapshot_id)
+
+        def adopt(path: str) -> str:
+            if not os.path.isabs(path):
+                return os.path.join(b_root, path)  # branch-local file
+            if path.startswith(root_abs + os.sep):
+                return os.path.relpath(path, root_abs)  # our own file
+            return path  # older ancestor in a clone chain
+        files = {
+            b: [dict(e, path=adopt(e["path"])) for e in es]
+            for b, es in bsnap.files.items()
+        }
+        # the branch's clone.* props described ITS link to us — replaced
+        # by the reverse link (trunk -> branch) for the localize/detach
+        # lifecycle; the old trunk pin the branch held is dropped below
+        props = {
+            k: v for k, v in bsnap.props.items() if not k.startswith("clone.")
+        }
+        props.update(
+            {
+                "clone.source": b_root,
+                "clone.source_snapshot": bsnap.snapshot_id,
+                "clone.source_tag": pin,
+            }
+        )
+        name = self._manifest_name(parent.snapshot_id + 1)
+        snap = Snapshot(
+            snapshot_id=parent.snapshot_id + 1,
+            parent_id=parent.snapshot_id,
+            schema_json=bsnap.schema_json,
+            n_buckets=bsnap.n_buckets,
+            key_cols=list(bsnap.key_cols),
+            manifests=(
+                [{"path": name, "op": "replace", "buckets": sorted(files)}]
+                if files
+                else []
+            ),
+            summary={
+                "operation": "fast-forward",
+                "committed_at_unix": time.time(),
+                "publish_source": b_root,
+                "publish_source_snapshot": bsnap.snapshot_id,
+            },
+            commit_keys=list(bsnap.commit_keys),
+            epoch_watermark=bsnap.epoch_watermark,
+            epoch_base=bsnap.epoch_base,
+            commit_count=bsnap.commit_count,
+            column_ids=dict(bsnap.column_ids),
+            prior_names={k: list(v) for k, v in bsnap.prior_names.items()},
+            retired_names=list(bsnap.retired_names),
+            next_column_id=bsnap.next_column_id,
+            props=props,
+        )
+        snap._files = files
+        try:
+            self.log.commit(snap, new_manifest=(name, files) if files else None)
+        except CommitConflictError:
+            branch.log.drop_tag(pin)
+            raise ValueError(
+                "trunk advanced during the fast-forward — rebase the "
+                "branch and retry"
+            ) from None
+        # NOTE: the branch's clone-* pin on the OLD trunk snapshot is left
+        # in place deliberately — the branch still exists and still reads
+        # trunk files through its own snapshots; the pin drops when the
+        # branch is discarded (drop_tag) or localized (branch.compact() +
+        # branch.detach_clone()), never as a publish side effect
+        return snap
+
     def snapshot_as_of(self, ts_unix: float) -> Snapshot:
         """Time travel by wall clock: the last snapshot committed at or
         before ``ts_unix`` (Iceberg's TIMESTAMP AS OF). Raises if the
@@ -3644,9 +3761,19 @@ class LakeTable:
         if not expired and not detached:
             return {"expired_snapshots": 0, "deleted_files": 0,
                     "freed_bytes": 0}
-        referenced = {
-            e["path"] for s in keep for es in s.files.values() for e in es
-        }
+        root_abs = os.path.abspath(self.root)
+        referenced = set()
+        for s in keep:
+            for es in s.files.values():
+                for e in es:
+                    p = e["path"]
+                    referenced.add(p)
+                    # an absolute reference INTO this root (a fast-forward
+                    # adopted a branch entry, or a clone chain looped back)
+                    # must also count under its relative form — the GC walk
+                    # below compares relative paths
+                    if os.path.isabs(p) and p.startswith(root_abs + os.sep):
+                        referenced.add(os.path.relpath(p, root_abs))
         # staged (write-audit-publish) commits are pinned like tags: their
         # data files are referenced only by the staged sidecar, never by a
         # kept snapshot — without this, any audit window longer than the

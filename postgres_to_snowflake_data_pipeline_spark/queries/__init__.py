@@ -151,6 +151,14 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c20_zero_copy_branch,
         cdcq.C20_SQL,
     ),
+    # NEW round 4l — branch publish (LakeTable.fast_forward_from): the
+    # branch's state adopted by the trunk in ONE metadata commit (asserted
+    # no data file written); trunk state then equals the full-feed LWW
+    # state, reached through clone -> branch-write -> fast-forward
+    "c21_branch_publish": (
+        cdcq.c21_branch_publish,
+        cdcq.C21_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
     # rotated back in-gate for round 4 (driver-green in r2, absent from r3's
@@ -177,8 +185,8 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         reference.Q19_SQL,
     ),
     "j01_asof_join": (temporal.j01_asof_join, temporal.J01_SQL),
-    # text analysis / dedup (training-data ops)
-    "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
+    # text analysis / dedup (training-data ops; t12 tf-idf rotated to
+    # overflow 4l — tokenizer + broadcast join rides t15/t20/t21/t23)
     "t14_rolling_fingerprint": (
         textops.t14_rolling_fingerprint,
         textops.T14_SQL,
@@ -345,8 +353,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # q21's grouping sets) demoted to admit the NEW q25 range frame;
     # m01 (driver-green r1+r2+r3; its PNG decode is the literal first
     # stage of the in-gate m02 APNG frame sampler and m03 resample)
-    # demoted to admit the NEW c20 zero-copy branch
+    # demoted to admit the NEW c20 zero-copy branch; t12 (driver-green
+    # r1+r2+r3; its tokenizer is the same _TOKS expression in-gate via
+    # t15/t20/t23 and its broadcast-small-relation join shape rides
+    # in-gate t21) demoted to admit the NEW c21 branch publish
     "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
+    "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "m01_multimodal_decode": (
         multimodal.m01_multimodal_decode,

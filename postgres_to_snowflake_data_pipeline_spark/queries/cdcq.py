@@ -1788,3 +1788,58 @@ UNION ALL
 SELECT 'branch' AS branch, conv_id, turn_idx, role, text, ts
 FROM w_full WHERE op <> 'delete'
 """
+
+
+# ---------------------------------------------------------------------------
+# c21 — branch-publish (fast_forward_from): the WAP-at-table-scale loop.
+# Replay the head into the trunk, cut a zero-copy branch, apply the tail
+# ON THE BRANCH, then publish it back with one metadata commit (asserted:
+# no data file lands under the trunk). The returned trunk state must
+# equal the full-feed LWW state — same observable contract as c01, but
+# reached through clone -> branch-write -> fast-forward instead of
+# direct merges, so the value hash proves the adopted manifest resolves
+# every branch-local and re-relativized trunk file correctly. The
+# diverged-trunk rejection is asserted in tests/test_clone.py.
+# ---------------------------------------------------------------------------
+def c21_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+
+    work = _work_dir("cdce21", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    trunk = LakeTable.create(
+        spark,
+        os.path.join(work, "trunk"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    feed = spark.read.parquet(feed_path)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    cut = lo + 3 * max((hi - lo + 1) // 4, 1)
+    head_path = os.path.join(work, "head")
+    feed.filter(F.col("lsn") < cut).write.mode("overwrite").parquet(head_path)
+    replay_feed(spark, trunk, head_path, epochs=3)
+
+    branch = trunk.clone_to(os.path.join(work, "branch"))
+    apply_batch(spark, branch, feed.filter(F.col("lsn") >= cut), epoch=3)
+
+    def local(root):
+        return glob.glob(
+            os.path.join(root, "data", "**", "*.parquet"), recursive=True
+        )
+
+    n_before = len(local(os.path.join(work, "trunk")))
+    snap = trunk.fast_forward_from(branch)
+    assert snap.summary["operation"] == "fast-forward"
+    assert len(local(os.path.join(work, "trunk"))) == n_before, (
+        "publish wrote data files — not a metadata commit"
+    )
+    assert trunk.has_commit_key("epoch:3"), "branch frontier not adopted"
+    return trunk.read().select("conv_id", "turn_idx", "role", "text", "ts")
+
+
+C21_SQL = C01_SQL

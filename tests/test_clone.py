@@ -170,3 +170,73 @@ def test_state_counts_and_fsck_work_on_clones(spark, tmp_path):
     assert sc["scanned_buckets"] == 0  # inherited folded layout + stats
     rep = clone.fsck()
     assert rep["ok"], rep
+
+
+def test_fast_forward_publishes_branch_metadata_only(spark, tmp_path):
+    trunk = _mk_table(spark, tmp_path / "trunk")
+    apply_batch(spark, trunk, spark.createDataFrame(_rows(100), SCHEMA), epoch=0)
+    branch = trunk.clone_to(str(tmp_path / "dev"))
+    fix = spark.createDataFrame(_rows(40, lsn0=100, tag="fix"), SCHEMA)
+    apply_batch(spark, branch, fix, epoch=1)
+    want = _state(branch)
+    n_files_before = len(_local_parquet(tmp_path / "trunk"))
+    trunk.fast_forward_from(branch)
+    assert _state(trunk) == want
+    # not one data file written under the trunk — pure metadata publish
+    assert len(_local_parquet(tmp_path / "trunk")) == n_files_before
+    # the branch's CDC frontier came across: epoch 1 replays as a no-op
+    r = apply_batch(spark, trunk, fix, epoch=1)
+    assert r.skipped
+    # localize + detach releases the publish pin on the branch
+    trunk.compact()
+    assert trunk.foreign_file_count() == 0
+    trunk.detach_clone()
+    assert not any(t.startswith("publish-") for t in branch.tags())
+    # the branch's own pin on the OLD trunk snapshot is untouched — the
+    # branch still reads trunk files through its snapshots
+    assert any(t.startswith("clone-") for t in trunk.tags())
+
+
+def test_fast_forward_rejects_diverged_trunk(spark, tmp_path):
+    trunk = _mk_table(spark, tmp_path / "trunk")
+    apply_batch(spark, trunk, spark.createDataFrame(_rows(60), SCHEMA), epoch=0)
+    branch = trunk.clone_to(str(tmp_path / "dev"))
+    apply_batch(
+        spark, branch,
+        spark.createDataFrame(_rows(20, lsn0=100, tag="fix"), SCHEMA), epoch=1,
+    )
+    # trunk moves on -> publish must refuse (fast-forward only)
+    apply_batch(
+        spark, trunk,
+        spark.createDataFrame(_rows(20, lsn0=200, tag="trunk"), SCHEMA),
+        epoch=1,
+    )
+    with pytest.raises(ValueError, match="trunk advanced"):
+        trunk.fast_forward_from(branch)
+    # a non-clone (or a clone of some OTHER table) is rejected too
+    other = _mk_table(spark, tmp_path / "other")
+    apply_batch(spark, other, spark.createDataFrame(_rows(10), SCHEMA), epoch=0)
+    with pytest.raises(ValueError, match="not a clone"):
+        trunk.fast_forward_from(other)
+
+
+def test_fast_forward_survives_branch_side_gc(spark, tmp_path):
+    trunk = _mk_table(spark, tmp_path / "trunk")
+    apply_batch(spark, trunk, spark.createDataFrame(_rows(80), SCHEMA), epoch=0)
+    branch = trunk.clone_to(str(tmp_path / "dev"))
+    apply_batch(
+        spark, branch,
+        spark.createDataFrame(_rows(30, lsn0=100, tag="fix"), SCHEMA), epoch=1,
+    )
+    trunk.fast_forward_from(branch)
+    want = _state(trunk)
+    # branch keeps evolving and GCs aggressively — the publish pin must
+    # keep the adopted files alive for the trunk
+    apply_batch(
+        spark, branch,
+        spark.createDataFrame(_rows(30, lsn0=200, tag="later"), SCHEMA),
+        epoch=2,
+    )
+    branch.compact()
+    branch.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    assert _state(trunk) == want
