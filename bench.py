@@ -37,6 +37,7 @@ HEADLINE = [
     "q08_lww_current_state",
     "q21_grouping_sets",
     "q23_moving_avg",
+    "q25_range_frame",
     "t05_dedup_exact",
     "t07_minhash_bands",
     "t10_minhash_bands_fast",

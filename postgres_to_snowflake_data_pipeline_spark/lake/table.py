@@ -506,8 +506,18 @@ class LakeTable:
             if isinstance(key_prune, (list, tuple, set, frozenset))
             else None if key_prune is None else [key_prune]
         )
-        entries: list[dict[str, Any]] = []
-        has_delta = False
+        # per-BUCKET resolve split: LWW resolution is only needed where a
+        # bucket's surviving entries include an unfolded delta — a fully
+        # folded bucket holds exactly one storage row per key (compaction's
+        # max-struct fold; slices/rewrites are key-disjoint), so shipping
+        # its rows through the resolve shuffle is a semantic no-op that
+        # costs a full exchange of the payload. Buckets partition the key
+        # space, so resolving each subset independently and unioning is
+        # exact — and on a mostly-folded table (the steady state under a
+        # maintenance cadence) a read right after one small merge shuffles
+        # only the touched buckets' rows instead of the whole table.
+        folded_entries: list[dict[str, Any]] = []
+        delta_entries: list[dict[str, Any]] = []
         for b, fs in snap.files.items():
             if buckets is not None and int(b) not in buckets:
                 continue
@@ -530,10 +540,13 @@ class LakeTable:
                 )
             if content_preds:
                 kept = self._content_prune_entries(kept, content_preds)
-            for e in kept:
-                entries.append(e)
-                has_delta = has_delta or e.get("kind") == "delta"
-        df = self._read_files(snap, entries, fields=want_fields)
+            if any(e.get("kind") == "delta" for e in kept):
+                delta_entries.extend(kept)
+            else:
+                folded_entries.extend(kept)
+        df_f = self._read_files(snap, folded_entries, fields=want_fields)
+        df_d = self._read_files(snap, delta_entries, fields=want_fields)
+        df = df_f if df_d is None else df_d
         if df is None:
             out_fields = [f for f in want_fields if f.name not in aux_drop]
             fields = out_fields + (
@@ -554,9 +567,17 @@ class LakeTable:
                     f"columns {snap.key_cols} (pre-LWW filtering is only "
                     "sound on key-column subsets)"
                 )
-            df = df.join(semi_keys, on=on, how="left_semi")
-        if has_delta:
-            df = self._resolve_lww(df, snap.key_cols)
+            if df_f is not None:
+                df_f = df_f.join(semi_keys, on=on, how="left_semi")
+            if df_d is not None:
+                df_d = df_d.join(semi_keys, on=on, how="left_semi")
+        if df_d is not None:
+            df_d = self._resolve_lww(df_d, snap.key_cols)
+        df = (
+            df_f
+            if df_d is None
+            else df_d if df_f is None else df_f.unionByName(df_d)
+        )
         if ts_prune is not None:
             # residual window filter — post-LWW, so a key whose CURRENT
             # version left the window is excluded even when a stale

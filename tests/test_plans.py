@@ -416,3 +416,48 @@ def test_q25_range_frame_single_exchange_range_window(spark, sf_dir):
     assert "RANGE BETWEEN" in plan or "specifiedwindowframe(RangeFrame" in plan, plan
     assert plan.count("Window") >= 1, plan
     assert "Join" not in plan, plan
+
+
+def test_read_resolves_only_delta_bearing_buckets(spark, tmp_path):
+    """Per-bucket resolve split: on a mostly-folded table, a full read
+    must ship ONLY the delta-bearing buckets' rows through the LWW
+    resolve exchange — the folded buckets stream union-side with no
+    shuffle. Plan shape: two parquet scans (folded + delta subsets),
+    exactly one hashpartitioning exchange (the resolve), one Union.
+    Fully folded -> no exchange at all; and the split must not change
+    WHAT is read (state equals the naive LWW oracle)."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+    from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+    ev = change_events(spark, 2_000, n_convs=60)
+    table = LakeTable.create(
+        spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, ("conv_id", "turn_idx"),
+        n_buckets=4,
+    )
+    apply_batch(spark, table, ev, epoch=0)
+    table.compact()
+    folded = table.read()
+    assert n_exchanges(folded) == 0, explain_str(folded)
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in folded.collect()
+    )
+
+    # one conversation's late update dirties exactly one bucket
+    late = (
+        ev.filter(F.col("conv_id") == "conv-00000007")
+        .withColumn("lsn", F.col("lsn") + 1_000_000)
+        .withColumn("text", F.lit("late-winner"))
+    )
+    assert late.count() > 0
+    apply_batch(spark, table, late, epoch=1)
+    df = table.read()
+    plan = explain_str(df, "simple")
+    assert n_exchanges(df) == 1, plan  # resolve shuffles the dirty subset only
+    assert "Union" in plan, plan
+    assert plan.count("Scan parquet") == 2, plan
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"]) for r in df.collect()
+    )
+    assert len(got) == len(want)
+    assert got != want  # the late rows really won

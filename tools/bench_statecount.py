@@ -40,7 +40,7 @@ sys.path.insert(0, REPO)
 
 def main() -> None:
     n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    rows_per_epoch = int(sys.argv[2]) if len(sys.argv) > 2 else 250_000
+    rows_per_epoch = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
     n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
     from pyspark.sql import functions as F
@@ -114,31 +114,51 @@ def main() -> None:
         "text string, tool string, ts timestamp",
     )
     apply_batch(spark, table, late, epoch=n_epochs)
-    dirty_times = []
+    dirty_times, scan_post_times = [], []
     sc2 = None
     for _ in range(3):
         t0 = time.perf_counter()
         sc2 = table.state_counts()
         dirty_times.append(time.perf_counter() - t0)
+        # the naive alternative on the SAME (delta-bearing) table: a full
+        # read — the per-bucket resolve split keeps the LWW shuffle to the
+        # dirtied buckets, but every byte is still scanned
+        t0 = time.perf_counter()
+        live2, dead2 = scan_counts()
+        scan_post_times.append(time.perf_counter() - t0)
+        assert (sc2["live"], sc2["deleted"]) == (live2, dead2)
     assert 1 <= sc2["scanned_buckets"] <= 4, sc2
-    live2, dead2 = scan_counts()
-    assert (sc2["live"], sc2["deleted"]) == (live2, dead2)
+
+    # zero-copy branching on the same table: the clone + publish pair
+    # must be METADATA-time (independent of the 2M rows referenced)
+    t0 = time.perf_counter()
+    branch = table.clone_to(os.path.join(work, "branch"))
+    clone_s = time.perf_counter() - t0
+    assert branch.read().limit(1).count() == 1
+    t0 = time.perf_counter()
+    table.fast_forward_from(branch)
+    publish_s = time.perf_counter() - t0
 
     out = {
         "metric": "state_count_stats_vs_scan",
+        "clone_sec": round(clone_s, 3),
+        "publish_sec": round(publish_s, 3),
         "rows_total": n_epochs * rows_per_epoch,
         "n_buckets": n_buckets,
         "live_rows": sc2["live"],
         "deleted_keys": sc2["deleted"],
         "stats_sec": round(statistics.median(stats_times), 4),
-        "scan_sec": round(statistics.median(scan_times), 3),
+        "scan_folded_sec": round(statistics.median(scan_times), 3),
+        "scan_delta_sec": round(statistics.median(scan_post_times), 3),
         "dirty_sec": round(statistics.median(dirty_times), 3),
         "dirty_scanned_buckets": sc2["scanned_buckets"],
         "speedup_folded": round(
             statistics.median(scan_times) / statistics.median(stats_times), 1
         ),
         "speedup_dirty": round(
-            statistics.median(scan_times) / statistics.median(dirty_times), 1
+            statistics.median(scan_post_times)
+            / statistics.median(dirty_times),
+            1,
         ),
     }
     print(json.dumps(out))
