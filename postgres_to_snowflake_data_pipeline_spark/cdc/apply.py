@@ -948,3 +948,79 @@ def replay_feed(
         if compact_every and (e + 1) % compact_every == 0:
             table.compact()
     return results
+
+
+def rebase_branch(spark: SparkSession, branch: "LakeTable") -> Any:
+    """Advance a zero-copy branch (``LakeTable.clone_to``) over the
+    commits its trunk applied since the branch was cut — the missing
+    half of the branch-publish loop: when ``fast_forward_from`` rejects
+    a diverged trunk, rebase and retry.
+
+    Reads the trunk's changefeed ``(base, head]`` (merge deltas only —
+    compaction commits are state-preserving and carry no merge manifest)
+    and LWW-applies it to the branch as ONE merge: the same
+    normalize → dedup → merge path the mirror uses (cdc/mirror.py), so
+    ordering never matters — a key updated on both sides resolves by
+    max LSN exactly as it would have on the trunk. The branch's
+    ``clone.source_snapshot`` prop advances to the trunk head
+    ATOMICALLY with the data commit, which makes the rebase idempotent
+    and crash-safe (a re-run reads an empty window). The clone pin on
+    the ORIGINAL base snapshot is untouched — the branch's file map
+    still references base-era trunk files; the rebase rows themselves
+    land branch-local.
+
+    Returns the branch's new snapshot, or None when the trunk has not
+    advanced. Raises when the trunk window is not delta-expressible
+    (rollback of an ingested merge, expiry/overwrite barriers — same
+    contract as ``changes()``): rebuild the branch instead.
+    """
+    from postgres_to_snowflake_data_pipeline_spark.lake.table import LakeTable
+
+    props = branch.current().props
+    src_root = props.get("clone.source")
+    if src_root is None:
+        raise ValueError("not a clone (no clone.source prop)")
+    trunk = LakeTable.load(spark, src_root)
+    base = int(props["clone.source_snapshot"])
+    head_snap = trunk.current()
+    head = head_snap.snapshot_id
+    if head == base:
+        return None
+    feed = trunk.changes(base, until_snapshot_id=head, skip_rolled_back=True)
+
+    # fold the trunk's NEW frontier keys into the branch first: the rows
+    # those epochs produced arrive in the data merge below, so after a
+    # later fast-forward the published trunk must still skip replays of
+    # them. Each fold is a metadata-only commit; the count is bounded by
+    # the trunk commits since base. Ordering (keys, then data) makes a
+    # crash mid-rebase safe: a re-run re-merges the same window and LWW
+    # collapses the duplicate rows to the identical state.
+    base_snap = trunk.log.load(base)
+    new_keys: list[str] = []
+    if head_snap.epoch_watermark > base_snap.epoch_watermark:
+        lo = max(base_snap.epoch_watermark + 1,
+                 head_snap.epoch_base or 0)
+        new_keys += [
+            f"epoch:{e}"
+            for e in range(lo, head_snap.epoch_watermark + 1)
+        ]
+    new_keys += [
+        k for k in head_snap.commit_keys if not base_snap.has_commit_key(k)
+    ]
+    for k in new_keys:
+        if not branch.has_commit_key(k):
+            branch.update_props({}, commit_key=k)
+
+    table_schema, events, obs_fn = _normalize_batch(
+        branch, feed, f"rebase-{head}"
+    )
+    storage = _dedup_storage(events, table_schema, branch.current(), 0)
+    snap = branch.merge(
+        storage,
+        schema=table_schema,
+        summary={"rebase_from": base, "rebase_to": head},
+        summary_fn=obs_fn,
+        props_update={"clone.source_snapshot": head},
+    )
+    assert snap is not None  # no commit_key -> always commits
+    return snap

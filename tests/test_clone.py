@@ -240,3 +240,85 @@ def test_fast_forward_survives_branch_side_gc(spark, tmp_path):
     branch.compact()
     branch.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
     assert _state(trunk) == want
+
+
+def test_rebase_then_publish_after_divergence(spark, tmp_path):
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import rebase_branch
+
+    trunk = _mk_table(spark, tmp_path / "trunk")
+    apply_batch(spark, trunk, spark.createDataFrame(_rows(100), SCHEMA), epoch=0)
+    branch = trunk.clone_to(str(tmp_path / "dev"))
+    apply_batch(
+        spark, branch,
+        spark.createDataFrame(_rows(40, lsn0=100, tag="dev"), SCHEMA), epoch=1,
+    )
+    apply_batch(
+        spark, trunk,
+        spark.createDataFrame(_rows(40, lsn0=200, tag="trunk"), SCHEMA),
+        epoch=2,
+    )
+    with pytest.raises(ValueError, match="trunk advanced"):
+        trunk.fast_forward_from(branch)
+    snap = rebase_branch(spark, branch)
+    assert snap is not None
+    dev = _state(branch)
+    # the branch now holds BOTH sides' rows: its own fix and the trunk's
+    assert any("dev" in t for _c, _i, t in dev)
+    assert any("trunk" in t for _c, _i, t in dev)
+    assert rebase_branch(spark, branch) is None  # idempotent no-op
+    trunk.fast_forward_from(branch)
+    assert _state(trunk) == dev
+    # both frontiers folded: neither epoch replays
+    assert trunk.has_commit_key("epoch:1")
+    assert trunk.has_commit_key("epoch:2")
+
+
+def test_rebase_conflicting_key_resolves_by_lsn(spark, tmp_path):
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import rebase_branch
+
+    trunk = _mk_table(spark, tmp_path / "trunk")
+    apply_batch(spark, trunk, spark.createDataFrame(_rows(20), SCHEMA), epoch=0)
+    branch = trunk.clone_to(str(tmp_path / "dev"))
+    # same key (c000, 0) updated on both sides; the trunk's write carries
+    # the HIGHER lsn, so it must win on the branch after the rebase —
+    # order of application is irrelevant under LWW
+    apply_batch(
+        spark, branch,
+        spark.createDataFrame(
+            [(500, "insert", "c000", 0, "user", "branch-side", None, D0)],
+            SCHEMA,
+        ),
+        epoch=1,
+    )
+    apply_batch(
+        spark, trunk,
+        spark.createDataFrame(
+            [(900, "insert", "c000", 0, "user", "trunk-side", None, D0)],
+            SCHEMA,
+        ),
+        epoch=2,
+    )
+    rebase_branch(spark, branch)
+    got = {(c, i): t for c, i, t in _state(branch)}
+    assert got[("c000", 0)] == "trunk-side"
+
+
+def test_rebase_spans_trunk_compaction(spark, tmp_path):
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import rebase_branch
+
+    trunk = _mk_table(spark, tmp_path / "trunk")
+    apply_batch(spark, trunk, spark.createDataFrame(_rows(60), SCHEMA), epoch=0)
+    branch = trunk.clone_to(str(tmp_path / "dev"))
+    apply_batch(
+        spark, trunk,
+        spark.createDataFrame(_rows(30, lsn0=100, tag="after"), SCHEMA),
+        epoch=1,
+    )
+    trunk.compact()  # state-preserving commit inside the rebase window
+    apply_batch(
+        spark, trunk,
+        spark.createDataFrame(_rows(10, lsn0=300, tag="tail"), SCHEMA),
+        epoch=2,
+    )
+    rebase_branch(spark, branch)
+    assert _state(branch) == _state(trunk)
