@@ -1545,6 +1545,123 @@ class LakeTable:
         # branch.detach_clone()), never as a publish side effect
         return snap
 
+    @staticmethod
+    def _entry_identity(root: str, e: dict[str, Any]) -> tuple:
+        """File identity for the diff prune: the resolved absolute path
+        plus the row/LSN stats. Two entries with the same identity hold
+        the same bytes (data files are immutable, paths are
+        per-attempt-unique), so buckets whose entry SETS match cannot
+        differ in state."""
+        p = e["path"]
+        if not os.path.isabs(p):
+            p = os.path.join(os.path.abspath(root), p)
+        return (p, e.get("rows"), e.get("lsn_min"), e.get("lsn_max"))
+
+    def diff_buckets(
+        self,
+        other: "LakeTable",
+        snapshot_id: int | None = None,
+        other_snapshot_id: int | None = None,
+    ) -> tuple[list[int], list[int]]:
+        """(identical, differing) bucket lists for a state diff against
+        ``other`` — the METADATA prune behind ``diff()``. A bucket whose
+        two entry sets resolve to the same immutable files provably holds
+        the same state on both sides and is never read. On a branch
+        diffed against its trunk right after divergence, that is every
+        bucket the divergent writes did not touch. Falls back to
+        all-differing when the bucket layouts differ (different
+        n_buckets: the same key lives in different bucket numbers)."""
+        sa = self.current() if snapshot_id is None else self.log.load(snapshot_id)
+        sb = (
+            other.current()
+            if other_snapshot_id is None
+            else other.log.load(other_snapshot_id)
+        )
+        all_b = sorted(
+            {int(b) for b in sa.files} | {int(b) for b in sb.files}
+        )
+        if sa.n_buckets != sb.n_buckets:
+            return [], all_b
+        same: list[int] = []
+        differ: list[int] = []
+        for b in all_b:
+            ea = {
+                self._entry_identity(self.root, e)
+                for e in sa.files.get(str(b), [])
+            }
+            eb = {
+                self._entry_identity(other.root, e)
+                for e in sb.files.get(str(b), [])
+            }
+            (same if ea == eb else differ).append(b)
+        return same, differ
+
+    def diff(
+        self,
+        other: "LakeTable",
+        snapshot_id: int | None = None,
+        other_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """State diff against ``other`` (any table or snapshot sharing the
+        key columns — a branch vs its trunk, a mirror vs its source, two
+        points in one table's history via ``other=self``): one row per
+        key whose live state differs, with ``change`` ∈
+        ``'added'`` (present only in OTHER), ``'removed'`` (present only
+        here), ``'changed'`` (both live, any common payload column
+        differs null-safely).
+
+        Scale shape: the manifest prune (``diff_buckets``) drops every
+        bucket whose file sets are identical WITHOUT reading it — after
+        a localized divergence only the touched buckets are scanned and
+        joined; the join keys are bucket-partitioned so the comparison
+        shuffles only those buckets' rows. Payload columns are compared
+        on the INTERSECTION of the two schemas (a column added by
+        evolution on one side never marks every key changed; schema
+        drift is visible in the schemas themselves)."""
+        sa = self.current() if snapshot_id is None else self.log.load(snapshot_id)
+        sb = (
+            other.current()
+            if other_snapshot_id is None
+            else other.log.load(other_snapshot_id)
+        )
+        if list(sa.key_cols) != list(sb.key_cols):
+            raise ValueError(
+                f"diff: key columns differ ({sa.key_cols} vs {sb.key_cols})"
+            )
+        keys = list(sa.key_cols)
+        _same, differ = self.diff_buckets(
+            other, snapshot_id, other_snapshot_id
+        )
+        a = self.read(snapshot_id=snapshot_id, buckets=differ)
+        bdf = other.read(snapshot_id=other_snapshot_id, buckets=differ)
+        common = [
+            c for c in a.columns if c in set(bdf.columns) and c not in keys
+        ]
+        left = a.select(
+            *keys,
+            *[F.col(c).alias(f"_l_{c}") for c in common],
+            F.lit(True).alias("_in_l"),
+        )
+        right = bdf.select(
+            *keys,
+            *[F.col(c).alias(f"_r_{c}") for c in common],
+            F.lit(True).alias("_in_r"),
+        )
+        j = left.join(right, on=keys, how="full_outer")
+        equal = F.lit(True)
+        for c in common:
+            equal = equal & F.col(f"_l_{c}").eqNullSafe(F.col(f"_r_{c}"))
+        change = (
+            F.when(F.col("_in_l").isNull(), F.lit("added"))
+            .when(F.col("_in_r").isNull(), F.lit("removed"))
+            .when(~equal, F.lit("changed"))
+        )
+        return (
+            j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(*keys, "change")
+        )
+
     def snapshot_as_of(self, ts_unix: float) -> Snapshot:
         """Time travel by wall clock: the last snapshot committed at or
         before ``ts_unix`` (Iceberg's TIMESTAMP AS OF). Raises if the

@@ -159,6 +159,14 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c21_branch_publish,
         cdcq.C21_SQL,
     ),
+    # NEW round 4l — keyed state diff (LakeTable.diff): added/removed/
+    # changed per key between trunk and a diverged branch, with the
+    # diff_buckets manifest prune asserted (<= 3 buckets read); oracle =
+    # FULL OUTER JOIN of the two declarative LWW states
+    "c22_state_diff": (
+        cdcq.c22_state_diff,
+        cdcq.C22_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
     # rotated back in-gate for round 4 (driver-green in r2, absent from r3's
@@ -168,7 +176,6 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         reference.q12_csv_source_roundtrip,
         reference.Q12_SQL,
     ),
-    "q18_json_extract": (reference.q18_json_extract, reference.Q18_SQL),
     # NEW round 4g — unpivot (wide->long), the inverse of q22's pivot:
     # one scan, map-side Expand + partial agg, one exchange (plan-pinned)
     "q24_unpivot_measures": (
@@ -359,6 +366,11 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # in-gate t21) demoted to admit the NEW c21 branch publish
     "j02_range_join_banded": (temporal.j02_range_join_banded, temporal.J02_SQL),
     "t12_tfidf_top_term": (textops.t12_tfidf_top_term, textops.T12_SQL),
+    # round 4l (cont): q18 (driver-green r1+r2+r3; its map-side JSON
+    # projection family rides the in-gate t22 regexp extraction and the
+    # q05/q12 cleanse projections in overflow) demoted to admit the NEW
+    # c22 state diff
+    "q18_json_extract": (reference.q18_json_extract, reference.Q18_SQL),
     "q01_pricing_summary": (reference.q01_pricing_summary, reference.Q01_SQL),
     "m01_multimodal_decode": (
         multimodal.m01_multimodal_decode,

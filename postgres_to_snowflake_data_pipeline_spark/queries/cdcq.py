@@ -1843,3 +1843,100 @@ def c21_branch_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 C21_SQL = C01_SQL
+
+
+# ---------------------------------------------------------------------------
+# c22 — keyed state diff with manifest pruning: trunk holds the head-only
+# LWW state (3 epochs, folded), a zero-copy branch additionally applied
+# the tail FILTERED to three conversations. trunk.diff(branch) must
+# report exactly the keys whose live state differs — 'added' (live only
+# on the branch), 'removed' (a tail delete won), 'changed' (any payload
+# column differs null-safely) — while diff_buckets prunes every bucket
+# the three conversations do not hash into (file-identity metadata
+# compare; asserted <= 3 buckets read). The oracle recomputes the same
+# classification with a FULL OUTER JOIN of the two declarative LWW
+# states. Reference analog: the reference validates loads by row-count
+# comparison only (s3_to_snowflake_dag.py:167-192); this is the
+# row-level version of that check, priced O(changed buckets).
+# ---------------------------------------------------------------------------
+def c22_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import apply_batch
+
+    work = _work_dir("cdce22", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_path = os.path.join(work, "feed")
+    events_as_change_feed(spark, sf_dir).write.mode("overwrite").parquet(feed_path)
+    trunk = LakeTable.create(
+        spark,
+        os.path.join(work, "trunk"),
+        TRANSCRIPT_SCHEMA,
+        key_cols=("conv_id", "turn_idx"),
+        n_buckets=8,
+    )
+    feed = spark.read.parquet(feed_path)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    cut = lo + 3 * max((hi - lo + 1) // 4, 1)
+    head_path = os.path.join(work, "head")
+    feed.filter(F.col("lsn") < cut).write.mode("overwrite").parquet(head_path)
+    replay_feed(spark, trunk, head_path, epochs=3)
+    trunk.compact()
+    branch = trunk.clone_to(os.path.join(work, "branch"))
+    apply_batch(
+        spark,
+        branch,
+        feed.filter(
+            (F.col("lsn") >= cut) & F.col("conv_id").isin(*C19_CONVS)
+        ),
+        epoch=3,
+    )
+    same, differ = trunk.diff_buckets(branch)
+    assert 1 <= len(differ) <= len(C19_CONVS), (same, differ)
+    assert len(same) >= 1, "manifest prune dead — every bucket read"
+    return trunk.diff(branch)
+
+
+C22_SQL = f"""
+WITH feed AS (
+  SELECT event_id AS lsn,
+         CASE WHEN value < {DELETE_BELOW} THEN 'delete' ELSE 'upsert' END AS op,
+         concat('u', CAST(user_id AS VARCHAR)) AS conv_id,
+         CAST({_TURN_CASE} AS INTEGER) AS turn_idx,
+         event_type AS role, props AS text, ts
+  FROM events
+),
+b AS (
+  SELECT min(lsn) + 3 * greatest((max(lsn) - min(lsn) + 1) // 4, 1) AS cut
+  FROM feed
+),
+w_head AS (
+  SELECT conv_id, turn_idx, arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role, arg_max(text, lsn) AS text,
+         arg_max(ts, lsn) AS ts
+  FROM feed, b WHERE lsn < b.cut GROUP BY 1, 2
+),
+w_full AS (
+  SELECT conv_id, turn_idx, arg_max(op, lsn) AS op,
+         arg_max(role, lsn) AS role, arg_max(text, lsn) AS text,
+         arg_max(ts, lsn) AS ts
+  FROM (
+    SELECT f.* FROM feed f, b
+    WHERE f.lsn < b.cut
+       OR (f.lsn >= b.cut AND f.conv_id IN ('u1', 'u2', 'u3'))
+  ) GROUP BY 1, 2
+),
+lh AS (SELECT * FROM w_head WHERE op <> 'delete'),
+lf AS (SELECT * FROM w_full WHERE op <> 'delete')
+SELECT COALESCE(lh.conv_id, lf.conv_id) AS conv_id,
+       COALESCE(lh.turn_idx, lf.turn_idx) AS turn_idx,
+       CASE WHEN lh.conv_id IS NULL THEN 'added'
+            WHEN lf.conv_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS change
+FROM lh FULL OUTER JOIN lf
+  ON lh.conv_id = lf.conv_id AND lh.turn_idx = lf.turn_idx
+WHERE lh.conv_id IS NULL OR lf.conv_id IS NULL
+   OR NOT (lh.role IS NOT DISTINCT FROM lf.role
+       AND lh.text IS NOT DISTINCT FROM lf.text
+       AND lh.ts   IS NOT DISTINCT FROM lf.ts)
+"""
+# (the feed's `tool` column is identically NULL, so the engine's
+# null-safe tool comparison can never flip a status — the oracle omits it)
