@@ -516,6 +516,13 @@ class LakeTable:
         # exact — and on a mostly-folded table (the steady state under a
         # maintenance cadence) a read right after one small merge shuffles
         # only the touched buckets' rows instead of the whole table.
+        # The split leans on BUCKET HONESTY (every key's rows live in its
+        # hash bucket — the invariant merge enforces and fsck(deep)
+        # checks): rows misfiled into a foreign bucket (corruption, e.g.
+        # a caller-supplied wrong `_bucket`) can read as duplicate keys
+        # until compact() re-homes them, where the old global resolve
+        # silently collapsed them (tests/test_fsck.py pins the
+        # surface-then-repair behavior).
         folded_entries: list[dict[str, Any]] = []
         delta_entries: list[dict[str, Any]] = []
         for b, fs in snap.files.items():

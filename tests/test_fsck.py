@@ -176,11 +176,18 @@ def test_compact_rehomes_into_fully_folded_bucket_without_dup(spark, tmp_path):
         .withColumn("_bucket", F.lit(5))
         .repartition(1, F.col("_bucket"))
     )
+    n_true = t.read().count()  # the honest LWW state size
     t.merge(victim)  # only bucket 5 now has a delta -> only 5 in todo
-    n_before = t.read().count()
+    # while the corruption is live, the per-bucket resolve split (reads
+    # only resolve delta-bearing buckets — sound under the bucket-honesty
+    # invariant this test violates on purpose) surfaces the misplaced
+    # keys as duplicates instead of silently collapsing them: fsck flags
+    # them, and the repair below removes them
+    assert t.read().count() == n_true + 4
+    assert t.fsck(deep=True)["bucket_mismatch_rows"] == 4
     t.compact()
     state = t.read()
-    assert state.count() == n_before
+    assert state.count() == n_true
     assert (
         state.groupBy("conv_id", "turn_idx").count().filter("count > 1").count()
         == 0
@@ -193,7 +200,7 @@ def test_compact_rehomes_into_fully_folded_bucket_without_dup(spark, tmp_path):
     # the NEXT maintenance compact folds it back to a single-pass base
     t.compact()
     assert {e["kind"] for e in t.current().files["3"]} == {"base"}
-    assert t.read().count() == n_before
+    assert t.read().count() == n_true
 
 
 def test_fsck_surfaces_lsn_ties(spark, tmp_path):
