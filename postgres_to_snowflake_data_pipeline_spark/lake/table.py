@@ -1805,13 +1805,15 @@ class LakeTable:
                     "advanced by any delta; rebuild from read() or rewind "
                     "the consumer below the rollback target"
                 )
-            # an OVERWRITE replaces state wholesale and an EXPIRE_ROWS
-            # removes state without emitting deltas — no delta before
-            # either can be skipped or kept; only consumers positioned
-            # at/after it may proceed incrementally
+            # an OVERWRITE replaces state wholesale, an EXPIRE_ROWS
+            # removes state without emitting deltas, and a FAST-FORWARD
+            # adopts a branch's state as one replace manifest — none
+            # emits a delta a consumer could apply; only consumers
+            # positioned at/after them may proceed incrementally
             for s in self.live_snapshots(until_snapshot_id):
                 if (
-                    s.summary.get("operation") in ("overwrite", "expire_rows")
+                    s.summary.get("operation")
+                    in ("overwrite", "expire_rows", "fast-forward")
                     and s.snapshot_id > since_snapshot_id
                 ):
                     raise ValueError(
@@ -1825,8 +1827,9 @@ class LakeTable:
             if self.rollback_in_range(since_snapshot_id, until_snapshot_id):
                 raise ValueError(
                     "changes() window spans a rollback/overwrite/"
-                    "expire_rows commit: state was rewound, replaced or "
-                    "expired without deltas and would LWW-poison an "
+                    "expire_rows/fast-forward commit: state was rewound, "
+                    "replaced or expired without deltas and would LWW-"
+                    "poison an "
                     "incremental consumer — rebuild from read(), or close "
                     "the window before the barrier snapshot "
                     "(skip_rolled_back=True consumes across a rollback "
@@ -2927,6 +2930,7 @@ class LakeTable:
                 "rollback",
                 "overwrite",
                 "expire_rows",
+                "fast-forward",
             ):
                 return True
         return False

@@ -322,3 +322,21 @@ def test_rebase_spans_trunk_compaction(spark, tmp_path):
     )
     rebase_branch(spark, branch)
     assert _state(branch) == _state(trunk)
+
+
+def test_fast_forward_is_a_changefeed_barrier(spark, tmp_path):
+    """A publish adopts state through a replace manifest — no delta a
+    consumer could apply — so a changes() window spanning it must raise
+    (mirrors/views take their rebuild path), exactly like overwrite."""
+    trunk = _mk_table(spark, tmp_path / "trunk")
+    apply_batch(spark, trunk, spark.createDataFrame(_rows(60), SCHEMA), epoch=0)
+    pos = trunk.current().snapshot_id
+    branch = trunk.clone_to(str(tmp_path / "dev"))
+    apply_batch(
+        spark, branch,
+        spark.createDataFrame(_rows(20, lsn0=100, tag="fix"), SCHEMA), epoch=1,
+    )
+    trunk.fast_forward_from(branch)
+    for kwargs in ({}, {"skip_rolled_back": True}):
+        with pytest.raises(ValueError, match="fast-forward"):
+            trunk.changes(pos, **kwargs).collect()
