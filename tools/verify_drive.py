@@ -12,6 +12,7 @@ Usage: python tools/verify_drive.py
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -134,6 +135,62 @@ def main() -> int:
         check("token_prune matches naive filter", got_tok == naive_tok,
               f"({got_tok} rows)")
         cur.unpersist()
+
+        # 5c. round-4l lifecycle: metadata state counts, zero-copy branch,
+        # divergence, rebase, publish, diff — the whole loop through the
+        # public API
+        table.compact()
+        sc = table.state_counts()
+        truth = table.read(
+            include_internal=True, include_tombstones=True
+        ).agg(
+            F.sum(F.col("_deleted").cast("long")).alias("d"),
+            F.count(F.lit(1)).alias("n"),
+        ).first()
+        check(
+            "state_counts matches a real read",
+            sc["live"] == int(truth["n"]) - int(truth["d"])
+            and sc["deleted"] == int(truth["d"]),
+            f"(live={sc['live']} via {sc['stats_buckets']} stats buckets)",
+        )
+        check("folded table counted metadata-only", sc["scanned_buckets"] == 0)
+
+        branch = table.clone_to(f"{work}/branch")
+        check("clone is value-identical", branch.read().count() == sc["live"])
+        check(
+            "clone copied no data files",
+            not glob.glob(f"{work}/branch/data/**/*.parquet", recursive=True),
+        )
+        fix = (
+            events.limit(200)
+            .withColumn("lsn", F.col("lsn") + 50_000_000)
+            .withColumn("op", F.lit("update"))
+            .withColumn("text", F.lit("branch-fix"))
+        )
+        apply_batch(spark, branch, fix, epoch=20)
+        apply_batch(
+            spark, table,
+            fix.withColumn("lsn", F.col("lsn") + 1)
+            .withColumn("text", F.lit("trunk-side")),
+            epoch=21,
+        )
+        from postgres_to_snowflake_data_pipeline_spark.cdc.apply import (
+            rebase_branch,
+        )
+        check("rebase applies trunk commits",
+              rebase_branch(spark, branch) is not None)
+        check("rebase idempotent", rebase_branch(spark, branch) is None)
+        table.fast_forward_from(branch)
+        check(
+            "publish converges trunk to branch",
+            table.diff(branch).count() == 0
+            and table.read().count() == branch.read().count(),
+        )
+        check(
+            "trunk-side higher-lsn rows won across the rebase",
+            table.read().where("text = 'trunk-side'").count() > 0
+            and table.read().where("text = 'branch-fix'").count() == 0,
+        )
 
         # 6. staged JDBC writeback round-trips and replaces atomically
         url = f"jdbc:derby:memory:verifydrive;create=true"
