@@ -275,10 +275,16 @@ def main() -> None:
                 F.split(F.lower("text"), TOKEN_SPLIT_SQL), "turn")),
         )
 
+    # metadata-only accounting must agree with the physical read at the
+    # end of the churn (kills, GC, compactions, restarts): the del_rows
+    # stats survived every write path or this gate trips
+    sc = table.state_counts()
+    counts_ok = sc["live"] == n_state
+
     ok = (drain_ok and mismatch == 0 and rows_in == feed_rows and meta_bounded
           and listener_mismatches == 0 and len(progress) > 0
           and view_mismatch == 0 and reader_consistent
-          and content_mismatch == 0)
+          and content_mismatch == 0 and counts_ok)
     print(json.dumps({
         "soak_events": n_events, "slices": n_slices, "killed_and_restarted": killed,
         "drain_ok": drain_ok,
@@ -299,6 +305,9 @@ def main() -> None:
         "gc": gc, "snapshots_retained": len(table.snapshots()),
         "content_index": content_index,
         "content_mismatch_rows": content_mismatch,
+        "state_counts_live": sc["live"],
+        "state_counts_stats_buckets": sc["stats_buckets"],
+        "state_counts_ok": counts_ok,
         "ok": ok,
     }))
     shutil.rmtree(work, ignore_errors=True)
