@@ -168,8 +168,8 @@ def test_state_counts_and_fsck_work_on_clones(spark, tmp_path):
     sc = clone.state_counts()
     assert sc["live"] == clone.read().count()
     assert sc["scanned_buckets"] == 0  # inherited folded layout + stats
-    rep = clone.fsck()
-    assert rep["ok"], rep
+    rep = clone.fsck(deep=True)  # stats drift + bucket honesty across
+    assert rep["ok"], rep        # the foreign absolute-path entries
 
 
 def test_fast_forward_publishes_branch_metadata_only(spark, tmp_path):
