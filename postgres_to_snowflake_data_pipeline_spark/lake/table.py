@@ -1497,7 +1497,11 @@ class LakeTable:
         }
         # the branch's clone.* props described ITS link to us — replaced
         # by the reverse link (trunk -> branch) for the localize/detach
-        # lifecycle; the old trunk pin the branch held is dropped below
+        # lifecycle. Caveat (conservative leak, never a correctness
+        # hazard): if THIS table is itself an undetached clone, its own
+        # clone.* props are overwritten here while the tag it holds on
+        # its original source remains — drop that tag manually once no
+        # table in the clone chain references the source's files.
         props = {
             k: v for k, v in bsnap.props.items() if not k.startswith("clone.")
         }
