@@ -340,3 +340,39 @@ def test_fast_forward_is_a_changefeed_barrier(spark, tmp_path):
     for kwargs in ({}, {"skip_rolled_back": True}):
         with pytest.raises(ValueError, match="fast-forward"):
             trunk.changes(pos, **kwargs).collect()
+
+
+def test_incremental_view_rebuilds_across_a_publish(spark, tmp_path):
+    """A view maintained from the trunk's changefeed must survive a
+    fast-forward publish: the barrier makes the incremental window
+    unusable, so refresh() takes its full-rebuild path and the view
+    equals a from-scratch recompute over the published state."""
+    from postgres_to_snowflake_data_pipeline_spark.lake.view import (
+        IncrementalAggView,
+    )
+
+    def agg(rows):
+        return rows.groupBy("conv_id").agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+
+    trunk = _mk_table(spark, tmp_path / "trunk", n_buckets=4)
+    apply_batch(spark, trunk, spark.createDataFrame(_rows(100), SCHEMA), epoch=0)
+    view = IncrementalAggView(
+        spark, str(tmp_path / "view"), trunk,
+        group_cols=("conv_id",), agg_fn=agg, n_buckets=2,
+    )
+    view.refresh()
+
+    branch = trunk.clone_to(str(tmp_path / "dev"))
+    apply_batch(
+        spark, branch,
+        spark.createDataFrame(_rows(60, lsn0=200, tag="branchy"), SCHEMA),
+        epoch=1,
+    )
+    trunk.fast_forward_from(branch)
+    view.refresh()  # must take the rebuild path, not raise or go stale
+    got = view.read()
+    want = agg(trunk.read())
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()

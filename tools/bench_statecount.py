@@ -113,6 +113,7 @@ def main() -> None:
         "lsn long, op string, conv_id string, turn_idx int, role string, "
         "text string, tool string, ts timestamp",
     )
+    pre_late_sid = table.current().snapshot_id
     apply_batch(spark, table, late, epoch=n_epochs)
     dirty_times, scan_post_times = [], []
     sc2 = None
@@ -129,6 +130,15 @@ def main() -> None:
         assert (sc2["live"], sc2["deleted"]) == (live2, dead2)
     assert 1 <= sc2["scanned_buckets"] <= 4, sc2
 
+    # keyed state diff across the dirty commit (time-travel diff): the
+    # manifest prune reads only the dirtied buckets on BOTH sides
+    diff_times, n_diff = [], 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n_diff = table.diff(table, snapshot_id=pre_late_sid).count()
+        diff_times.append(time.perf_counter() - t0)
+    assert n_diff == 4, n_diff  # the 4 late updates, nothing else
+
     # zero-copy branching on the same table: the clone + publish pair
     # must be METADATA-time (independent of the 2M rows referenced)
     t0 = time.perf_counter()
@@ -143,6 +153,8 @@ def main() -> None:
         "metric": "state_count_stats_vs_scan",
         "clone_sec": round(clone_s, 3),
         "publish_sec": round(publish_s, 3),
+        "diff_sec": round(statistics.median(diff_times), 3),
+        "diff_rows": n_diff,
         "rows_total": n_epochs * rows_per_epoch,
         "n_buckets": n_buckets,
         "live_rows": sc2["live"],
