@@ -376,3 +376,67 @@ def test_incremental_view_rebuilds_across_a_publish(spark, tmp_path):
     got = view.read()
     want = agg(trunk.read())
     assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+def test_publish_races_a_trunk_writer(spark, tmp_path):
+    """A publish racing a concurrent trunk merge must never corrupt
+    state: either the publish wins (the merge rebases onto it — final
+    state is LWW over branch-state plus the batch) or the merge wins
+    (the publish rejects with the divergence error and the trunk holds
+    base plus the batch). Both raced commits go through the same CAS,
+    so no third outcome exists."""
+    import threading
+
+    trunk = _mk_table(spark, tmp_path / "trunk", n_buckets=2)
+    apply_batch(spark, trunk, spark.createDataFrame(_rows(60), SCHEMA), epoch=0)
+    branch = trunk.clone_to(str(tmp_path / "dev"))
+    apply_batch(
+        spark, branch,
+        spark.createDataFrame(_rows(30, lsn0=100, tag="branchy"), SCHEMA),
+        epoch=1,
+    )
+    batch = spark.createDataFrame(_rows(20, lsn0=300, tag="racer"), SCHEMA)
+
+    outcome = {}
+    start = threading.Barrier(2)
+
+    def writer():
+        start.wait()
+        apply_batch(spark, trunk, batch, epoch=2)
+
+    def publisher():
+        start.wait()
+        try:
+            trunk.fast_forward_from(branch)
+            outcome["published"] = True
+        except ValueError as e:
+            assert "trunk advanced" in str(e) or "rebase" in str(e), e
+            outcome["published"] = False
+
+    ts = [threading.Thread(target=writer), threading.Thread(target=publisher)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+
+    got = _state(trunk)
+    if outcome["published"]:
+        # merge rebase lands the batch on top of the adopted branch state
+        want_keys = dict()
+        for rows in (_rows(60), _rows(30, lsn0=100, tag="branchy"),
+                     _rows(20, lsn0=300, tag="racer")):
+            for (l, _op, c, t_, _r, txt, _tool, _ts) in rows:
+                cur = want_keys.get((c, t_))
+                if cur is None or l > cur[0]:
+                    want_keys[(c, t_)] = (l, txt)
+        want = sorted((c, t_, txt) for (c, t_), (_l, txt) in want_keys.items())
+    else:
+        want_keys = dict()
+        for rows in (_rows(60), _rows(20, lsn0=300, tag="racer")):
+            for (l, _op, c, t_, _r, txt, _tool, _ts) in rows:
+                cur = want_keys.get((c, t_))
+                if cur is None or l > cur[0]:
+                    want_keys[(c, t_)] = (l, txt)
+        want = sorted((c, t_, txt) for (c, t_), (_l, txt) in want_keys.items())
+        assert _state(branch) != got  # branch untouched, still diverged
+    assert got == want, outcome
