@@ -440,3 +440,31 @@ def test_publish_races_a_trunk_writer(spark, tmp_path):
         want = sorted((c, t_, txt) for (c, t_), (_l, txt) in want_keys.items())
         assert _state(branch) != got  # branch untouched, still diverged
     assert got == want, outcome
+
+
+def test_clone_from_a_historical_snapshot(spark, tmp_path):
+    """Branching from a PAST snapshot (reproduce-a-release workflows):
+    the clone equals the time-travel read at that snapshot, its pin
+    holds THAT snapshot against source retention, and its frontier is
+    the historical one (the later epoch replays onto the branch)."""
+    src = _mk_table(spark, tmp_path / "src")
+    e0 = spark.createDataFrame(_rows(60), SCHEMA)
+    apply_batch(spark, src, e0, epoch=0)
+    sid = src.current().snapshot_id
+    e1 = spark.createDataFrame(_rows(30, lsn0=100, tag="later"), SCHEMA)
+    apply_batch(spark, src, e1, epoch=1)
+
+    clone = src.clone_to(str(tmp_path / "past"), snapshot_id=sid)
+    want = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in src.read(snapshot_id=sid).collect()
+    )
+    assert _state(clone) == want
+    # the historical frontier came across: epoch 1 is NOT applied yet
+    r = apply_batch(spark, clone, e1, epoch=1)
+    assert not r.skipped
+    assert _state(clone) == _state(src)
+    # the pin protects the HISTORICAL snapshot through source retention
+    src.compact()
+    src.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
+    assert _state(clone) == _state(src)
