@@ -179,6 +179,51 @@ def _check_props(table: "LakeTable", snap, report: dict) -> None:
                 )
 
 
+def _check_stat_liveness(table: "LakeTable", snap, report: dict) -> None:
+    """Zone-map LIVENESS: when a table evidently maintains ts (or key)
+    per-file stats — some entries carry them — entries missing them make
+    pruning silently degrade to reading those files on every window/point
+    read (correct answers, dead pruning). The round-4 foreign-session bug
+    (INT96 parquet timestamps carry no footer stats) produced exactly
+    this shape; the engine now recovers such stats at commit time
+    (``LakeTable._ts_footer_or_scan``), so a statless entry today means a
+    legacy/third-party manifest worth re-compacting. Warning-level: the
+    table still answers correctly."""
+    ts_have, ts_miss, key_have, key_miss = 0, [], 0, []
+    for entries in snap.files.values():
+        for e in entries:
+            if e.get("rows", 0) <= 0:
+                continue
+            if e.get("ts_min") is not None:
+                ts_have += 1
+            elif e.get("ts_nulls") is None:
+                # entries that are all-null ts carry ts_nulls == rows;
+                # total stat absence is the dead-pruning signature
+                ts_miss.append(e["path"])
+            if e.get("key_min") is not None:
+                key_have += 1
+            else:
+                key_miss.append(e["path"])
+    if ts_have and ts_miss:
+        _warn(
+            report,
+            "ts_stats_dead",
+            f"{len(ts_miss)} data files lack ts zone-map stats while "
+            f"{ts_have} carry them — time-window pruning and expire_rows "
+            f"read these files unconditionally; compact() re-stamps them "
+            f"(sample: {ts_miss[:_SAMPLE]})",
+        )
+    if key_have and key_miss:
+        _warn(
+            report,
+            "key_stats_dead",
+            f"{len(key_miss)} data files lack key range stats while "
+            f"{key_have} carry them — point lookups open these files "
+            f"unconditionally; compact() re-stamps them "
+            f"(sample: {key_miss[:_SAMPLE]})",
+        )
+
+
 def _deep_stats(table: "LakeTable", snap, report: dict) -> None:
     """Footer re-read vs manifest entries: a drifted range makes key/ts/
     lsn pruning skip files that hold matching rows — wrong results."""
@@ -340,6 +385,7 @@ def fsck(
     _check_files_exist(table, snap, report)
     _check_orphans(table, snaps, report)
     _check_props(table, snap, report)
+    _check_stat_liveness(table, snap, report)
     if deep:
         _deep_stats(table, snap, report)
         _deep_buckets(table, snap, report)

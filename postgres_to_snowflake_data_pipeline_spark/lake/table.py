@@ -62,6 +62,66 @@ from postgres_to_snowflake_data_pipeline_spark.lake.metadata import (
 )
 from postgres_to_snowflake_data_pipeline_spark.lake import content as content_index
 
+#: parquet timestamp encoding the lake's stats contract depends on.
+#: Spark's DEFAULT (``INT96``) writes timestamp columns with NO footer
+#: min/max statistics — under any SparkSession the engine didn't build,
+#: every ts zone map would silently come back empty and time-window
+#: pruning / ``expire_rows`` would degrade to full scans (the round-4
+#: foreign-session bug). A table format must not let ambient session
+#: conf change its on-disk stats contract, hence the pinned write below.
+_PARQUET_TS_CONF = "spark.sql.parquet.outputTimestampType"
+_PARQUET_TS_PINNED = "TIMESTAMP_MICROS"
+
+
+class _pinned_parquet_writes:
+    """Context manager pinning ``spark.sql.parquet.outputTimestampType``
+    to TIMESTAMP_MICROS around a lake data-file write, restoring the
+    caller's value afterwards.
+
+    Why a bounded conf flip and not a ``spark.newSession()`` child (the
+    isolated-SQLConf pattern the aggregate-pushdown READ path uses): the
+    DataFrame being written belongs to the caller's session, and the
+    merge pass carries an ``Observation`` whose listener is registered on
+    THAT session — re-binding the plan into a child session (global-temp-
+    view bridge) executes it on the child's listener bus and ``obs.get``
+    never completes. The flip is safe where it matters:
+
+    - engine-built sessions (session.py) already pin TIMESTAMP_MICROS, so
+      the manager is a NO-OP there — concurrent engine queries never see
+      a conf mutation;
+    - on a foreign session, queries already in flight captured their
+      SQLConf at query start (``SQLExecution.withSQLConfPropagated``) and
+      are unaffected; a query *starting* inside the window at worst
+      writes its own parquet in the better-encoded format.
+
+    ``_file_stats`` additionally RECOVERS ts stats from INT96 files
+    written by third-party/legacy writers, so the zone-map contract holds
+    even for data this manager never touched.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._old: str | None = None
+        self._flip = False
+
+    def __enter__(self) -> "_pinned_parquet_writes":
+        try:
+            cur = self.spark.conf.get(_PARQUET_TS_CONF, None)
+        except Exception:  # pragma: no cover - RuntimeConfig always present
+            cur = None
+        if cur != _PARQUET_TS_PINNED:
+            self._old, self._flip = cur, True
+            self.spark.conf.set(_PARQUET_TS_CONF, _PARQUET_TS_PINNED)
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        if self._flip:
+            if self._old is None:
+                self.spark.conf.unset(_PARQUET_TS_CONF)
+            else:
+                self.spark.conf.set(_PARQUET_TS_CONF, self._old)
+
+
 INTERNAL_FIELDS = [
     T.StructField("_lsn", T.LongType(), False),
     T.StructField("_deleted", T.BooleanType(), False),
@@ -588,8 +648,19 @@ class LakeTable:
         if ts_prune is not None:
             # residual window filter — post-LWW, so a key whose CURRENT
             # version left the window is excluded even when a stale
-            # in-window version was read
-            df = df.filter(F.col(ts_col).between(ts_prune[0], ts_prune[1]))
+            # in-window version was read. Compared as epoch MICROS, not
+            # datetime literals: naive bounds are UTC by the ts_prune
+            # contract, and a datetime literal would be re-interpreted
+            # under the SESSION time zone — diverging from the manifest
+            # zone maps (instants) on any non-UTC foreign session
+            lo_us, hi_us = self._ts_micros(ts_prune[0]), self._ts_micros(
+                ts_prune[1]
+            )
+            df = df.filter(
+                F.unix_micros(F.col(ts_col).cast("timestamp")).between(
+                    F.lit(lo_us), F.lit(hi_us)
+                )
+            )
         for c, _i, v, kind in content_preds:
             # residual content filters — post-LWW for the same reason; the
             # token split pattern is the complement of the index tokenizer
@@ -2044,12 +2115,13 @@ class LakeTable:
         ``_lsn`` range — so time-windowed reads can skip non-covering
         files with LWW soundness (see ``read(ts_prune=...)``)."""
         out = os.path.join(self.root, commit_dir)
-        (
-            df.withColumn("_bdir", F.col("_bucket"))
-            .write.partitionBy("_bdir")
-            .mode("overwrite")
-            .parquet(out)
-        )
+        with _pinned_parquet_writes(self.spark):
+            (
+                df.withColumn("_bdir", F.col("_bucket"))
+                .write.partitionBy("_bdir")
+                .mode("overwrite")
+                .parquet(out)
+            )
         return self._collect_entries(
             out, commit_dir, key_col, ts_col, ts_col_id, content
         )
@@ -2241,6 +2313,44 @@ class LakeTable:
                 total += int(s or 0)
         return total
 
+    @classmethod
+    def _ts_footer_or_scan(
+        cls, pf: Any, ts_col: str
+    ) -> tuple[int | None, int | None, int | None]:
+        """``(ts_min_us, ts_max_us, ts_nulls)`` for one open parquet file.
+
+        Footer statistics when present (the engine's own TIMESTAMP_MICROS
+        files — free). When the footer carries NO usable ts stats — the
+        signature of Spark's default ``INT96`` encoding, which writes no
+        min/max at all (the round-4 foreign-session bug), or a
+        stats-disabled third-party writer — RECOVER them from a bounded
+        columnar read of JUST the ts column: proportional to one column's
+        bytes for that file, paid once at commit/stat time, and it keeps
+        the manifest zone-map contract (ts pruning, ``expire_rows``'s
+        metadata-only drop, grid layouts) alive for data the pinned write
+        path never touched. pyarrow decodes INT96 as naive UTC
+        timestamps, which ``_ts_micros`` normalizes."""
+        md = pf.metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        if ts_col not in names:
+            return None, None, None
+        lo, hi = cls._footer_minmax(md, ts_col)
+        nulls = cls._footer_nulls(md, ts_col)
+        if lo is not None:
+            return cls._ts_micros(lo), cls._ts_micros(hi), nulls
+        import pyarrow.compute as pc
+
+        col = pf.read(columns=[ts_col]).column(ts_col)
+        nulls = col.null_count
+        if len(col) == nulls:
+            return None, None, nulls
+        mm = pc.min_max(col)
+        return (
+            cls._ts_micros(mm["min"].as_py()),
+            cls._ts_micros(mm["max"].as_py()),
+            nulls,
+        )
+
     @staticmethod
     def _ts_micros(v: Any) -> int | None:
         """Normalize a footer timestamp statistic to epoch microseconds
@@ -2348,10 +2458,10 @@ class LakeTable:
                     if key_col is not None
                     else (None, None)
                 )
-                tlo, thi = (
-                    self._footer_minmax(md, ts_col)
+                tlo_us, thi_us, tnulls = (
+                    self._ts_footer_or_scan(pf, ts_col)
                     if ts_col is not None
-                    else (None, None)
+                    else (None, None, None)
                 )
                 lo, hi = self._footer_minmax(md, "_lsn")
                 out[p] = {
@@ -2360,13 +2470,9 @@ class LakeTable:
                     "lsn_max": hi,
                     "key_min": klo,
                     "key_max": khi,
-                    "ts_min": self._ts_micros(tlo),
-                    "ts_max": self._ts_micros(thi),
-                    "ts_nulls": (
-                        self._footer_nulls(md, ts_col)
-                        if ts_col is not None
-                        else None
-                    ),
+                    "ts_min": tlo_us,
+                    "ts_max": thi_us,
+                    "ts_nulls": tnulls,
                     "del_rows": self._footer_dels(pf),
                     **self._content_stats(pf, set_cols, tok_col),
                 }
@@ -2483,6 +2589,28 @@ class LakeTable:
                     v = v.replace(tzinfo=timezone.utc)
                 return int(v.timestamp() * 1_000_000)
 
+            def tstats(pf, col):
+                # mirrors LakeTable._ts_footer_or_scan (self-contained
+                # closure): footer ts stats when present; a bounded
+                # one-column read recovers them from INT96 / stats-less
+                # files so foreign-written data keeps its zone maps
+                md = pf.metadata
+                names = [
+                    md.schema.column(i).name for i in range(md.num_columns)
+                ]
+                if col not in names:
+                    return None, None, None
+                lo, hi = mm(md, col)
+                nulls = nn(md, col)
+                if lo is not None:
+                    return us(lo), us(hi), nulls
+                c = pf.read(columns=[col]).column(col)
+                nulls = c.null_count
+                if len(c) == nulls:
+                    return None, None, nulls
+                r = pc.min_max(c)
+                return us(r["min"].as_py()), us(r["max"].as_py()), nulls
+
             def dels(pf):
                 # mirrors LakeTable._footer_dels (self-contained closure)
                 md = pf.metadata
@@ -2516,11 +2644,12 @@ class LakeTable:
                 md = pf.metadata
                 lo, hi = mm(md, "_lsn")
                 klo, khi = mm(md, kc) if kc is not None else (None, None)
-                tlo, thi = mm(md, tc) if tc is not None else (None, None)
-                tnul = nn(md, tc) if tc is not None else None
+                tlo, thi, tnul = (
+                    tstats(pf, tc) if tc is not None else (None, None, None)
+                )
                 yield (
                     p, md.num_rows, lo, hi, klo, khi,
-                    us(tlo), us(thi), tnul, dels(pf), cstats(pf),
+                    tlo, thi, tnul, dels(pf), cstats(pf),
                 )
 
         sc = self.spark.sparkContext
@@ -4404,14 +4533,15 @@ class LakeTable:
         the ts- and key-clustered layouts — then per-subdir entry
         collection."""
         out = os.path.join(self.root, commit_dir)
-        (
-            df.withColumn("_sdir", slice_col)
-            .drop(*drop_cols)
-            .withColumn("_bdir", F.col("_bucket"))
-            .write.partitionBy("_sdir", "_bdir")
-            .mode("overwrite")
-            .parquet(out)
-        )
+        with _pinned_parquet_writes(self.spark):
+            (
+                df.withColumn("_sdir", slice_col)
+                .drop(*drop_cols)
+                .withColumn("_bdir", F.col("_bucket"))
+                .write.partitionBy("_sdir", "_bdir")
+                .mode("overwrite")
+                .parquet(out)
+            )
         return self._collect_sliced(out, commit_dir, n_slices, stat_kwargs)
 
     def _collect_sliced(
