@@ -984,37 +984,43 @@ def rebase_branch(spark: SparkSession, branch: "LakeTable") -> Any:
     base = int(props["clone.source_snapshot"])
     head_snap = trunk.current()
     head = head_snap.snapshot_id
+
+    def _fold_frontier_keys() -> None:
+        # fold the trunk-head frontier keys the BRANCH is still missing
+        # (reconciled against the branch's own key state, so the fold is
+        # idempotent and crash-resumable); each fold is a metadata-only
+        # commit, count bounded by the trunk commits since base
+        bsnap = branch.current()
+        if head_snap.epoch_watermark > bsnap.epoch_watermark:
+            lo = max(bsnap.epoch_watermark + 1, head_snap.epoch_base or 0)
+            for e in range(lo, head_snap.epoch_watermark + 1):
+                branch.update_props({}, commit_key=f"epoch:{e}")
+        for k in head_snap.commit_keys:
+            if not branch.has_commit_key(k):
+                branch.update_props({}, commit_key=k)
+
     if head == base:
+        # already rebased — but a prior run may have crashed AFTER its
+        # data merge (which advances clone.source_snapshot atomically
+        # with the data) and BEFORE folding the trunk's frontier keys:
+        # finish the fold here so the published trunk still skips
+        # replays of those epochs. Safe direction either way — a missing
+        # key only means an epoch could be RE-applied, and LWW collapses
+        # the duplicate rows to the identical state.
+        _fold_frontier_keys()
         return None
     feed = trunk.changes(base, until_snapshot_id=head, skip_rolled_back=True)
-
-    # fold the trunk's NEW frontier keys into the branch first: the rows
-    # those epochs produced arrive in the data merge below, so after a
-    # later fast-forward the published trunk must still skip replays of
-    # them. Each fold is a metadata-only commit; the count is bounded by
-    # the trunk commits since base. Ordering (keys, then data) makes a
-    # crash mid-rebase safe: a re-run re-merges the same window and LWW
-    # collapses the duplicate rows to the identical state.
-    base_snap = trunk.log.load(base)
-    new_keys: list[str] = []
-    if head_snap.epoch_watermark > base_snap.epoch_watermark:
-        lo = max(base_snap.epoch_watermark + 1,
-                 head_snap.epoch_base or 0)
-        new_keys += [
-            f"epoch:{e}"
-            for e in range(lo, head_snap.epoch_watermark + 1)
-        ]
-    new_keys += [
-        k for k in head_snap.commit_keys if not base_snap.has_commit_key(k)
-    ]
-    for k in new_keys:
-        if not branch.has_commit_key(k):
-            branch.update_props({}, commit_key=k)
 
     table_schema, events, obs_fn = _normalize_batch(
         branch, feed, f"rebase-{head}"
     )
     storage = _dedup_storage(events, table_schema, branch.current(), 0)
+    # data FIRST, frontier keys AFTER (ADVICE r4): folding the keys
+    # before the merge meant a crash in between left the branch CLAIMING
+    # epochs it did not contain — a direct replay of those epochs would
+    # silently no-op (data-loss direction). With the fold after, a crash
+    # leaves missing keys and re-application is LWW-idempotent; the
+    # head==base path above completes the fold on the next rebase call.
     snap = branch.merge(
         storage,
         schema=table_schema,
@@ -1023,4 +1029,5 @@ def rebase_branch(spark: SparkSession, branch: "LakeTable") -> Any:
         props_update={"clone.source_snapshot": head},
     )
     assert snap is not None  # no commit_key -> always commits
+    _fold_frontier_keys()
     return snap

@@ -1029,8 +1029,12 @@ class LakeTable:
             else:
                 dirty.append(bi)
         if dirty:
+            # read at the SNAPSHOT ALREADY RESOLVED above, never
+            # snapshot_id=None: a commit landing between the manifest
+            # fold and this read would otherwise mix two snapshots'
+            # counts into one result
             df = self.read(
-                snapshot_id=snapshot_id,
+                snapshot_id=snap.snapshot_id,
                 buckets=dirty,
                 columns=[],
                 include_internal=True,
@@ -1385,8 +1389,6 @@ class LakeTable:
         table to S3 and re-loading it (scripts/export_to_s3.py +
         load_data.py full reload); this is the same operation at
         metadata cost."""
-        import hashlib
-
         src = (
             self.current() if snapshot_id is None else self.log.load(snapshot_id)
         )
@@ -1394,17 +1396,16 @@ class LakeTable:
         if dest.log.exists():
             raise ValueError(f"table already exists at {dest_root}")
         src_root = os.path.abspath(self.root)
-        token = hashlib.md5(
-            os.path.abspath(dest_root).encode("utf-8")
-        ).hexdigest()[:12]
-        pin = f"clone-{token}"
-        try:
-            self.log.create_tag(pin, src.snapshot_id)
-        except ValueError:
-            # stale pin from a clone that crashed before its commit (the
-            # dest-exists check above rules out a LIVE clone of this dest)
-            self.log.drop_tag(pin)
-            self.log.create_tag(pin, src.snapshot_id)
+        # per-ATTEMPT-unique pin token (like _manifest_name), recorded in
+        # the clone props: two clones racing the same dest_root would
+        # otherwise share a dest-derived token, and the CAS loser's
+        # cleanup would drop the WINNER's live pin, leaving its foreign
+        # file references unprotected from source retention. The cost is
+        # that a clone crashing before its commit leaves an orphan
+        # ``clone-*`` tag on the source (pinning that snapshot) until an
+        # operator drops it — fail-safe in the retention direction.
+        pin = f"clone-{uuid.uuid4().hex[:12]}"
+        self.log.create_tag(pin, src.snapshot_id)
         files = {
             b: [
                 dict(
@@ -1711,11 +1712,15 @@ class LakeTable:
                 f"diff: key columns differ ({sa.key_cols} vs {sb.key_cols})"
             )
         keys = list(sa.key_cols)
+        # thread the snapshots RESOLVED above through both the prune and
+        # the reads: re-resolving current() per step would let a commit
+        # landing mid-diff mark buckets 'identical' against one snapshot
+        # and read them at another — a wrong/incomplete diff
         _same, differ = self.diff_buckets(
-            other, snapshot_id, other_snapshot_id
+            other, sa.snapshot_id, sb.snapshot_id
         )
-        a = self.read(snapshot_id=snapshot_id, buckets=differ)
-        bdf = other.read(snapshot_id=other_snapshot_id, buckets=differ)
+        a = self.read(snapshot_id=sa.snapshot_id, buckets=differ)
+        bdf = other.read(snapshot_id=sb.snapshot_id, buckets=differ)
         common = [
             c for c in a.columns if c in set(bdf.columns) and c not in keys
         ]

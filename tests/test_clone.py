@@ -468,3 +468,68 @@ def test_clone_from_a_historical_snapshot(spark, tmp_path):
     src.compact()
     src.expire_snapshots(keep_last=1, orphan_grace_seconds=0)
     assert _state(clone) == _state(src)
+
+
+def test_clone_pin_tokens_are_per_attempt_unique(spark, tmp_path):
+    """ADVICE r4: two clones must never share a pin token — a CAS loser
+    (or a stale-pin recreate) dropping a dest-derived token would strip
+    the WINNER's live pin. The token is per-attempt uuid, recorded in
+    clone.source_tag, and dropping one clone's pin leaves the other's."""
+    src = _mk_table(spark, tmp_path / "src")
+    apply_batch(spark, src, spark.createDataFrame(_rows(60), SCHEMA), epoch=0)
+    a = src.clone_to(str(tmp_path / "a"))
+    b = src.clone_to(str(tmp_path / "b"))
+    ta = a.current().props["clone.source_tag"]
+    tb = b.current().props["clone.source_tag"]
+    assert ta != tb
+    assert {ta, tb} <= set(src.tags())
+    src.log.drop_tag(ta)
+    assert tb in set(src.tags())  # b's pin survives a's release
+
+
+def test_rebase_crash_after_merge_recovers_frontier_keys(spark, tmp_path):
+    """ADVICE r4: the data merge lands FIRST (advancing
+    clone.source_snapshot atomically with it); the frontier-key fold runs
+    after. Simulate a crash in between — branch data is current, keys
+    missing — and assert (a) a direct replay of the trunk epoch re-applies
+    harmlessly (LWW-idempotent, no silent no-op data loss), (b) the next
+    rebase_branch call completes the fold, after which the replay
+    no-ops."""
+    from postgres_to_snowflake_data_pipeline_spark.cdc.apply import (
+        _dedup_storage,
+        _normalize_batch,
+        rebase_branch,
+    )
+
+    src = _mk_table(spark, tmp_path / "src")
+    apply_batch(spark, src, spark.createDataFrame(_rows(60), SCHEMA), epoch=0)
+    branch = src.clone_to(str(tmp_path / "dev"))
+    trunk_batch = spark.createDataFrame(_rows(30, lsn0=60, tag="tr"), SCHEMA)
+    apply_batch(spark, src, trunk_batch, epoch=1)
+
+    # replicate rebase_branch's merge WITHOUT the key fold (the crash)
+    head = src.current().snapshot_id
+    base = int(branch.current().props["clone.source_snapshot"])
+    feed = src.changes(base, until_snapshot_id=head, skip_rolled_back=True)
+    schema, events, obs_fn = _normalize_batch(branch, feed, "crash-sim")
+    branch.merge(
+        _dedup_storage(events, schema, branch.current(), 0),
+        schema=schema,
+        summary={"rebase_from": base, "rebase_to": head},
+        summary_fn=obs_fn,
+        props_update={"clone.source_snapshot": head},
+    )
+    want = _state(branch)
+    assert not branch.has_commit_key("epoch:1")  # the crash window
+
+    # (a) re-applying the trunk epoch is NOT skipped, and converges
+    r = apply_batch(spark, branch, trunk_batch, epoch=1)
+    assert not r.skipped
+    assert _state(branch) == want
+
+    # (b) the next rebase call (head == base) completes the fold
+    assert rebase_branch(spark, branch) is None
+    assert branch.has_commit_key("epoch:1")
+    r2 = apply_batch(spark, branch, trunk_batch, epoch=1)
+    assert r2.skipped
+    assert _state(branch) == want
