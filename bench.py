@@ -57,6 +57,26 @@ HEADLINE = [
     "m04_audio_features",
 ]
 
+#: FROZEN round-3-era subset (the 12 analytics queries present in both
+#: BENCH_r03 and BENCH_r04): their sum is reported as
+#: ``suite_v3_subset_s`` so round-over-round comparisons have a stable
+#: like-for-like number as the suite grows — never add to or remove from
+#: this list; new queries belong in HEADLINE only.
+SUITE_V3_SUBSET = [
+    "m01_multimodal_decode",
+    "m02_frame_sample",
+    "q01_pricing_summary",
+    "q02_silver_report",
+    "q08_lww_current_state",
+    "t05_dedup_exact",
+    "t07_minhash_bands",
+    "t09_simhash",
+    "t10_minhash_bands_fast",
+    "v01_ann_cosine_topk",
+    "v04_ann_lsh_bucketed",
+    "v06_ann_ivf_kmeans",
+]
+
 #: in-process repetitions per headline query; the recorded number is the
 #: MEDIAN. Single-shot timings made round-over-round comparisons
 #: unresolvable against this VM's ±20-40% steal (BENCH.md §4 / VERDICT r02).
@@ -70,9 +90,10 @@ def _materialize(df) -> None:
 
 def bench_cdc_replay(spark, trials: int = 3) -> tuple[float, float]:
     """Generate a deterministic feed once, replay it through the engine
-    ``trials`` times (fresh table each); return the MEDIAN (replay seconds,
-    events/sec). Generation is excluded from the timing; the median damps
-    the sandbox's ±20% hypervisor-steal noise."""
+    ``trials`` times (fresh table each); return the MEDIAN (replay
+    seconds, events/sec) plus the raw trial times (their spread is the
+    window-quality signal). Generation is excluded from the timing; the
+    median damps the sandbox's ±20% hypervisor-steal noise."""
     from postgres_to_snowflake_data_pipeline_spark.cdc.apply import replay_feed
     from postgres_to_snowflake_data_pipeline_spark.cdc.generator import change_events, write_feed
     from postgres_to_snowflake_data_pipeline_spark.cdc.schemas import TRANSCRIPT_SCHEMA
@@ -97,7 +118,7 @@ def bench_cdc_replay(spark, trials: int = 3) -> tuple[float, float]:
         shutil.rmtree(troot, ignore_errors=True)
     shutil.rmtree(work, ignore_errors=True)
     dt = sorted(times)[len(times) // 2]
-    return dt, N_EVENTS / dt
+    return dt, N_EVENTS / dt, times
 
 
 def main() -> None:
@@ -119,8 +140,17 @@ def main() -> None:
             trials.append(time.perf_counter() - t0)
         timings[name] = round(sorted(trials)[len(trials) // 2], 3)
 
-    cdc_sec, eps = bench_cdc_replay(spark)
+    cdc_sec, eps, cdc_trials = bench_cdc_replay(spark)
     timings["cdc_replay"] = round(cdc_sec, 3)
+
+    # window-quality self-diagnostic (VERDICT r4 #5/#6): the replay
+    # trials' spread within this run flags a steal-degraded window —
+    # identical code has spread 9.5-14 s on the same replay across noise
+    # windows (BENCH.md §4), so round-over-round comparisons should lean
+    # on suite_v3_subset_s medians and discount flagged runs. Threshold
+    # 15%: parallel trials are noisier than bench_scaling's serial canary
+    # (10%).
+    spread = (max(cdc_trials) - min(cdc_trials)) / cdc_sec if cdc_sec else 0.0
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -135,6 +165,12 @@ def main() -> None:
                 "sf": float(sf),
                 "cdc_events_per_sec": round(eps, 1),
                 "cdc_n_events": N_EVENTS,
+                "cdc_replay_trials": [round(t, 3) for t in cdc_trials],
+                "window_degraded": spread > 0.15,
+                "suite_v3_subset_s": round(
+                    sum(timings[q] for q in SUITE_V3_SUBSET), 3
+                ),
+                "suite_v3_subset_queries": len(SUITE_V3_SUBSET),
                 "trials": TRIALS,
             }
         )

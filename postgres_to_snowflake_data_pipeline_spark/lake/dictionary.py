@@ -79,11 +79,21 @@ def table_dictionary(
         p = os.path.join(table.root, e["path"])
         if os.path.exists(p):
             total_bytes += os.path.getsize(p)
+    # per-table/per-column COMMENTs (LakeTable.set_comments; the
+    # reference's obj_description/col_description analog — stored by
+    # stable field id, so renames keep their descriptions)
+    comments = table.comments(snap)
     doc: dict[str, Any] = {
         "table_root": table.root,
         "format_version": 1,
+        "description": comments["table"],
         "schema": [
-            {"column": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+            {
+                "column": f.name,
+                "type": f.dataType.simpleString(),
+                "nullable": f.nullable,
+                "comment": comments["columns"].get(f.name),
+            }
             for f in snap.schema.fields
         ],
         "primary_key": list(snap.key_cols),
@@ -114,6 +124,7 @@ def dictionary_markdown(doc: dict[str, Any]) -> str:
     lines = [
         f"# Data dictionary — `{doc['table_root']}`",
         "",
+        *([doc["description"], ""] if doc.get("description") else []),
         f"- Primary key: `{', '.join(doc['primary_key'])}`",
         f"- Partitioning: {doc['partitioning']['kind']}"
         f"({doc['partitioning']['column']}, {doc['partitioning']['n_buckets']})",
@@ -122,11 +133,14 @@ def dictionary_markdown(doc: dict[str, Any]) -> str:
         "",
         "## Columns",
         "",
-        "| column | type | nullable |",
-        "|---|---|---|",
+        "| column | type | nullable | comment |",
+        "|---|---|---|---|",
     ]
     for c in doc["schema"]:
-        lines.append(f"| {c['column']} | {c['type']} | {c['nullable']} |")
+        lines.append(
+            f"| {c['column']} | {c['type']} | {c['nullable']} |"
+            f" {c.get('comment') or ''} |"
+        )
     if "column_stats" in doc:
         lines += [
             "",

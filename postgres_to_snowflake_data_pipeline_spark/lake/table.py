@@ -3046,6 +3046,61 @@ class LakeTable:
             props_update=updates,
         )
 
+    def set_comments(
+        self,
+        table_comment: str | None = None,
+        column_comments: dict[str, str] | None = None,
+    ) -> Snapshot | None:
+        """Attach/replace human descriptions (a metadata-only commit):
+        the reference's dictionary carries per-table and per-column
+        COMMENTs end-to-end (obj_description/col_description,
+        /root/reference/scripts/generate_postgres_dictionary.py:51,77;
+        COMMENT DDL in /root/reference/dags/s3_to_snowflake_dag.py:54-55)
+        — this is the lake-side equivalent the data dictionary renders.
+
+        Column comments are stored keyed by the column's stable FIELD ID
+        (``comment.cols`` prop), so a rename keeps its comment and a
+        drop+re-add does not inherit the dead column's text. Passing a
+        column comment of ``""`` clears it; ``table_comment=""`` clears
+        the table comment. Unknown column names raise."""
+        snap = self.current()
+        updates: dict[str, Any] = {}
+        if table_comment is not None:
+            updates["comment.table"] = table_comment or None
+        if column_comments:
+            cols = dict(snap.props.get("comment.cols") or {})
+            for name, text in column_comments.items():
+                fid = snap.column_ids.get(name)
+                if fid is None:
+                    raise ValueError(
+                        f"set_comments: no column {name!r} in the schema"
+                    )
+                if text:
+                    cols[str(fid)] = text
+                else:
+                    cols.pop(str(fid), None)
+            updates["comment.cols"] = cols or None
+        if not updates:
+            return None
+        return self.update_props(updates)
+
+    def comments(self, snap: Snapshot | None = None) -> dict[str, Any]:
+        """``{"table": str|None, "columns": {name: comment}}`` resolved
+        against ``snap``'s schema (default current) — field-id storage
+        means renamed columns keep their comments automatically."""
+        snap = snap if snap is not None else self.current()
+        by_id = {
+            int(k): v for k, v in (snap.props.get("comment.cols") or {}).items()
+        }
+        return {
+            "table": snap.props.get("comment.table"),
+            "columns": {
+                f.name: by_id[snap.column_ids[f.name]]
+                for f in snap.schema.fields
+                if snap.column_ids.get(f.name) in by_id
+            },
+        }
+
     def rollback_in_range(
         self, since_snapshot_id: int, until_snapshot_id: int | None = None
     ) -> bool:
