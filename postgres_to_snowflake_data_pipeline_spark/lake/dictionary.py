@@ -77,8 +77,8 @@ def table_dictionary(
     total_bytes = 0
     for e in files:
         p = os.path.join(table.root, e["path"])
-        if os.path.exists(p):
-            total_bytes += os.path.getsize(p)
+        if table.fs.exists(p):
+            total_bytes += table.fs.getsize(p)
     # per-table/per-column COMMENTs (LakeTable.set_comments; the
     # reference's obj_description/col_description analog — stored by
     # stable field id, so renames keep their descriptions)

@@ -112,13 +112,12 @@ def _check_orphans(table: "LakeTable", snaps: list, report: dict) -> None:
             referenced.update(e["path"] for e in entries)
     data_root = os.path.join(table.root, "data")
     orphans = []
-    for dirpath, _dirs, names in os.walk(data_root):
-        for f in names:
-            if not f.endswith(".parquet"):
-                continue
-            rel = os.path.relpath(os.path.join(dirpath, f), table.root)
-            if rel not in referenced:
-                orphans.append(rel)
+    for full in table.fs.walk_files(data_root):
+        if not full.endswith(".parquet"):
+            continue
+        rel = os.path.relpath(full, table.root)
+        if rel not in referenced:
+            orphans.append(rel)
     report["orphan_files"] = len(orphans)
     if orphans:
         _warn(

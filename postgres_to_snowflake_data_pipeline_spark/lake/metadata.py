@@ -24,8 +24,10 @@ rather than O(all commits). Manifests are immutable and cached in memory.
 
 Commit protocol (optimistic concurrency, Iceberg HadoopTableOperations
 style): write the (uniquely-named) manifest, then CAS-create ``v{N}.json``
-via write-temp-then-``os.link`` — the link fails with EEXIST if another
-writer already owns snapshot N, which raises ``CommitConflictError`` so the
+— on the default local backend via write-temp-then-``os.link`` (EEXIST =
+lost race), on an object store via conditional PUT; all storage I/O goes
+through the ``LakeFS`` seam (lake/fs.py), chosen by the table-root URI.
+A lost CAS raises ``CommitConflictError`` so the
 caller can rebase onto the new current and retry; finally update
 ``_current``. ``_current`` is an advisory HINT, not the source of truth:
 ``current_id`` probes forward from it for newer ``v{N}.json`` files, so a
@@ -53,29 +55,17 @@ import json
 import os
 import re
 import time
-import uuid
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
 from pyspark.sql import types as T
 
+from postgres_to_snowflake_data_pipeline_spark.lake.fs import (  # noqa: F401
+    atomic_write_json,  # re-export: every sidecar writer imports it here
+    fs_for,
+)
+
 FORMAT_VERSION = 2
-
-
-def atomic_write_json(path: str, obj: Any, **dump_kwargs: Any) -> None:
-    """Crash-safe JSON sidecar write: temp file in the SAME directory
-    (rename across filesystems is not atomic), fsync, then rename over the
-    target. Shared by every sidecar writer — frontier markers
-    (cdc/multi.py), view group->bucket hints (lake/view.py), ANN centroids
-    (lake/ann_index.py) — so durability fixes land in one place."""
-    d = os.path.dirname(path) or "."
-    os.makedirs(d, exist_ok=True)
-    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, **dump_kwargs)
-        f.flush()
-        os.fsync(f.fileno())
-    os.rename(tmp, path)
 
 
 class CommitConflictError(RuntimeError):
@@ -268,6 +258,7 @@ class Snapshot:
 class MetadataLog:
     def __init__(self, table_root: str):
         self.root = table_root
+        self.fs = fs_for(table_root)
         self.meta_dir = os.path.join(table_root, "_meta")
         self._manifest_cache: dict[str, dict[str, list[dict[str, Any]]]] = {}
         self._snap_cache: dict[int, Snapshot] = {}
@@ -284,7 +275,7 @@ class MetadataLog:
 
     # -- reads ---------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.exists(self._current_path())
+        return self.fs.exists(self._current_path())
 
     def current_id(self) -> int | None:
         """Latest committed snapshot id. ``_current`` is only a hint (a
@@ -293,11 +284,10 @@ class MetadataLog:
         the hint — O(commits since the hint was written), normally 0-1
         stat calls."""
         try:
-            with open(self._current_path()) as f:
-                sid = int(f.read().strip())
+            sid = int(self.fs.read_text(self._current_path()).strip())
         except FileNotFoundError:
             return None
-        while os.path.exists(self._snap_path(sid + 1)):
+        while self.fs.exists(self._snap_path(sid + 1)):
             sid += 1
         return sid
 
@@ -321,7 +311,7 @@ class MetadataLog:
 
     def drop_tag(self, name: str) -> None:
         try:
-            os.remove(self._tag_path(name))
+            self.fs.remove(self._tag_path(name))
         except FileNotFoundError:
             raise ValueError(f"no such tag: {name}") from None
 
@@ -329,16 +319,16 @@ class MetadataLog:
         """name -> snapshot_id for every tag."""
         out: dict[str, int] = {}
         try:
-            names = os.listdir(self.meta_dir)
+            names = self.fs.listdir(self.meta_dir)
         except FileNotFoundError:
             return out
         for f in names:
             if f.startswith("tag-") and f.endswith(".json"):
                 try:
-                    with open(os.path.join(self.meta_dir, f)) as fh:
-                        out[f[4:-5]] = int(json.load(fh)["snapshot_id"])
+                    payload = self.fs.read_text(os.path.join(self.meta_dir, f))
                 except FileNotFoundError:
                     continue  # dropped by a concurrent writer mid-listing
+                out[f[4:-5]] = int(json.loads(payload)["snapshot_id"])
         return out
 
     # -- staged commits (write-audit-publish) ----------------------------
@@ -355,14 +345,13 @@ class MetadataLog:
 
     def load_staged(self, name: str) -> dict[str, Any] | None:
         try:
-            with open(self._staged_path(name)) as f:
-                return json.load(f)
+            return json.loads(self.fs.read_text(self._staged_path(name)))
         except FileNotFoundError:
             return None
 
     def delete_staged(self, name: str) -> None:
         try:
-            os.remove(self._staged_path(name))
+            self.fs.remove(self._staged_path(name))
         except FileNotFoundError:
             pass
 
@@ -370,7 +359,7 @@ class MetadataLog:
         """name -> descriptor for every staged commit on disk."""
         out: dict[str, dict[str, Any]] = {}
         try:
-            names = os.listdir(self.meta_dir)
+            names = self.fs.listdir(self.meta_dir)
         except FileNotFoundError:
             return out
         for f in names:
@@ -384,12 +373,12 @@ class MetadataLog:
         """Recreate a missing ``_current`` hint from the snapshot files on
         disk (crash between a CAS-created snapshot and its hint write).
         No-op when the hint already exists — committed state never moves."""
-        if os.path.exists(self._current_path()):
+        if self.fs.exists(self._current_path()):
             return
         try:
             sids = [
                 int(f[1:-5])
-                for f in os.listdir(self.meta_dir)
+                for f in self.fs.listdir(self.meta_dir)
                 if f.startswith("v") and f.endswith(".json")
             ]
         except FileNotFoundError:
@@ -404,8 +393,7 @@ class MetadataLog:
     def _load_manifest(self, name: str) -> dict[str, list[dict[str, Any]]]:
         m = self._manifest_cache.get(name)
         if m is None:
-            with open(self.manifest_path(name)) as f:
-                m = json.load(f)["files"]
+            m = json.loads(self.fs.read_text(self.manifest_path(name)))["files"]
             self._manifest_cache[name] = m
         return m
 
@@ -482,8 +470,9 @@ class MetadataLog:
     def load(self, sid: int) -> Snapshot:
         snap = self._snap_cache.get(sid)
         if snap is None:
-            with open(self._snap_path(sid)) as f:
-                snap = Snapshot.from_json(json.load(f))
+            snap = Snapshot.from_json(
+                json.loads(self.fs.read_text(self._snap_path(sid)))
+            )
             snap._resolver = self.resolve_files
             self._cache_snap(snap)
         return snap
@@ -509,14 +498,14 @@ class MetadataLog:
     def delete_snapshot(self, sid: int) -> None:
         self._snap_cache.pop(sid, None)
         try:
-            os.remove(self._snap_path(sid))
+            self.fs.remove(self._snap_path(sid))
         except FileNotFoundError:
             pass
 
     def delete_manifest(self, name: str) -> None:
         self._manifest_cache.pop(name, None)
         try:
-            os.remove(self.manifest_path(name))
+            self.fs.remove(self.manifest_path(name))
         except FileNotFoundError:
             pass
 
@@ -527,7 +516,7 @@ class MetadataLog:
         try:
             return sorted(
                 int(f[1:-5])
-                for f in os.listdir(self.meta_dir)
+                for f in self.fs.listdir(self.meta_dir)
                 if f.startswith("v") and f.endswith(".json")
             )
         except FileNotFoundError:
@@ -535,36 +524,21 @@ class MetadataLog:
 
     def list_manifests(self) -> list[str]:
         try:
-            return [f for f in os.listdir(self.meta_dir)
+            return [f for f in self.fs.listdir(self.meta_dir)
                     if f.startswith("m") and f.endswith(".json")]
         except FileNotFoundError:
             return []
 
     # -- atomic commit ---------------------------------------------------
+    # both primitives delegate to the LakeFS backend (lake/fs.py): local
+    # stores keep the historical temp+fsync+rename / temp+os.link-CAS
+    # behavior verbatim; an object-store backend maps them to plain PUT /
+    # conditional PUT (If-None-Match) respectively
     def _atomic_write(self, path: str, payload: str) -> None:
-        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(tmp, path)
+        self.fs.write_atomic(path, payload)
 
     def _cas_create(self, path: str, payload: str) -> bool:
-        """Create ``path`` with ``payload`` iff it does not exist (atomic
-        compare-and-swap via ``os.link``, which fails with EEXIST instead
-        of overwriting). Returns False on a lost race."""
-        tmp = f"{path}.{uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        try:
-            os.link(tmp, path)
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        return self.fs.cas_create(path, payload)
 
     def commit(
         self,
@@ -578,7 +552,7 @@ class MetadataLog:
         table. If another writer won the race for this snapshot id, the
         just-written manifest is removed and ``CommitConflictError`` is
         raised so the caller can rebase and retry."""
-        os.makedirs(self.meta_dir, exist_ok=True)
+        self.fs.makedirs(self.meta_dir)
         if new_manifest is not None:
             name, files = new_manifest
             self._atomic_write(

@@ -250,6 +250,10 @@ class LakeTable:
         self.spark = spark
         self.root = root
         self.log = MetadataLog(root)
+        #: storage seam (lake/fs.py) — shared with the metadata log, so
+        #: stats opens, listings, and GC deletes hit the same backend the
+        #: commit protocol does
+        self.fs = self.log.fs
 
     # ------------------------------------------------------------------
     # lifecycle
@@ -281,7 +285,7 @@ class LakeTable:
                     f"patch.columns cannot include key columns "
                     f"{sorted(bad_keys)}"
                 )
-        os.makedirs(root, exist_ok=True)
+        t.fs.makedirs(root)
         snap = Snapshot(
             snapshot_id=0,
             parent_id=None,
@@ -1418,7 +1422,7 @@ class LakeTable:
             ]
             for b, es in src.files.items()
         }
-        os.makedirs(dest_root, exist_ok=True)
+        dest.fs.makedirs(dest_root)
         name = self._manifest_name(0)
         snap = Snapshot(
             snapshot_id=0,
@@ -2145,13 +2149,13 @@ class LakeTable:
         multi-dir writer — time-sliced compaction — can write ONCE and
         collect per-subdir entries). Entries carry PER-FILE stats;
         the returned bucket rows (lineage) aggregate them per bucket."""
-        bdirs = [d for d in os.listdir(out) if d.startswith("_bdir=")]
+        bdirs = [d for d in self.fs.listdir(out) if d.startswith("_bdir=")]
         if not bdirs:
             return {}, []
         listing = {
             d: sorted(
                 f
-                for f in os.listdir(os.path.join(out, d))
+                for f in self.fs.listdir(os.path.join(out, d))
                 if f.endswith(".parquet")
             )
             for d in bdirs
@@ -2456,7 +2460,7 @@ class LakeTable:
 
             out: dict[str, dict] = {}
             for p in paths:
-                pf = pq.ParquetFile(p)
+                pf = pq.ParquetFile(self.fs.open_parquet(p))
                 md = pf.metadata
                 klo, khi = (
                     self._footer_minmax(md, key_col)
@@ -2644,8 +2648,20 @@ class LakeTable:
                     total += int(s or 0)
                 return total
 
+            def opener(p):
+                # executor-side seam: object-store paths open through
+                # pyarrow.fs (ranged GETs for the footer), local paths
+                # stay plain so pyarrow memory-maps them. MemoryFS is
+                # driver-process-only and never reaches this closure.
+                if "://" in p[:12]:
+                    import pyarrow.fs as pafs
+
+                    f, inner = pafs.FileSystem.from_uri(p)
+                    return f.open_input_file(inner)
+                return p
+
             for p in it:
-                pf = pq.ParquetFile(p)
+                pf = pq.ParquetFile(opener(p))
                 md = pf.metadata
                 lo, hi = mm(md, "_lsn")
                 klo, khi = mm(md, kc) if kc is not None else (None, None)
@@ -3475,8 +3491,8 @@ class LakeTable:
             for e in es:
                 full = os.path.join(self.root, e["path"])
                 try:
-                    freed += os.path.getsize(full)
-                    os.remove(full)
+                    freed += self.fs.getsize(full)
+                    self.fs.remove(full)
                     deleted += 1
                 except FileNotFoundError:
                     pass
@@ -4129,18 +4145,15 @@ class LakeTable:
             referenced |= {e["path"] for es in m.values() for e in es}
         data_root = os.path.join(self.root, "data")
         deleted = freed = 0
-        for dirpath, _dirnames, filenames in os.walk(data_root, topdown=False):
-            for fn in filenames:
-                full = os.path.join(dirpath, fn)
-                rel = os.path.relpath(full, self.root)
-                if fn.endswith(".parquet") and rel not in referenced:
-                    if now - os.path.getmtime(full) < orphan_grace_seconds:
-                        continue  # possibly an in-flight commit's write
-                    freed += os.path.getsize(full)
-                    os.remove(full)
-                    deleted += 1
-            if not os.listdir(dirpath):
-                os.rmdir(dirpath)
+        for full in list(self.fs.walk_files(data_root)):
+            rel = os.path.relpath(full, self.root)
+            if full.endswith(".parquet") and rel not in referenced:
+                if now - self.fs.getmtime(full) < orphan_grace_seconds:
+                    continue  # possibly an in-flight commit's write
+                freed += self.fs.getsize(full)
+                self.fs.remove(full)
+                deleted += 1
+        self.fs.remove_empty_dirs(data_root)
         for s in expired:
             self.log.delete_snapshot(s.snapshot_id)
         for sid in detached:
