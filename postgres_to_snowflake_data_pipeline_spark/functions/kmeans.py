@@ -75,6 +75,29 @@ def probe_cells(vcol: str, cents: dict[int, list[float]], nprobe: int) -> Column
     return F.transform(F.slice(ordered, 1, nprobe), lambda s: s["c"])
 
 
+def argmin_code(vec: Column, codebook: list[list[float]]) -> Column:
+    """Position-coded argmin over a DENSE codebook list (product
+    quantization's per-subspace encoder): the code is the codeword's
+    index 0..len-1, so an ADC distance table indexes by code directly.
+    Same rounded ``dot(c,c) - 2*dot(v,c)`` partial-L2 as ``dist_structs``
+    (dot(v,v) is constant per vector), ties to the lower code."""
+    structs = []
+    for code, c in enumerate(codebook):
+        cc = 0.0
+        for x in c:
+            cc += x * x
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.round(F.lit(cc) - 2.0 * dot(vec, carr), 6)
+        structs.append(F.struct(d.alias("d"), F.lit(int(code)).alias("c")))
+    return F.array_min(F.array(*structs))["c"]
+
+
+def subvector(vec: Column, m: int, dsub: int) -> Column:
+    """Subspace ``m``'s slice of a flat vector (PQ splits dim into
+    contiguous blocks of ``dsub``). ``F.slice`` is 1-based."""
+    return F.slice(vec, m * dsub + 1, dsub)
+
+
 def train_kmeans_cells(
     emb_v: DataFrame, vcol: str = "v", k: int = 8, iters: int = 3
 ) -> dict[int, list[float]]:

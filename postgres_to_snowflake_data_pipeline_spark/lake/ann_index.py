@@ -58,6 +58,7 @@ from pyspark.sql.window import Window
 from postgres_to_snowflake_data_pipeline_spark.functions import kmeans as km
 from postgres_to_snowflake_data_pipeline_spark.functions.vector import (
     cosine_similarity,
+    dot,
 )
 from postgres_to_snowflake_data_pipeline_spark.lake.metadata import atomic_write_json
 
@@ -93,6 +94,7 @@ class AnnIndex:
         k: int = 8,
         iters: int = 3,
         sample_mod: int = 4,
+        pq: tuple[int, int] | None = None,
     ) -> "AnnIndex":
         """Train on the hash-sample (``sample_hash(key) % sample_mod == 0``
         — domain-separated from the seed hash, see functions/kmeans.py),
@@ -115,11 +117,42 @@ class AnnIndex:
             F.col(key_col).alias("vec_id"), F.col(vec_col).alias("v")
         )
         cents = km.train_kmeans_cells(train, "v", k=k, iters=iters)
+        dim = len(next(iter(cents.values()))) if cents else 0
+        pq_meta = None
+        if pq is not None:
+            # product quantization (VERDICT r4 #9): split the dim into m
+            # contiguous subspaces and train a DENSE kcodes-word codebook
+            # per subspace on the SAME hash-sample (the same deterministic
+            # distributed Lloyd as the coarse quantizer — m extra
+            # sample-bound trainings, never a corpus pass). Every stored
+            # row then carries an m-byte-scale code column next to its
+            # exact vector: searches scan codes (column-pruned), re-rank
+            # the few survivors on exact vectors — at 100 TB the float64
+            # vector bytes dominate scan I/O ~dim*8 : m.
+            m, kcodes = pq
+            if dim == 0 or dim % m != 0:
+                raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+            dsub = dim // m
+            codebooks = []
+            for i in range(m):
+                sub = train.select(
+                    "vec_id", km.subvector(F.col("v"), i, dsub).alias("v")
+                )
+                cb = km.train_kmeans_cells(sub, "v", k=kcodes, iters=iters)
+                codebooks.append([cb[c] for c in sorted(cb)])
+            pq_meta = {"m": m, "k": kcodes, "dsub": dsub,
+                       "codebooks": codebooks}
         data_path = os.path.join(root, _DATA)
         obs = Observation()
+        clustered = vectors.withColumn(
+            "cell", km.argmin_cell(vec_col, cents)
+        )
+        if pq_meta is not None:
+            clustered = clustered.withColumn(
+                "pq", cls._encode_expr(vec_col, pq_meta)
+            )
         (
-            vectors.withColumn("cell", km.argmin_cell(vec_col, cents))
-            .repartition(F.col("cell"))
+            clustered.repartition(F.col("cell"))
             .observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.mode("overwrite")
             .partitionBy("cell")
@@ -131,11 +164,13 @@ class AnnIndex:
             "k": k,
             "iters": iters,
             "sample_mod": sample_mod,
-            "dim": len(next(iter(cents.values()))) if cents else 0,
+            "dim": dim,
             "base_rows": int(obs.get["rows"]),
             "appended_rows": 0,
             "cells": {str(c): v for c, v in sorted(cents.items())},
         }
+        if pq_meta is not None:
+            meta["pq"] = pq_meta
         # a REBUILD resets drift: stale append markers from the previous
         # build's maintenance era must not count against the new centroids
         for name in os.listdir(root) if os.path.isdir(root) else []:
@@ -143,6 +178,21 @@ class AnnIndex:
                 os.unlink(os.path.join(root, name))
         atomic_write_json(os.path.join(root, _SIDECAR), meta)
         return cls(spark, root, cents, meta)
+
+    @staticmethod
+    def _encode_expr(vec_col: str, pq_meta: dict) -> F.Column:
+        """array<int> of per-subspace codes — m position-coded argmins
+        over the frozen codebooks, all whole-stage-codegen arithmetic."""
+        m, dsub = pq_meta["m"], pq_meta["dsub"]
+        return F.array(
+            *[
+                km.argmin_code(
+                    km.subvector(F.col(vec_col), i, dsub),
+                    pq_meta["codebooks"][i],
+                )
+                for i in range(m)
+            ]
+        )
 
     def append(self, vectors: DataFrame) -> int:
         """Index MAINTENANCE without retraining: assign new vectors to the
@@ -172,10 +222,16 @@ class AnnIndex:
 
         key_col, vec_col = self.meta["key_col"], self.meta["vec_col"]
         obs = Observation()
-        (
+        appended = (
             vectors.select(key_col, vec_col)  # the layout's fixed schema
             .withColumn("cell", km.argmin_cell(vec_col, self.cents))
-            .repartition(F.col("cell"))
+        )
+        if "pq" in self.meta:  # frozen codebooks encode, like the cells
+            appended = appended.withColumn(
+                "pq", self._encode_expr(vec_col, self.meta["pq"])
+            )
+        (
+            appended.repartition(F.col("cell"))
             .observe(obs, F.count(F.lit(1)).alias("rows"))
             .write.mode("append")
             .partitionBy("cell")
@@ -238,11 +294,22 @@ class AnnIndex:
         k: int = 3,
         nprobe: int = 2,
         query_id_col: str = "query_id",
+        pq_rerank: int | None = None,
     ) -> DataFrame:
         """Top-k cosine neighbors per query, reading ONLY the probed
         cells' files. ``queries`` carries ``query_id_col`` + the index's
         ``vec_col`` (array<double>); output columns match the catalog's
-        ANN queries: (query_id, neighbor_id, cosine, rnk)."""
+        ANN queries: (query_id, neighbor_id, cosine, rnk).
+
+        ``pq_rerank=C`` (index built with ``pq=``): two-stage search —
+        an ADC pass over the probed cells reading ONLY the m-int code
+        column (column pruning keeps the dim×8-byte vectors out of that
+        scan entirely; per-query distance tables are in-plan expressions
+        over the broadcast query side), then the top-C ADC candidates
+        per query re-rank on exact cosine from a second, candidate-
+        semi-joined scan of the vector column. At 100 TB this cuts the
+        dominant scan bytes by ~dim*8/m while the recall gate stays on
+        the exact re-rank."""
         key_col, vec_col = self.meta["key_col"], self.meta["vec_col"]
         probe = self.probed_cells(queries, nprobe)
         q = queries.select(
@@ -276,18 +343,116 @@ class AnnIndex:
                 .parquet(data_path)
                 .filter(F.lit(False))
             )
-        scored = cands.join(F.broadcast(q), "cell").select(
-            "query_id",
-            F.col(key_col).alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("_qv"), F.col(vec_col)), 6).alias(
-                "cosine"
-            ),
-        )
+        if pq_rerank is not None:
+            if "pq" not in self.meta:
+                raise ValueError("pq_rerank: index was built without pq=")
+            # stage-1 candidates materialize via ONE bounded driver
+            # collect (≤ n_queries × rerank (query, key) pairs — same
+            # budget class as probed_cells), so stage 2 can push the
+            # candidate keys into the vector scan as an In FILTER:
+            # parquet row-group/dictionary stats then skip the expensive
+            # vec-column pages of non-candidate row groups, where a pure
+            # join shape would re-read every probed cell's vectors.
+            pairs = self._pq_candidates(cands, q, pq_rerank).collect()
+            keys = sorted({r["_nb"] for r in pairs})
+            sel = cands.select("cell", key_col, vec_col).filter(
+                F.col(key_col).isin(keys) if keys else F.lit(False)
+            )
+            top = self.spark.createDataFrame(
+                [(r["query_id"], r["_nb"]) for r in pairs],
+                schema=T.StructType(
+                    [
+                        T.StructField("query_id", q.schema["query_id"].dataType),
+                        T.StructField("_nb", cands.schema[key_col].dataType),
+                    ]
+                ),
+            )
+            scored = (
+                sel.join(
+                    F.broadcast(top), sel[key_col] == top["_nb"], "inner"
+                )
+                .join(F.broadcast(q.drop("cell").distinct()), "query_id")
+                .select(
+                    "query_id",
+                    F.col(key_col).alias("neighbor_id"),
+                    F.round(
+                        cosine_similarity(F.col("_qv"), F.col(vec_col)), 6
+                    ).alias("cosine"),
+                )
+            )
+        else:
+            scored = cands.join(F.broadcast(q), "cell").select(
+                "query_id",
+                F.col(key_col).alias("neighbor_id"),
+                F.round(
+                    cosine_similarity(F.col("_qv"), F.col(vec_col)), 6
+                ).alias("cosine"),
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
         )
         return scored.withColumn("rnk", F.row_number().over(w)).filter(
             F.col("rnk") <= k
+        )
+
+    def _pq_candidates(
+        self, cands: DataFrame, q: DataFrame, rerank: int
+    ) -> DataFrame:
+        """Stage 1 of a PQ search: (query_id, _nb) — the ``rerank``
+        best candidates per query by asymmetric distance (ADC). The scan
+        side selects ONLY (cell, key, pq): Catalyst prunes the parquet
+        read to the code column — the whole point (pinned in
+        tests/test_ann_pq.py via ReadSchema). The query side carries its
+        m×kcodes distance table as an in-plan expression (rounded like
+        every other distance here, so candidate sets are deterministic);
+        the ADC score is one ``aggregate`` lookup-sum per pair."""
+        key_col = self.meta["key_col"]
+        pqm = self.meta["pq"]
+        m, dsub = pqm["m"], pqm["dsub"]
+        # distance-table entries are INTEGER MICROS (round(d * 1e6)):
+        # the ADC sum is then order-independent and exactly reproducible
+        # in any engine — a double fold's association order could flip
+        # near-ties between engines, the classic oracle-parity trap
+        dtab = F.array(
+            *[
+                F.array(
+                    *[
+                        F.round(
+                            (
+                                F.lit(sum(x * x for x in c))
+                                - 2.0
+                                * dot(
+                                    km.subvector(F.col("_qv"), i, dsub),
+                                    F.array(*[F.lit(float(x)) for x in c]),
+                                )
+                            )
+                            * 1e6,
+                            0,
+                        ).cast("long")
+                        for c in pqm["codebooks"][i]
+                    ]
+                )
+                for i in range(m)
+            ]
+        )
+        adc = (
+            cands.select("cell", key_col, "pq")
+            .join(F.broadcast(q.withColumn("_dtab", dtab)), "cell")
+            .withColumn(
+                "_adc",
+                F.expr(
+                    f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), "
+                    "(acc, i) -> acc + _dtab[i][pq[i]])"
+                ),
+            )
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("_adc").asc(), F.col(key_col)
+        )
+        return (
+            adc.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= rerank)
+            .select("query_id", F.col(key_col).alias("_nb"))
         )
 
     def _fs_exists(self, path: str) -> bool:

@@ -266,6 +266,12 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
     # ahead of the O(cands x queries) cosine stage; at scale the filter is
     # the content-index/inverted-index path (read(token_prune/eq_prune))
     "v11_hybrid_search": (simops.v11_hybrid_search, simops.V11_SQL),
+    # NEW round 5 — product-quantized IVF: m-code column next to each
+    # exact vector; ADC pass scans ONLY the codes (column pruning), exact
+    # cosine re-rank of the top-C behind a pushed-down key filter. Whole
+    # chain (coarse train, per-subspace codebooks, integer-micro ADC,
+    # re-rank) deterministic and replayed in DuckDB.
+    "v12_ann_pq_rerank": (simops.v12_ann_pq_rerank, simops.V12_SQL),
     # multimodal binary plumbing (Arrow-batched decode, ALL codecs REAL;
     # m01's PNG decode rides in-gate m02/m03 — rotated to overflow 4l)
     # audio feature extraction over REAL decoded PCM (round 4): exact
