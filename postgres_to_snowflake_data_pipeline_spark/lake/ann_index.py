@@ -66,6 +66,79 @@ _SIDECAR = "centroids.json"
 _DATA = "data"
 
 
+def _train_pq(train: DataFrame, dim: int, pq: tuple[int, int], iters: int) -> dict:
+    """Per-subspace PQ codebooks over the (vec_id, v) training sample —
+    the same deterministic distributed Lloyd as the coarse quantizer, m
+    extra sample-bound trainings. Codewords are DENSELY position-coded
+    (sorted surviving cells), so an ADC table indexes by code directly."""
+    m, kcodes = pq
+    if dim == 0 or dim % m != 0:
+        raise ValueError(f"pq: dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    codebooks = []
+    for i in range(m):
+        sub = train.select(
+            "vec_id", km.subvector(F.col("v"), i, dsub).alias("v")
+        )
+        cb = km.train_kmeans_cells(sub, "v", k=kcodes, iters=iters)
+        codebooks.append([cb[c] for c in sorted(cb)])
+    return {"m": m, "k": kcodes, "dsub": dsub, "codebooks": codebooks}
+
+
+def _pq_topc(
+    cands: DataFrame, q: DataFrame, key_col: str, pqm: dict, rerank: int
+) -> DataFrame:
+    """(query_id, _nb): the ``rerank`` best candidates per query by
+    asymmetric distance. ``cands`` must carry (cell, key, pq) ONLY —
+    callers select those three so Catalyst prunes the scan to the code
+    column (the whole point; pinned via ReadSchema in tests). The query
+    side carries its m×kcodes distance table as an in-plan expression in
+    INTEGER MICROS — the ADC sum is then order-independent and exactly
+    reproducible in any engine (a double fold's association order could
+    flip near-ties, the classic oracle-parity trap)."""
+    m, dsub = pqm["m"], pqm["dsub"]
+    dtab = F.array(
+        *[
+            F.array(
+                *[
+                    F.round(
+                        (
+                            F.lit(sum(x * x for x in c))
+                            - 2.0
+                            * dot(
+                                km.subvector(F.col("_qv"), i, dsub),
+                                F.array(*[F.lit(float(x)) for x in c]),
+                            )
+                        )
+                        * 1e6,
+                        0,
+                    ).cast("long")
+                    for c in pqm["codebooks"][i]
+                ]
+            )
+            for i in range(m)
+        ]
+    )
+    adc = (
+        cands.join(F.broadcast(q.withColumn("_dtab", dtab)), "cell")
+        .withColumn(
+            "_adc",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), "
+                "(acc, i) -> acc + _dtab[i][pq[i]])"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_adc").asc(), F.col(key_col)
+    )
+    return (
+        adc.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", F.col(key_col).alias("_nb"))
+    )
+
+
 class AnnIndex:
     """A cell-clustered vector layout + its coarse quantizer centroids."""
 
@@ -122,26 +195,12 @@ class AnnIndex:
         if pq is not None:
             # product quantization (VERDICT r4 #9): split the dim into m
             # contiguous subspaces and train a DENSE kcodes-word codebook
-            # per subspace on the SAME hash-sample (the same deterministic
-            # distributed Lloyd as the coarse quantizer — m extra
-            # sample-bound trainings, never a corpus pass). Every stored
-            # row then carries an m-byte-scale code column next to its
-            # exact vector: searches scan codes (column-pruned), re-rank
-            # the few survivors on exact vectors — at 100 TB the float64
-            # vector bytes dominate scan I/O ~dim*8 : m.
-            m, kcodes = pq
-            if dim == 0 or dim % m != 0:
-                raise ValueError(f"pq: dim {dim} not divisible by m {m}")
-            dsub = dim // m
-            codebooks = []
-            for i in range(m):
-                sub = train.select(
-                    "vec_id", km.subvector(F.col("v"), i, dsub).alias("v")
-                )
-                cb = km.train_kmeans_cells(sub, "v", k=kcodes, iters=iters)
-                codebooks.append([cb[c] for c in sorted(cb)])
-            pq_meta = {"m": m, "k": kcodes, "dsub": dsub,
-                       "codebooks": codebooks}
+            # per subspace on the SAME hash-sample — every stored row then
+            # carries an m-code column next to its exact vector: searches
+            # scan codes (column-pruned), re-rank the few survivors on
+            # exact vectors — at 100 TB the float64 vector bytes dominate
+            # scan I/O ~dim*8 : m.
+            pq_meta = _train_pq(train, dim, pq, iters)
         data_path = os.path.join(root, _DATA)
         obs = Observation()
         clustered = vectors.withColumn(
@@ -407,52 +466,12 @@ class AnnIndex:
         every other distance here, so candidate sets are deterministic);
         the ADC score is one ``aggregate`` lookup-sum per pair."""
         key_col = self.meta["key_col"]
-        pqm = self.meta["pq"]
-        m, dsub = pqm["m"], pqm["dsub"]
-        # distance-table entries are INTEGER MICROS (round(d * 1e6)):
-        # the ADC sum is then order-independent and exactly reproducible
-        # in any engine — a double fold's association order could flip
-        # near-ties between engines, the classic oracle-parity trap
-        dtab = F.array(
-            *[
-                F.array(
-                    *[
-                        F.round(
-                            (
-                                F.lit(sum(x * x for x in c))
-                                - 2.0
-                                * dot(
-                                    km.subvector(F.col("_qv"), i, dsub),
-                                    F.array(*[F.lit(float(x)) for x in c]),
-                                )
-                            )
-                            * 1e6,
-                            0,
-                        ).cast("long")
-                        for c in pqm["codebooks"][i]
-                    ]
-                )
-                for i in range(m)
-            ]
-        )
-        adc = (
-            cands.select("cell", key_col, "pq")
-            .join(F.broadcast(q.withColumn("_dtab", dtab)), "cell")
-            .withColumn(
-                "_adc",
-                F.expr(
-                    f"aggregate(sequence(0, {m - 1}), cast(0 as bigint), "
-                    "(acc, i) -> acc + _dtab[i][pq[i]])"
-                ),
-            )
-        )
-        w = Window.partitionBy("query_id").orderBy(
-            F.col("_adc").asc(), F.col(key_col)
-        )
-        return (
-            adc.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= rerank)
-            .select("query_id", F.col(key_col).alias("_nb"))
+        return _pq_topc(
+            cands.select("cell", key_col, "pq"),
+            q,
+            key_col,
+            self.meta["pq"],
+            rerank,
         )
 
     def _fs_exists(self, path: str) -> bool:
@@ -546,6 +565,7 @@ class LakeAnnIndex:
         iters: int = 3,
         sample_mod: int = 4,
         n_buckets: int | None = None,
+        pq: tuple[int, int] | None = None,
     ) -> "LakeAnnIndex":
         """Train on the hash-sample (identical math to ``AnnIndex.build``),
         then commit the cell-assigned full set as the lake table's epoch 0
@@ -578,9 +598,21 @@ class LakeAnnIndex:
             F.col(key_col).alias("vec_id"), F.col(vec_col).alias("v")
         )
         cents = km.train_kmeans_cells(train, "v", k=k, iters=iters)
+        dim = len(next(iter(cents.values()))) if cents else 0
+        # PQ codebooks train on the same sample; the m-code column rides
+        # the storage schema so a pq-less search is unaffected (column
+        # pruning) while search(pq_rerank=) scans only the codes. The
+        # codebooks live in the ann props WITH the quantizer — retrain
+        # replaces both atomically with the rows they encode.
+        pq_meta = _train_pq(train, dim, pq, iters) if pq is not None else None
         schema = T.StructType(
             [T.StructField("cell", T.IntegerType(), False)]
             + [vectors.schema[key_col], vectors.schema[vec_col]]
+            + (
+                [T.StructField("pq", T.ArrayType(T.IntegerType()), True)]
+                if pq_meta is not None
+                else []
+            )
         )
         table = LakeTable.create(
             spark,
@@ -595,7 +627,7 @@ class LakeAnnIndex:
             "k": k,
             "iters": iters,
             "sample_mod": sample_mod,
-            "dim": len(next(iter(cents.values()))) if cents else 0,
+            "dim": dim,
             "base_rows": base_rows,
             # quantizer generation marker: appended_share scopes its sum
             # to snapshots carrying the CURRENT token, so a retrain resets
@@ -603,6 +635,8 @@ class LakeAnnIndex:
             "token": uuid.uuid4().hex[:12],
             "cells": {str(c): v for c, v in sorted(cents.items())},
         }
+        if pq_meta is not None:
+            meta["pq"] = pq_meta
         # salt_buckets=0: the AUTO skew probe measures hot-BUCKET share,
         # and a cell-keyed table (~k cells over ~k buckets) trips it by
         # construction — but batch keys are unique under the insert-only
@@ -611,7 +645,7 @@ class LakeAnnIndex:
         apply_batch(
             spark,
             table,
-            cls._as_events(vectors, cents, 0, vec_col),
+            cls._as_events(vectors, cents, 0, vec_col, pq_meta),
             epoch=0,
             salt_buckets=0,
             props_update={"ann": meta},
@@ -641,17 +675,24 @@ class LakeAnnIndex:
         cents: dict[int, list[float]],
         epoch: int,
         vec_col: str,
+        pq_meta: dict | None = None,
     ) -> DataFrame:
         """Change events for one maintenance batch: assign cells with the
         (frozen) centroids; ``lsn = epoch * _LSN_STRIDE`` —
         insert-only keys are unique per batch, and a later epoch
-        re-inserting a key wins by LWW."""
-        return vectors.select(
+        re-inserting a key wins by LWW. ``pq_meta`` (frozen codebooks)
+        additionally encodes the m-code PQ column."""
+        out = vectors.select(
             F.lit(int(epoch) * cls._LSN_STRIDE).cast("long").alias("lsn"),
             F.lit("insert").alias("op"),
             km.argmin_cell(vec_col, cents).alias("cell"),
             "*",
         )
+        if pq_meta is not None:
+            out = out.withColumn(
+                "pq", AnnIndex._encode_expr(vec_col, pq_meta)
+            )
+        return out
 
     def _refresh(self) -> "Snapshot":
         """Re-read quantizer + meta from the CURRENT snapshot's props (a
@@ -696,7 +737,11 @@ class LakeAnnIndex:
         self._refresh()
         key_col, vec_col = self.meta["key_col"], self.meta["vec_col"]
         events = self._as_events(
-            vectors.select(key_col, vec_col), self.cents, epoch, vec_col
+            vectors.select(key_col, vec_col),
+            self.cents,
+            epoch,
+            vec_col,
+            self.meta.get("pq"),
         )
         # salt off: see build() — unique insert keys, skew probe would
         # misfire on the cell-keyed bucket shape every PROBE_EVERY epochs
@@ -791,6 +836,21 @@ class LakeAnnIndex:
         cents = km.train_kmeans_cells(
             train, "v", k=meta["k"], iters=meta["iters"]
         )
+        # PQ codebooks retrain WITH the coarse quantizer (same sample) —
+        # the re-encode rides the reassignment rewrite for free, and the
+        # new codebooks land in the same props commit as the rows they
+        # encode (readers never pair codes with a foreign codebook)
+        old_pq = meta.get("pq")
+        new_pq = (
+            _train_pq(
+                train,
+                int(meta["dim"]),
+                (old_pq["m"], old_pq["k"]),
+                meta["iters"],
+            )
+            if old_pq is not None
+            else None
+        )
         residual_epochs = [
             e for e in (epoch_of(k) for k in snap.commit_keys) if e is not None
         ]
@@ -813,12 +873,18 @@ class LakeAnnIndex:
             F.col(vec_col),
             km.argmin_cell(vec_col, cents).alias("cell"),
         )
+        pq_cols = (
+            [AnnIndex._encode_expr(vec_col, new_pq).alias("pq")]
+            if new_pq is not None
+            else []
+        )
         inserts = assigned.select(
             F.lit(lsn).cast("long").alias("lsn"),
             F.lit("insert").alias("op"),
             "cell",
             key_col,
             vec_col,
+            *pq_cols,
         )
         tombstones = assigned.filter(
             F.col("cell") != F.col("_old_cell")
@@ -828,6 +894,11 @@ class LakeAnnIndex:
             F.col("_old_cell").alias("cell"),
             F.col(key_col),
             F.col(vec_col),
+            *(
+                [F.lit(None).cast("array<int>").alias("pq")]
+                if new_pq is not None
+                else []
+            ),
         )
         events = inserts.unionByName(tombstones)
         table_schema, events, obs_metrics = _normalize_batch(
@@ -843,6 +914,7 @@ class LakeAnnIndex:
             token=uuid.uuid4().hex[:12],
             retrain_lsn=lsn,
             cells={str(c): v for c, v in sorted(cents.items())},
+            **({"pq": new_pq} if new_pq is not None else {}),
         )
         committed = self.table.merge(
             storage,
@@ -942,6 +1014,7 @@ class LakeAnnIndex:
         nprobe: int = 2,
         query_id_col: str = "query_id",
         snapshot_id: int | None = None,
+        pq_rerank: int | None = None,
     ) -> DataFrame:
         """Top-k cosine neighbors per query over ONLY the probed cells'
         buckets, read through the manifest (merge-on-read: a search sees
@@ -989,19 +1062,69 @@ class LakeAnnIndex:
         # the probed cells — after compact(key_slices=k) that opens only
         # the probed cells' SLICES even when several cells share a hash
         # bucket. The residual isin filter stays for row-level exactness.
-        cands = self.table.read(
-            snapshot_id=snap.snapshot_id,
-            buckets=probed_buckets,
-            columns=["cell", key_col, vec_col],
-            key_prune=cells,
-        ).filter(F.col("cell").isin(cells))
-        scored = cands.join(F.broadcast(q), "cell").select(
-            "query_id",
-            F.col(key_col).alias("neighbor_id"),
-            F.round(cosine_similarity(F.col("_qv"), F.col(vec_col)), 6).alias(
-                "cosine"
-            ),
-        )
+        if pq_rerank is not None:
+            if meta.get("pq") is None:
+                raise ValueError("pq_rerank: index was built without pq=")
+            # stage 1 (ADC) reads only (cell, key, pq) through the same
+            # bucket/cell pruning; stage 2 re-reads the vector column
+            # behind a pushed-down candidate-key In filter (bounded
+            # driver collect — same budget class as the probe resolve)
+            codes = self.table.read(
+                snapshot_id=snap.snapshot_id,
+                buckets=probed_buckets,
+                columns=["cell", key_col, "pq"],
+                key_prune=cells,
+            ).filter(F.col("cell").isin(cells))
+            pairs = _pq_topc(
+                codes, q, key_col, meta["pq"], pq_rerank
+            ).collect()
+            keys = sorted({r["_nb"] for r in pairs})
+            sel = self.table.read(
+                snapshot_id=snap.snapshot_id,
+                buckets=probed_buckets,
+                columns=["cell", key_col, vec_col],
+                key_prune=cells,
+            ).filter(
+                F.col(key_col).isin(keys) if keys else F.lit(False)
+            )
+            top = self.spark.createDataFrame(
+                [(r["query_id"], r["_nb"]) for r in pairs],
+                schema=T.StructType(
+                    [
+                        T.StructField(
+                            "query_id", q.schema["query_id"].dataType
+                        ),
+                        T.StructField("_nb", sel.schema[key_col].dataType),
+                    ]
+                ),
+            )
+            scored = (
+                sel.join(
+                    F.broadcast(top), sel[key_col] == top["_nb"], "inner"
+                )
+                .join(F.broadcast(q.drop("cell").distinct()), "query_id")
+                .select(
+                    "query_id",
+                    F.col(key_col).alias("neighbor_id"),
+                    F.round(
+                        cosine_similarity(F.col("_qv"), F.col(vec_col)), 6
+                    ).alias("cosine"),
+                )
+            )
+        else:
+            cands = self.table.read(
+                snapshot_id=snap.snapshot_id,
+                buckets=probed_buckets,
+                columns=["cell", key_col, vec_col],
+                key_prune=cells,
+            ).filter(F.col("cell").isin(cells))
+            scored = cands.join(F.broadcast(q), "cell").select(
+                "query_id",
+                F.col(key_col).alias("neighbor_id"),
+                F.round(
+                    cosine_similarity(F.col("_qv"), F.col(vec_col)), 6
+                ).alias("cosine"),
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cosine").desc(), F.col("neighbor_id")
         )

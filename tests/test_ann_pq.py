@@ -206,3 +206,67 @@ def test_pq_validation(spark, planted, tmp_path, index):
     )
     with pytest.raises(ValueError):  # rerank on a pq-less index
         idx2.search(_queries(spark, planted), pq_rerank=8)
+
+
+def test_lake_ann_index_pq_lifecycle(spark, planted, tmp_path):
+    """PQ under transactional maintenance (LakeAnnIndex): build with
+    pq=, ADC+rerank search through the manifest-pruned read, exactly-once
+    appends encoding with frozen codebooks, and a forced retrain that
+    re-trains codebooks WITH the coarse quantizer and re-encodes the
+    layout in the same commit (codes never pair with a foreign
+    codebook)."""
+    from postgres_to_snowflake_data_pipeline_spark.lake.ann_index import (
+        LakeAnnIndex,
+    )
+
+    root = str(tmp_path / "lakepq")
+    vecs = _vectors(spark, planted)
+    idx = LakeAnnIndex.build(
+        spark, vecs.filter(F.col("vec_id") >= N_Q), root,
+        k=4, iters=2, sample_mod=2, pq=(4, 8),
+    )
+    q = _queries(spark, planted)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in idx.search(q, k=3, nprobe=2).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in idx.search(q, k=3, nprobe=2, pq_rerank=16).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8
+
+    # maintenance: appended rows carry codes; re-delivery is a no-op
+    rng = np.random.default_rng(5)
+    new = spark.createDataFrame(
+        [(20_000 + i, rng.standard_normal(DIM).tolist()) for i in range(10)],
+        "vec_id long, v array<double>",
+    )
+    assert not idx.append(new, epoch=1).skipped
+    assert idx.append(new, epoch=1).skipped
+    stored = idx.table.read(columns=["cell", "vec_id", "pq"]).filter(
+        F.col("vec_id") >= 20_000
+    ).collect()
+    assert len(stored) == 10
+    assert all(r["pq"] is not None and len(r["pq"]) == 4 for r in stored)
+
+    # forced retrain: new generation token AND new codebooks, atomically
+    old_token, old_cb = idx.meta["token"], idx.meta["pq"]["codebooks"]
+    assert idx.retrain(force=True) is not None
+    assert idx.meta["token"] != old_token
+    assert idx.meta["pq"]["codebooks"] != old_cb  # sample grew -> retrained
+    # every live row re-encoded under the new codebooks: spot-check one
+    # vector's stored code against a fresh encode expression
+    from postgres_to_snowflake_data_pipeline_spark.lake.ann_index import AnnIndex
+
+    live = idx.table.read(columns=["vec_id", "v", "pq"])
+    recoded = live.withColumn(
+        "_want", AnnIndex._encode_expr("v", idx.meta["pq"])
+    ).filter(F.col("pq") != F.col("_want"))
+    assert recoded.count() == 0
+
+    # search still green after the whole lifecycle
+    out = idx.search(q, k=3, nprobe=2, pq_rerank=16)
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)
