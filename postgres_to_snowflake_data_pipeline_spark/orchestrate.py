@@ -1282,3 +1282,159 @@ class Pipeline:
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+    # ------------------------------------------------------------------
+    # scheduled batch runner (the reference's Airflow schedule + retries)
+    # ------------------------------------------------------------------
+    SCHEDULE_STATE = "schedule.json"
+
+    def run_scheduled(
+        self,
+        feed_dir: str,
+        event_schema: T.StructType,
+        checkpoint_dir: str,
+        source_name: str | None = None,
+        *,
+        interval_seconds: float = 60.0,
+        retries: int = 2,
+        retry_delay_seconds: float = 5.0,
+        backoff: float = 2.0,
+        max_ticks: int | None = None,
+        stop_when_idle: bool = False,
+        on_exhausted: str = "halt",
+        sleep: Any = None,
+    ) -> list[dict[str, Any]]:
+        """Polling scheduler with retry/backoff — the reference's Airflow
+        posture (``default_args`` retries + retry_delay on a schedule
+        interval, /root/reference/dags/export_to_s3_dag.py:19-26) over
+        the engine's exactly-once epochs, with no scheduler dependency.
+
+        Each TICK lists ``feed_dir`` for parquet files not yet processed
+        (producers must land files atomically — write-then-rename, as
+        ``write_feed`` does); new files become ONE epoch executed by
+        :meth:`run_epoch`. The (epoch, files) INTENT is persisted to
+        ``checkpoint_dir`` *before* the attempt, so a crash mid-epoch
+        resumes the SAME intent — and because tables skip committed
+        commit keys, a retry after a partial failure (two of five tables
+        merged) re-applies only the unfinished tables. Retries follow
+        Airflow semantics: ``retries`` re-attempts with
+        ``retry_delay_seconds`` growing by ``backoff`` per attempt; when
+        exhausted, ``on_exhausted='halt'`` re-raises (the intent stays
+        pending — the next invocation resumes it), ``'skip'`` shelves
+        the files under ``skipped`` and keeps going WITHOUT consuming
+        the epoch number (a permanently-missing ``epoch:{n}`` would
+        wedge the watermark fold and every later epoch would live in the
+        residual key list forever — the O(n²) metadata trap).
+
+        ``max_ticks`` bounds the loop (None = run until
+        ``stop_when_idle`` or forever); ``sleep`` is injectable for
+        tests. Returns one record per tick."""
+        import time as _time
+
+        from postgres_to_snowflake_data_pipeline_spark.lake.metadata import (
+            atomic_write_json,
+        )
+
+        if on_exhausted not in ("halt", "skip"):
+            raise ValueError(f"on_exhausted: {on_exhausted!r}")
+        do_sleep = sleep if sleep is not None else _time.sleep
+        if source_name is None:
+            df_sources = [
+                s.name for s in self.spec.sources if s.kind == "dataframe"
+            ]
+            if len(df_sources) != 1:
+                raise ValueError(
+                    "run_scheduled needs exactly one 'dataframe' source in "
+                    f"the spec (found {df_sources}) or an explicit "
+                    "source_name"
+                )
+            source_name = df_sources[0]
+
+        state_path = os.path.join(checkpoint_dir, self.SCHEDULE_STATE)
+        if os.path.exists(state_path):
+            with open(state_path) as f:
+                state = json.load(f)
+        else:
+            state = {
+                "processed": [],
+                "skipped": [],
+                "next_epoch": self._max_committed_epoch() + 1,
+                "pending": None,
+            }
+
+        def _save() -> None:
+            atomic_write_json(state_path, state)
+
+        ticks: list[dict[str, Any]] = []
+        while max_ticks is None or len(ticks) < max_ticks:
+            if state["pending"] is not None:
+                # crash/halt recovery: resume the persisted intent
+                epoch = int(state["pending"]["epoch"])
+                files = list(state["pending"]["files"])
+            else:
+                seen = set(state["processed"]) | {
+                    f for s in state["skipped"] for f in s["files"]
+                }
+                try:
+                    names = sorted(
+                        n
+                        for n in os.listdir(feed_dir)
+                        if n.endswith(".parquet") and n not in seen
+                    )
+                except FileNotFoundError:
+                    names = []
+                if not names:
+                    ticks.append({"tick": len(ticks), "idle": True})
+                    if stop_when_idle:
+                        break
+                    do_sleep(interval_seconds)
+                    continue
+                epoch, files = int(state["next_epoch"]), names
+                state["pending"] = {"epoch": epoch, "files": files}
+                _save()
+
+            batch = self.spark.read.schema(event_schema).parquet(
+                *[os.path.join(feed_dir, f) for f in files]
+            )
+            attempts, err = 0, None
+            while attempts <= retries:
+                attempts += 1
+                try:
+                    res = self.run_epoch(epoch, feeds={source_name: batch})
+                    err = None
+                    break
+                except Exception as exc:  # noqa: BLE001 — retry any failure
+                    err = exc
+                    if attempts <= retries:
+                        do_sleep(
+                            retry_delay_seconds * backoff ** (attempts - 1)
+                        )
+            if err is not None:
+                if on_exhausted == "halt":
+                    _save()  # intent stays pending for the next invocation
+                    raise RuntimeError(
+                        f"epoch {epoch} failed after {attempts} attempts "
+                        f"({len(files)} files; intent persisted — re-run "
+                        "to resume)"
+                    ) from err
+                state["skipped"].append(
+                    {"epoch_intent": epoch, "files": files,
+                     "error": repr(err)}
+                )
+                state["pending"] = None
+                _save()
+                ticks.append(
+                    {"tick": len(ticks), "epoch": epoch, "files": files,
+                     "attempts": attempts, "skipped": True}
+                )
+                continue
+            state["processed"].extend(files)
+            state["next_epoch"] = epoch + 1
+            state["pending"] = None
+            _save()
+            ticks.append(
+                {"tick": len(ticks), "epoch": epoch, "files": files,
+                 "attempts": attempts, "skipped": False,
+                 "tables": sorted(res["tables"])}
+            )
+        return ticks
