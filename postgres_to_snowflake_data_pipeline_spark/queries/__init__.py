@@ -167,6 +167,15 @@ CATALOG: dict[str, tuple[QueryFn, str | None]] = {
         cdcq.c22_state_diff,
         cdcq.C22_SQL,
     ),
+    # NEW round 5 — run_scheduled end-to-end: polling file discovery,
+    # persisted intents, an injected transient failure retried
+    # Airflow-style, resume across a fresh Pipeline — final LWW state
+    # value-hashes against c01's oracle (the scheduling must be
+    # observationally invisible)
+    "c23_scheduled_pipeline": (
+        cdcq.c23_scheduled_pipeline,
+        cdcq.C23_SQL,
+    ),
     # reference-parity relational operators (SURVEY.md §2)
     "q02_silver_report": (reference.q02_silver_report, reference.Q02_SQL),
     # rotated back in-gate for round 4 (driver-green in r2, absent from r3's
@@ -474,7 +483,7 @@ WINDOW_ORDER: list[str] = [
     "q16_hourly_rollup", "q17_session_windows",
     "t01_token_count", "t02_quality_score", "t03_lang_id",
     "t05_dedup_exact", "t06_ngram_jaccard_pairs",
-    "t07_minhash_bands", "t09_simhash", "t10_minhash_bands_fast",
+    "t07_minhash_bands", "t09_simhash",
     "t21_decontamination",
     "v01_ann_cosine_topk", "v07_ann_ivf_persisted",
     "v10_ann_ivf_retrain",

@@ -1940,3 +1940,96 @@ WHERE lh.conv_id IS NULL OR lf.conv_id IS NULL
 """
 # (the feed's `tool` column is identically NULL, so the engine's
 # null-safe tool comparison can never flip a status — the oracle omits it)
+
+
+# ---------------------------------------------------------------------------
+# c23 — the SCHEDULED runner end-to-end (round 5): run_scheduled's polling
+# file-discovery loop drives the declarative pipeline through three landed
+# feed files across two invocations, with an injected TRANSIENT failure on
+# the second epoch's first attempt (the reference's Airflow retry posture,
+# export_to_s3_dag.py:19-26). The query asserts the scheduler's own
+# mechanics in-line — retry count, persisted-state file coverage, idle
+# stop — so a driver-green row certifies the orchestration machinery, and
+# the final LWW state value-hashes against c01's declarative oracle (the
+# slicing, retries and resume must be observationally invisible).
+# ---------------------------------------------------------------------------
+def c23_scheduled_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from postgres_to_snowflake_data_pipeline_spark.orchestrate import (
+        Pipeline,
+        PipelineSpec,
+    )
+
+    work = _work_dir("cdcs23", sf_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    feed_dir = os.path.join(work, "feed")
+    os.makedirs(feed_dir)
+    feed = events_as_change_feed(spark, sf_dir)
+    lo, hi = feed.select(F.min("lsn"), F.max("lsn")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+
+    def _land(df, name):
+        tmp = os.path.join(work, f"tmp-{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(os.path.join(tmp, part), os.path.join(feed_dir, name))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    spec_dict = {
+        "lake_root": os.path.join(work, "lake"),
+        "sources": [{"name": "wal", "kind": "dataframe", "table": "ta"}],
+        "tables": [
+            {"name": "ta", "key_cols": ["conv_id", "turn_idx"],
+             "n_buckets": 8},
+        ],
+    }
+    schema = feed.schema
+    ckpt = os.path.join(work, "ckpt")
+
+    # invocation 1: one file, applied, then idle-stop
+    _land(feed.filter(F.col("lsn") <= cut1), "f0.parquet")
+    pipe = Pipeline(spark, PipelineSpec.from_dict(spec_dict))
+    t1 = pipe.run_scheduled(
+        feed_dir, schema, ckpt,
+        max_ticks=4, stop_when_idle=True, sleep=lambda s: None,
+    )
+    assert [t.get("idle", False) for t in t1] == [False, True], t1
+
+    # invocation 2 (fresh Pipeline = state reload): two more files land as
+    # ONE epoch whose FIRST attempt fails transiently — the retry must
+    # succeed and count
+    _land(feed.filter((F.col("lsn") > cut1) & (F.col("lsn") <= cut2)),
+          "f1.parquet")
+    _land(feed.filter(F.col("lsn") > cut2), "f2.parquet")
+    pipe2 = Pipeline(spark, PipelineSpec.from_dict(spec_dict))
+    real, blown = pipe2.run_epoch, {"n": 0}
+
+    def flaky(epoch, feeds=None):
+        if blown["n"] == 0:
+            blown["n"] += 1
+            raise RuntimeError("transient: warehouse briefly unreachable")
+        return real(epoch, feeds=feeds)
+
+    pipe2.run_epoch = flaky
+    t2 = pipe2.run_scheduled(
+        feed_dir, schema, ckpt,
+        retries=2, retry_delay_seconds=0.0,
+        max_ticks=4, stop_when_idle=True, sleep=lambda s: None,
+    )
+    assert t2[0]["attempts"] == 2 and not t2[0]["skipped"], t2
+    assert sorted(t2[0]["files"]) == ["f1.parquet", "f2.parquet"], t2
+    assert t2[0]["epoch"] == t1[0]["epoch"] + 1, (t1, t2)
+
+    state = _json.load(open(os.path.join(ckpt, "schedule.json")))
+    assert sorted(state["processed"]) == [
+        "f0.parquet", "f1.parquet", "f2.parquet"
+    ], state
+    assert state["pending"] is None and state["skipped"] == [], state
+
+    return pipe2.tables["ta"].read().select(
+        "conv_id", "turn_idx", "role", "text", "ts"
+    )
+
+
+C23_SQL = C01_SQL
