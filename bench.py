@@ -52,6 +52,7 @@ HEADLINE = [
     "v07_ann_ivf_persisted",
     "v09_ann_ivf_lake",
     "v11_hybrid_search",
+    "v12_ann_pq_rerank",
     "m01_multimodal_decode",
     "m02_frame_sample",
     "m04_audio_features",

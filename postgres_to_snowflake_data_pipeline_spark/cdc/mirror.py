@@ -251,11 +251,30 @@ class TableMirror:
         )
 
     def _key_only_predicate(self, src_snap: Snapshot) -> bool:
-        """True iff ``filter_expr`` references key columns only — probed
-        by analyzing it against a keys-only schema (resolution fails on
-        any payload reference). Key membership is immutable per key, so
-        the drop regime applies (see __init__)."""
+        """True iff ``filter_expr`` references key columns only. Key
+        membership is immutable per key, so the drop regime applies (see
+        __init__). Primary probe: parse the expression and read its
+        column REFERENCES (no analysis, no logged error); fallback (py4j
+        internals are not a public API): analyze against a keys-only
+        schema and let resolution fail on any payload reference — that
+        path makes the JVM log a caught-but-scary AnalysisException,
+        which is why it is the fallback."""
         if self._key_only is None:
+            keys = {c.lower() for c in src_snap.key_cols}
+            try:
+                jexpr = (
+                    self.spark._jsparkSession.sessionState()
+                    .sqlParser()
+                    .parseExpression(self.filter_expr)
+                )
+                it = jexpr.references().iterator()
+                refs = set()
+                while it.hasNext():
+                    refs.add(it.next().name().lower())
+                self._key_only = refs <= keys
+                return self._key_only
+            except Exception:
+                pass
             key_schema = T.StructType(
                 [
                     f
