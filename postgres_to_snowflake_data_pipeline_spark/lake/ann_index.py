@@ -68,20 +68,71 @@ _DATA = "data"
 
 def _train_pq(train: DataFrame, dim: int, pq: tuple[int, int], iters: int) -> dict:
     """Per-subspace PQ codebooks over the (vec_id, v) training sample —
-    the same deterministic distributed Lloyd as the coarse quantizer, m
-    extra sample-bound trainings. Codewords are DENSELY position-coded
-    (sorted surviving cells), so an ADC table indexes by code directly."""
+    the same deterministic Lloyd math as ``km.train_kmeans_cells`` run
+    per subspace (the DuckDB oracle unrolls it exactly that way), but
+    FUSED: the sample explodes into (subspace, subvector) rows once and
+    a single loop trains all m codebooks together — ``iters`` aggregate
+    jobs total instead of ``m×iters`` (the whole training stays
+    sample-bound either way; this removes the driver round-trip
+    multiplier). Identical centroids by construction: the seed hash,
+    per-(subspace, cell, pos) averages, 6-dp rounding and argmin
+    tie-breaks all match the per-subspace runs. Codewords are DENSELY
+    position-coded (sorted surviving cells), so an ADC table indexes by
+    code directly."""
     m, kcodes = pq
     if dim == 0 or dim % m != 0:
         raise ValueError(f"pq: dim {dim} not divisible by m {m}")
     dsub = dim // m
-    codebooks = []
-    for i in range(m):
-        sub = train.select(
-            "vec_id", km.subvector(F.col("v"), i, dsub).alias("v")
+    sub = train.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        km.subvector(F.col("v"), i, dsub).alias("v"),
+                    )
+                    for i in range(m)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.i").alias("_m"), F.col("s.v").alias("v"))
+
+    def _assign(per_sub: dict[int, dict[int, list[float]]]):
+        # per-subspace argmin, dispatched on the subspace tag — the same
+        # rounded dist_structs arithmetic as the unfused trainer
+        expr = None
+        for i in range(m):
+            arm = km.argmin_cell("v", per_sub[i])
+            expr = (
+                F.when(F.col("_m") == i, arm)
+                if expr is None
+                else expr.when(F.col("_m") == i, arm)
+            )
+        return expr
+
+    assign = km.seed_cell("vec_id", kcodes)  # same seed in every subspace
+    per_sub: dict[int, dict[int, list[float]]] = {}
+    for _ in range(iters):
+        rows = (
+            sub.withColumn("cell", assign)
+            .select("_m", "cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("_m", "cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("cv"))
+            .collect()
         )
-        cb = km.train_kmeans_cells(sub, "v", k=kcodes, iters=iters)
-        codebooks.append([cb[c] for c in sorted(cb)])
+        if not rows:
+            raise ValueError("pq codebook training input is empty")
+        by: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            by.setdefault((r["_m"], r["cell"]), {})[r["pos"]] = r["cv"]
+        per_sub = {i: {} for i in range(m)}
+        for (i, cell), d in by.items():
+            per_sub[i][cell] = [d[p] for p in range(len(d))]
+        assign = _assign(per_sub)
+    codebooks = [
+        [per_sub[i][c] for c in sorted(per_sub[i])] for i in range(m)
+    ]
     return {"m": m, "k": kcodes, "dsub": dsub, "codebooks": codebooks}
 
 
